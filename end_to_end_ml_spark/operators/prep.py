@@ -1,0 +1,195 @@
+"""Cleaning / projection / type-enforcement operators (reference §2.2).
+
+Each operator is a pure ``DataFrame -> DataFrame`` function, composable with
+``df.transform(...)`` — the Spark-native form of the reference's injectable
+step registry (P13, src/feature/utils/prep.py:364-412). All of them are
+single-pass narrow transformations (no shuffle) except the dedup/validation
+ops, which shuffle once on their key — by design they're the *only* wide
+operators here, so Catalyst fuses the rest into one codegen stage over the
+parquet scan.
+
+Reference citations (relative to /root/reference/):
+- P3  blank→null          src/feature/utils/prep.py:414-423
+- P4  token normalize     src/feature/utils/prep.py:425-445
+- P5  dup validation      src/feature/utils/prep.py:447-472
+- P6  dedup keep-last     src/feature/utils/prep.py:474-498
+- P7  type enforcement    src/feature/utils/prep.py:500-556
+- P8  null audit          src/feature/utils/prep.py:558-608
+- P9  value recode        src/feature/utils/prep.py:669-684
+- P10 class recode        src/feature/utils/prep.py:686-704
+- P11 name sanitization   src/feature/utils/data.py:685-719
+- P13 step registry       src/feature/utils/prep.py:364-412
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tokens the reference treats as missing (prep.py:425-445).
+MISSING_TOKENS = ["", "<NA>", "null", "?", "N/A", "NAN", "nan"]
+
+
+def select_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P1: projection by configured role lists. Catalyst pushes this into the
+    parquet reader (column pruning) — at 100 TB this is the difference between
+    scanning 2 columns and scanning 23."""
+    return df.select(*cols)
+
+
+def reconcile_columns(df: DataFrame, required: Sequence[str]) -> DataFrame:
+    """P2: keep only configured columns actually present (driver-side set
+    intersection, preserving configured order)."""
+    present = set(df.columns)
+    return df.select(*[c for c in required if c in present])
+
+
+def blanks_to_null(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """P3: whitespace-only strings → NULL on string columns."""
+    targets = cols or [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    out = df
+    for c in targets:
+        out = out.withColumn(c, F.when(F.col(c).rlike(r"^\s*$"), None).otherwise(F.col(c)))
+    return out
+
+
+def normalize_missing_tokens(
+    df: DataFrame, cols: Sequence[str] | None = None, tokens: Sequence[str] = MISSING_TOKENS
+) -> DataFrame:
+    """P4: map the reference's missing-value tokens to NULL."""
+    targets = cols or [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    out = df
+    for c in targets:
+        out = out.withColumn(c, F.when(F.col(c).isin(list(tokens)), None).otherwise(F.col(c)))
+    return out
+
+
+def count_duplicates(df: DataFrame, pk_cols: Sequence[str]) -> tuple[int, int]:
+    """P5: (full-row dup count, dup-by-PK count). One job; both counts come
+    from aggregations, no collect of data rows."""
+    total = df.count()
+    distinct_rows = df.distinct().count()
+    pk_dupes = (
+        df.groupBy(*pk_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("d"))
+        .collect()[0]["d"]
+    )
+    return total - distinct_rows, int(pk_dupes)
+
+
+def validate_no_duplicates(df: DataFrame, pk_cols: Sequence[str]) -> DataFrame:
+    """P5 (raising form): mirror the reference's ValueError contract."""
+    row_dupes, pk_dupes = count_duplicates(df, pk_cols)
+    if row_dupes > 0:
+        raise ValueError(f"{row_dupes} duplicate rows found")
+    if pk_dupes > 0:
+        raise ValueError(f"{pk_dupes} duplicate primary keys found")
+    return df
+
+
+def dedup_keep_last(df: DataFrame, pk_cols: Sequence[str], order_col: str) -> DataFrame:
+    """P6: drop_duplicates(keep="last") needs an explicit order in Spark —
+    pandas row order is not a distributed concept. ``order_col`` (event
+    timestamp or a monotonic ingest id) defines "last". Single shuffle on the
+    PK; AQE handles skewed keys."""
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def enforce_types(
+    df: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+    date_cols: Sequence[str] = (),
+    datetime_cols: Sequence[str] = (),
+    date_format: str = "yyyy-MM-dd",
+    datetime_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """P7: the cast stage. ``to_timestamp`` returns NULL on parse failure,
+    matching pandas ``errors="coerce"``; numerics → float; everything else
+    configured categorical → string."""
+    out = df
+    for c in date_cols:
+        out = out.withColumn(c, F.to_timestamp(F.col(c).cast("string"), date_format))
+    for c in datetime_cols:
+        out = out.withColumn(c, F.to_timestamp(F.col(c).cast("string"), datetime_format))
+    for c in numeric_cols:
+        out = out.withColumn(c, F.col(c).cast("float"))
+    for c in categorical_cols:
+        out = out.withColumn(c, F.col(c).cast("string"))
+    return out
+
+
+def null_fraction_audit(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """P8/A2: per-column null fraction in ONE aggregation pass (not one job
+    per column). Returns a long frame (column_name, null_fraction) sorted
+    descending — the reference's audit report shape."""
+    targets = cols or df.columns
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in targets],
+    )
+    stacked = agg.selectExpr(
+        "stack({}, {}) as (column_name, null_count)".format(
+            len(targets), ", ".join(f"'{c}', `{c}`" for c in targets)
+        ),
+        "__n",
+    )
+    return stacked.select(
+        "column_name",
+        (F.col("null_count") / F.col("__n")).alias("null_fraction"),
+    ).orderBy(F.col("null_fraction").desc(), "column_name")
+
+
+def high_null_columns(df: DataFrame, threshold: float = 0.3) -> list[str]:
+    """P8 flagging side: columns with ≥ threshold null fraction (tiny driver
+    collect of the audit frame)."""
+    audit = null_fraction_audit(df)
+    return [r["column_name"] for r in audit.filter(F.col("null_fraction") >= threshold).collect()]
+
+
+def recode_values(df: DataFrame, col: str, mapping: dict) -> DataFrame:
+    """P9/P10: dict recode of a categorical column. Implemented as a chained
+    CASE WHEN (JVM-side, codegen) rather than a UDF; unmapped values pass
+    through unchanged — pandas ``Series.replace`` semantics."""
+    expr = F.col(col)
+    out = None
+    for k, v in mapping.items():
+        cond = F.col(col) == F.lit(k)
+        out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+    return df.withColumn(col, out.otherwise(expr) if out is not None else expr)
+
+
+def sanitize_column_names(df: DataFrame) -> DataFrame:
+    """P11: LightGBM-style name cleanup (non-alphanumeric → underscore)."""
+    return df.toDF(*[re.sub(r"[^A-Za-z0-9]+", "_", c) for c in df.columns])
+
+
+class PrepPipeline:
+    """P13: the reference's injectable step registry — ordered ``df → df``
+    callables with add/prepend semantics, folded lazily so Catalyst still
+    fuses all narrow steps into one stage."""
+
+    def __init__(self, steps: Sequence[Callable[[DataFrame], DataFrame]] = ()):
+        self.steps: list[Callable[[DataFrame], DataFrame]] = list(steps)
+
+    def add_step(self, step: Callable[[DataFrame], DataFrame], position: int | None = None):
+        if position is None:
+            self.steps.append(step)
+        else:
+            self.steps.insert(position, step)
+        return self
+
+    def run(self, df: DataFrame) -> DataFrame:
+        for step in self.steps:
+            df = df.transform(step)
+        return df

@@ -1,0 +1,159 @@
+"""Dataset split operators (reference §2.6: T1-T6, J2, A1).
+
+Reference citations (relative to /root/reference/):
+- T1 stratified random split  src/feature/utils/prep.py:148-224
+- T2 time-based split         src/feature/utils/prep.py:227-305
+- T3 orchestration + checks   src/feature/utils/prep.py:52-145
+- J2 overlap (semi-join)      src/feature/utils/prep.py:112-133
+- A1 class distribution       src/feature/utils/prep.py:135-145
+
+Scale design: the stratified split is ONE window pass (shuffle on the label
+column — tiny cardinality, so AQE coalesces), not a per-class loop. The
+deterministic variant keys on a multiplicative hash of the PK so the split is
+reproducible across engines and cluster sizes (no dependence on partition
+layout), which is what makes it both test-stable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash; exact in int64 for keys < ~3.5e9, and computable
+# identically by any SQL engine (pure integer arithmetic).
+_HASH_MULT = 2654435761
+_HASH_MOD = 1000000007
+
+
+def deterministic_key(pk_col: str):
+    """Pseudo-random but engine-independent ordering key derived from the PK."""
+    return (F.col(pk_col).cast("long") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+
+
+def _validate_stratify(df: DataFrame, class_col: str, train_size: float) -> None:
+    """Mirror the reference's ValueError contract (prep.py:165-192)."""
+    if not 0.0 < train_size < 1.0:
+        raise ValueError(f"train_size must be in (0, 1), got {train_size}")
+    if class_col not in df.columns:
+        raise ValueError(f"class column {class_col!r} not in DataFrame")
+    stats = df.agg(
+        F.countDistinct(class_col).alias("k"),
+        F.sum(F.col(class_col).isNull().cast("long")).alias("nulls"),
+    ).collect()[0]
+    if stats["nulls"]:
+        raise ValueError(f"{stats['nulls']} null labels in {class_col!r}")
+    if stats["k"] < 2:
+        raise ValueError(f"need >=2 classes in {class_col!r}, found {stats['k']}")
+
+
+def stratified_split_column(
+    df: DataFrame,
+    class_col: str,
+    pk_col: str,
+    train_size: float = 0.8,
+    split_col: str = "split",
+) -> DataFrame:
+    """T1 (deterministic form): add a 'train'/'test' column preserving class
+    ratios exactly. percent_rank within each class over the hashed PK gives
+    exact per-class fractions — sklearn ``stratify=y`` semantics — and is
+    deterministic for any partitioning/cluster size."""
+    _validate_stratify(df, class_col, train_size)
+    w = Window.partitionBy(class_col).orderBy(deterministic_key(pk_col), F.col(pk_col))
+    return df.withColumn(
+        split_col,
+        F.when(F.percent_rank().over(w) < F.lit(train_size), F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def stratified_split(
+    df: DataFrame, class_col: str, pk_col: str, train_size: float = 0.8
+) -> tuple[DataFrame, DataFrame]:
+    """T1: materialized (train, test) pair."""
+    tagged = stratified_split_column(df, class_col, pk_col, train_size)
+    return (
+        tagged.filter(F.col("split") == "train").drop("split"),
+        tagged.filter(F.col("split") == "test").drop("split"),
+    )
+
+
+def stratified_split_random(
+    df: DataFrame, class_col: str, train_size: float = 0.8, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """T1 (seeded-random form): same exact-fraction window construction but
+    ordered by rand(seed) — for when callers don't have a stable PK."""
+    w = Window.partitionBy(class_col).orderBy(F.rand(seed))
+    tagged = df.withColumn("__pr", F.percent_rank().over(w))
+    return (
+        tagged.filter(F.col("__pr") < train_size).drop("__pr"),
+        tagged.filter(F.col("__pr") >= train_size).drop("__pr"),
+    )
+
+
+def time_split(
+    df: DataFrame, ts_col: str, cutoff
+) -> tuple[DataFrame, DataFrame]:
+    """T2: rows < cutoff → train, >= cutoff → test. Validation aggregations
+    mirror prep.py:249-274; the filters push down to the parquet scan
+    (row-group pruning), so at 100 TB each side reads only its time range."""
+    if dict(df.dtypes).get(ts_col) not in ("timestamp", "date", "timestamp_ntz"):
+        raise ValueError(f"{ts_col!r} is not a timestamp/date column")
+    stats = df.agg(
+        F.min(ts_col).alias("lo"),
+        F.max(ts_col).alias("hi"),
+        F.sum(F.col(ts_col).isNull().cast("long")).alias("nulls"),
+    ).collect()[0]
+    if stats["nulls"]:
+        raise ValueError(f"{stats['nulls']} null timestamps in {ts_col!r}")
+    cutoff_lit = F.lit(cutoff).cast("timestamp")
+    if not (stats["lo"] is not None and str(stats["lo"]) <= str(cutoff) <= str(stats["hi"])):
+        raise ValueError(f"cutoff {cutoff} outside [{stats['lo']}, {stats['hi']}]")
+    return df.filter(F.col(ts_col) < cutoff_lit), df.filter(F.col(ts_col) >= cutoff_lit)
+
+
+def check_no_overlap(left: DataFrame, right: DataFrame, pk_cols: Sequence[str]) -> int:
+    """J2: PK overlap between two splits as a left-semi join count. Raise-free;
+    callers assert == 0. Broadcast kicks in automatically when one side is
+    small; otherwise a shuffled semi-join — never a full materialized join."""
+    return left.join(right, on=list(pk_cols), how="left_semi").count()
+
+
+def validate_disjoint(splits: dict[str, DataFrame], pk_cols: Sequence[str]) -> None:
+    """T3's disjointness discipline over any number of splits."""
+    names = list(splits)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            n = check_no_overlap(splits[a], splits[b], pk_cols)
+            if n:
+                raise ValueError(f"splits {a!r} and {b!r} overlap on {n} keys")
+
+
+def class_distribution(df: DataFrame, class_col: str) -> DataFrame:
+    """A1: per-class count + share of total, via a window sum (no second scan)."""
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        class_col,
+        "n",
+        (F.col("n") / F.sum("n").over(total)).alias("fraction"),
+    ).orderBy(class_col)
+
+
+def train_valid_calib_test(
+    df: DataFrame,
+    class_col: str,
+    pk_col: str,
+    train_size: float = 0.8,
+    valid_size: float = 0.8,
+    calib_size: float = 0.8,
+) -> dict[str, DataFrame]:
+    """T3+T5+T6: the reference's full 4-way carve — dev→(train,test), then
+    train→(train,valid), then train→(train,calib). Disjoint by construction;
+    each carve is the same single-window operator."""
+    train, test = stratified_split(df, class_col, pk_col, train_size)
+    train, valid = stratified_split(train, class_col, pk_col, valid_size)
+    train, calib = stratified_split(train, class_col, pk_col, calib_size)
+    return {"train": train, "validation": valid, "calibration": calib, "test": test}

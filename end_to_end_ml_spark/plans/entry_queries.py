@@ -1,0 +1,559 @@
+"""Registry of (Spark query, DuckDB oracle SQL) pairs — the driver's
+correctness surface (CORRECTNESS_r{N}.json) and the engine's demo queries.
+
+Cross-engine determinism rules used throughout (see SURVEY.md §2.4 notes):
+- money/measure aggregates are summed as DECIMAL (exact, order-independent)
+  and presented as DOUBLE;
+- all other aggregates are integer counts, or single IEEE divisions of
+  exact integers — bit-identical on any engine;
+- synthetic labels/scores derive from ``event_id`` arithmetic with scores as
+  exact multiples of 1/1024, so score sums/bins are exact in double;
+- every ordering that feeds row_number/ntile carries a PK tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import metrics as M
+from ..operators import pit, prep, split
+from ..plans import relational as R
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# synthetic scored frame: deterministic label/score from the events table
+# ---------------------------------------------------------------------------
+
+SCORED_SQL = (
+    "SELECT event_id, "
+    "CASE WHEN event_id % 7 < 3 THEN 1 ELSE 0 END AS label, "
+    "((event_id * 37) % 1024) / 1024.0 AS score "
+    "FROM events"
+)
+
+
+def scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 < 3, 1).otherwise(0).alias("label"),
+        (((F.col("event_id") * 37) % 1024) / F.lit(1024.0)).alias("score"),
+    )
+
+
+def _scored_with_pred(spark, sf_dir):
+    return M.apply_threshold(scored_events(spark, sf_dir), "score", 0.5)
+
+
+PRED_SQL = (
+    "SELECT *, CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS prediction "
+    f"FROM ({SCORED_SQL})"
+)
+
+DEC_MONEY = "decimal(18,4)"
+DEC_PCT = "decimal(8,4)"
+
+# ---------------------------------------------------------------------------
+# relational / TPC-H-style
+# ---------------------------------------------------------------------------
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4)) * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q5_SQL = """
+SELECT r_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice, CAST(price_rank AS BIGINT) AS price_rank
+FROM (SELECT p_partkey, p_name, p_retailprice,
+             rank() OVER (ORDER BY p_retailprice DESC) AS price_rank
+      FROM part)
+WHERE price_rank <= 10
+ORDER BY price_rank, p_partkey
+"""
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+LATEST_ORDER_SQL = """
+SELECT * FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY o_custkey
+"""
+
+# ---------------------------------------------------------------------------
+# prep / split / pit
+# ---------------------------------------------------------------------------
+
+
+def p_clean_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = prep.normalize_missing_tokens(
+        prep.blanks_to_null(docs, ["lang", "source"]), ["lang", "source"]
+    )
+    return cleaned.select("doc_id", "lang", "source")
+
+
+_TOKENS = "'', '<NA>', 'null', '?', 'N/A', 'NAN', 'nan'"
+
+CLEAN_DOCS_SQL = f"""
+SELECT doc_id,
+  CASE WHEN regexp_matches(COALESCE(lang, 'x'), '^\\s*$') THEN NULL
+       WHEN lang IN ({_TOKENS}) THEN NULL ELSE lang END AS lang,
+  CASE WHEN regexp_matches(COALESCE(source, 'x'), '^\\s*$') THEN NULL
+       WHEN source IN ({_TOKENS}) THEN NULL ELSE source END AS source
+FROM documents
+"""
+
+
+def p_null_audit(spark, sf_dir):
+    return prep.null_fraction_audit(load_table(spark, sf_dir, "documents"))
+
+
+NULL_AUDIT_SQL = """
+WITH n AS (SELECT count(*) AS total FROM documents)
+SELECT column_name, null_count / total AS null_fraction
+FROM (
+  SELECT 'doc_id' AS column_name, sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_count FROM documents
+  UNION ALL SELECT 'text', sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) FROM documents
+  UNION ALL SELECT 'lang', sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) FROM documents
+  UNION ALL SELECT 'source', sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) FROM documents
+  UNION ALL SELECT 'n_chars', sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) FROM documents
+), n
+ORDER BY null_fraction DESC, column_name
+"""
+
+
+def p_dup_check(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    distinct_rows = li.distinct().agg(F.count(F.lit(1)).alias("distinct_rows"))
+    pk_dupes = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("pk_dupes"))
+    )
+    return (
+        total.crossJoin(distinct_rows)
+        .crossJoin(pk_dupes)
+        .select(
+            (F.col("total") - F.col("distinct_rows")).alias("row_dupes"),
+            "pk_dupes",
+        )
+    )
+
+
+DUP_CHECK_SQL = """
+SELECT
+  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem)) AS row_dupes,
+  (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT)
+   FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) WHERE c > 1) AS pk_dupes
+"""
+
+
+def p_recode_status(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    recoded = prep.recode_values(
+        orders, "o_orderstatus", {"O": "Open", "F": "Finalized", "P": "Pending"}
+    )
+    return (
+        recoded.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+RECODE_SQL = """
+SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finalized'
+            WHEN 'P' THEN 'Pending' ELSE o_orderstatus END AS o_orderstatus,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+_SPLIT_CTE = """
+SELECT o_orderkey, o_orderstatus,
+  CASE WHEN percent_rank() OVER (
+         PARTITION BY o_orderstatus
+         ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey) < 0.8
+       THEN 'train' ELSE 'test' END AS split
+FROM orders
+"""
+
+
+def t1_stratified_split(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = split.stratified_split_column(orders, "o_orderstatus", "o_orderkey", 0.8)
+    return (
+        tagged.groupBy("o_orderstatus", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus", "split")
+    )
+
+
+T1_SQL = f"""
+WITH t AS ({_SPLIT_CTE})
+SELECT o_orderstatus, split, count(*) AS n FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def t1_overlap(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    train, test = split.stratified_split(orders, "o_orderstatus", "o_orderkey", 0.8)
+    overlap = train.select("o_orderkey").join(
+        test.select("o_orderkey"), "o_orderkey", "left_semi"
+    )
+    return overlap.agg(F.count(F.lit(1)).alias("overlap"))
+
+
+T1_OVERLAP_SQL = f"""
+WITH t AS ({_SPLIT_CTE})
+SELECT count(*) AS overlap
+FROM (SELECT o_orderkey FROM t WHERE split = 'train')
+JOIN (SELECT o_orderkey FROM t WHERE split = 'test') USING (o_orderkey)
+"""
+
+_CUTOFF = "2024-01-16 00:00:00"
+
+
+def t2_time_split(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    train, test = split.time_split(ev, "ts", _CUTOFF)
+    return train.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("train").alias("split"), "n"
+    ).unionByName(
+        test.agg(F.count(F.lit(1)).alias("n")).select(F.lit("test").alias("split"), "n")
+    )
+
+
+T2_SQL = f"""
+SELECT 'train' AS split, count(*) AS n FROM events WHERE ts < TIMESTAMP '{_CUTOFF}'
+UNION ALL
+SELECT 'test' AS split, count(*) AS n FROM events WHERE ts >= TIMESTAMP '{_CUTOFF}'
+"""
+
+
+def s3_pit_join(spark, sf_dir):
+    """Feast-style PIT retrieval recast on the events table: for each
+    purchase (entity), the latest click by the same user within a 1-day TTL."""
+    ev = load_table(spark, sf_dir, "events")
+    entities = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    features = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return pit.as_of_join(
+        entities,
+        features,
+        keys=["user_id"],
+        entity_ts="purchase_ts",
+        feature_ts="click_ts",
+        ttl_seconds=86400,
+    ).orderBy("purchase_id")
+
+
+PIT_SQL = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id AS click_id, ts AS click_ts, value AS click_value
+           FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts, c.click_value
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.click_ts <= p.purchase_ts
+ AND c.click_ts >= p.purchase_ts - INTERVAL 86400 SECONDS
+QUALIFY row_number() OVER (PARTITION BY p.purchase_id
+                           ORDER BY c.click_ts DESC, c.click_id DESC, c.click_value DESC) = 1
+ORDER BY p.purchase_id
+"""
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+
+def m_confusion(spark, sf_dir):
+    return M.confusion_matrix(_scored_with_pred(spark, sf_dir), "label", "prediction")
+
+
+CONFUSION_SQL = f"""
+SELECT label, prediction, count(*) AS n,
+       count(*) / CAST(sum(count(*)) OVER (PARTITION BY label) AS BIGINT) AS row_fraction
+FROM ({PRED_SQL})
+GROUP BY label, prediction
+ORDER BY label, prediction
+"""
+
+
+def m_binary_metrics(spark, sf_dir):
+    return M.binary_metrics(_scored_with_pred(spark, sf_dir), "label", "prediction", beta=0.5)
+
+
+BINARY_METRICS_SQL = f"""
+WITH c AS (
+  SELECT
+    CAST(sum(CASE WHEN label = 1 AND prediction = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN label = 0 AND prediction = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN label = 1 AND prediction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN label = 0 AND prediction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM ({PRED_SQL})
+)
+SELECT tp, fp, fn, tn,
+  (tp + tn) / (tp + fp + fn + tn) AS accuracy,
+  tp / (tp + fp) AS precision,
+  tp / (tp + fn) AS recall,
+  2 * tp / (2 * tp + fp + fn) AS f1,
+  1.25 * tp / (1.25 * tp + 0.25 * fn + fp) AS fbeta
+FROM c
+"""
+
+
+def m_roc_auc(spark, sf_dir):
+    return M.roc_auc(scored_events(spark, sf_dir), "label", "score")
+
+
+ROC_AUC_SQL = f"""
+WITH ranked AS (
+  SELECT label AS y, score AS s, row_number() OVER (ORDER BY score) AS rn
+  FROM ({SCORED_SQL})
+), r2 AS (
+  SELECT y, avg(rn) OVER (PARTITION BY s) AS rank FROM ranked
+)
+SELECT (sum(CASE WHEN y = 1 THEN rank END)
+        - CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          * (CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) + 1) / 2)
+       / (CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          * CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)) AS roc_auc
+FROM r2
+"""
+
+
+def m_ece_bins(spark, sf_dir):
+    return M.ece_bins(scored_events(spark, sf_dir), "label", "score", n_bins=10)
+
+
+ECE_SQL = f"""
+SELECT LEAST(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+       count(*) AS n,
+       avg(CAST(label AS DOUBLE)) AS avg_label,
+       avg(score) AS avg_confidence
+FROM ({SCORED_SQL})
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def m_lift_gains(spark, sf_dir):
+    return M.lift_gains(scored_events(spark, sf_dir), "label", "score", "event_id")
+
+
+LIFT_SQL = f"""
+WITH tiled AS (
+  SELECT label AS y,
+         CAST(ntile(10) OVER (ORDER BY score DESC, event_id) AS INTEGER) AS decile
+  FROM ({SCORED_SQL})
+), per AS (
+  SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM tiled GROUP BY decile
+)
+SELECT decile, n, pos,
+  CAST(sum(pos) OVER w AS BIGINT) / CAST(sum(pos) OVER () AS BIGINT) AS cum_gain,
+  (CAST(sum(pos) OVER w AS BIGINT) / CAST(sum(pos) OVER () AS BIGINT))
+    / (CAST(sum(n) OVER w AS BIGINT) / CAST(sum(n) OVER () AS BIGINT)) AS lift
+FROM per
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY decile
+"""
+
+
+def m_roc_curve(spark, sf_dir):
+    return M.roc_curve(scored_events(spark, sf_dir), "label", "score")
+
+
+ROC_CURVE_SQL = f"""
+WITH by_s AS (
+  SELECT score AS threshold,
+         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM ({SCORED_SQL}) GROUP BY score
+)
+SELECT threshold,
+  CAST(sum(pos) OVER w AS BIGINT) AS cum_tp,
+  CAST(sum(neg) OVER w AS BIGINT) AS cum_fp,
+  CAST(sum(pos) OVER w AS BIGINT) / CAST(sum(pos) OVER () AS BIGINT) AS tpr,
+  CAST(sum(neg) OVER w AS BIGINT) / CAST(sum(neg) OVER () AS BIGINT) AS fpr
+FROM by_s
+WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY threshold DESC
+"""
+
+
+def m_threshold_sweep(spark, sf_dir):
+    return M.threshold_sweep(scored_events(spark, sf_dir), "label", "score", beta=0.5)
+
+
+SWEEP_SQL = f"""
+WITH by_s AS (
+  SELECT score AS s,
+         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM ({SCORED_SQL}) GROUP BY score
+), th AS (SELECT i / 100 AS threshold FROM range(1, 100) t(i)),
+agg AS (
+  SELECT threshold,
+    CAST(sum(CASE WHEN s >= threshold THEN pos ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN s >= threshold THEN neg ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN s < threshold THEN pos ELSE 0 END) AS BIGINT) AS fn
+  FROM th CROSS JOIN by_s GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn,
+  1.25 * tp / (1.25 * tp + 0.25 * fn + fp) AS fbeta
+FROM agg ORDER BY threshold
+"""
+
+
+def a1_class_distribution(spark, sf_dir):
+    return split.class_distribution(load_table(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+CLASS_DIST_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       count(*) / CAST(sum(count(*)) OVER () AS BIGINT) AS fraction
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def a14_variance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return M.column_variance(li, ["l_discount", "l_quantity", "l_tax"])
+
+
+def _var_sql(col: str) -> str:
+    d = f"CAST({col} AS DECIMAL(18,4))"
+    return (
+        f"SELECT '{col}' AS column_name, "
+        f"(CAST(sum({d} * {d}) AS DOUBLE) - CAST(sum({d}) AS DOUBLE) * CAST(sum({d}) AS DOUBLE) / CAST(count(*) AS DOUBLE)) "
+        f"/ (CAST(count(*) AS DOUBLE) - 1.0) AS variance FROM lineitem"
+    )
+
+
+VARIANCE_SQL = (
+    _var_sql("l_discount")
+    + " UNION ALL "
+    + _var_sql("l_quantity")
+    + " UNION ALL "
+    + _var_sql("l_tax")
+    + " ORDER BY column_name"
+)
+
+# ---------------------------------------------------------------------------
+# windows over event time (streaming-compatible tumbling window, batch form)
+# ---------------------------------------------------------------------------
+
+
+def e_hourly_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_callable, oracle_sql or None)
+REGISTRY: dict = {
+    "q1_pricing_summary": (R.q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (R.q3_top_unshipped_orders, Q3_SQL),
+    "q4_order_priority": (R.q4_order_priority, Q4_SQL),
+    "q5_supplier_volume": (R.q5_supplier_volume, Q5_SQL),
+    "w1_top_parts": (R.top_parts_by_price, TOP_PARTS_SQL),
+    "w4_running_total": (R.customer_running_totals, RUNNING_TOTAL_SQL),
+    "p6_latest_order_per_customer": (R.latest_order_per_customer, LATEST_ORDER_SQL),
+    "p3_p4_clean_documents": (p_clean_documents, CLEAN_DOCS_SQL),
+    "p8_null_audit": (p_null_audit, NULL_AUDIT_SQL),
+    "p5_dup_check": (p_dup_check, DUP_CHECK_SQL),
+    "p9_recode_status": (p_recode_status, RECODE_SQL),
+    "t1_stratified_split": (t1_stratified_split, T1_SQL),
+    "j2_split_overlap": (t1_overlap, T1_OVERLAP_SQL),
+    "t2_time_split": (t2_time_split, T2_SQL),
+    "s3_pit_join": (s3_pit_join, PIT_SQL),
+    "a4_confusion_matrix": (m_confusion, CONFUSION_SQL),
+    "a5_binary_metrics": (m_binary_metrics, BINARY_METRICS_SQL),
+    "a6_roc_auc": (m_roc_auc, ROC_AUC_SQL),
+    "a9_ece_bins": (m_ece_bins, ECE_SQL),
+    "a13_lift_gains": (m_lift_gains, LIFT_SQL),
+    "a12_roc_curve": (m_roc_curve, ROC_CURVE_SQL),
+    "m8_threshold_sweep": (m_threshold_sweep, SWEEP_SQL),
+    "a1_class_distribution": (a1_class_distribution, CLASS_DIST_SQL),
+    "a14_feature_variance": (a14_variance, VARIANCE_SQL),
+    "st_hourly_window": (e_hourly_window, HOURLY_SQL),
+}

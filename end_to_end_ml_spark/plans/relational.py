@@ -1,0 +1,151 @@
+"""Composed relational plans over the synthetic star schema — the engine's
+general query surface (scan → filter → join → aggregate → window → top-k),
+exercising the operators the reference uses implicitly (projection pushdown,
+equi/semi joins, groupBy aggregation, ranking).
+
+Determinism for oracle checks: monetary aggregates are summed as DECIMAL
+(exact, order-independent — a float sum's value depends on partition merge
+order) and presented as DOUBLE. This matches how TPC-H itself specifies
+money columns and makes results bit-identical across engines.
+
+Scale notes:
+- Dimension joins (region/nation/supplier/customer vs lineitem) are
+  broadcast: the small side is < spark.sql.autoBroadcastJoinThreshold at any
+  SF since dims grow far slower than facts. No shuffle of the fact table for
+  q3/q5-style plans beyond the required agg shuffle.
+- Aggregations rely on partial (map-side) aggregation; group key cardinality
+  is tiny vs input, so the reduce shuffle is negligible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+DEC = "decimal(20,4)"
+
+
+def q1_pricing_summary(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (scan + 8-agg groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    qty = F.col("l_quantity").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_unshipped_orders(spark, sf_dir: str, segment: str = "BUILDING", k: int = 10) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + revenue agg + top-k. Customer filter is a
+    broadcast semi-side; lineitem shuffles once on l_orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    revenue = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            F.broadcast(
+                orders.filter(F.col("o_orderdate") < cutoff).join(
+                    F.broadcast(cust), orders.o_custkey == cust.c_custkey
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(k)
+    )
+
+
+def q4_order_priority(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS → left-semi join, then priority counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q5_supplier_volume(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: fact table joined to a fully-broadcast dimension chain
+    (supplier→nation→region), revenue per nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    revenue = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def top_parts_by_price(spark, sf_dir: str, k: int = 10) -> DataFrame:
+    """W1: top-k with keep-all tie semantics (rank() <= k, like
+    Series.nlargest(keep='all'))."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.col("p_retailprice").desc())
+    return (
+        part.withColumn("price_rank", F.rank().over(w))
+        .filter(F.col("price_rank") <= k)
+        .select("p_partkey", "p_name", "p_retailprice", "price_rank")
+        .orderBy("price_rank", "p_partkey")
+    )
+
+
+def customer_running_totals(spark, sf_dir: str) -> DataFrame:
+    """W4-style running sums: per-customer cumulative order value over time.
+    Deterministic order (date, then PK); decimal running sum is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+def latest_order_per_customer(spark, sf_dir: str) -> DataFrame:
+    """P6 applied to the star schema: keep-last dedup of orders by customer
+    (latest o_orderdate, PK tie-break)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("o_custkey")
+    )

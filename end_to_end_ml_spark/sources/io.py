@@ -1,0 +1,65 @@
+"""Sources & sinks (reference S1/S2/S5/S6: parquet scan+sink, JSON ingest,
+CSV sink — src/feature/generate_initial_data.py:57,126-129;
+src/inference/api_server.py:150-158).
+
+Spark-first: ``spark.read.parquet`` gives columnar scan with predicate
+pushdown + column pruning from Catalyst; nothing manual to do. Writers default
+to overwrite-mode parquet, matching the reference's ``to_parquet`` semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table (parquet). Catalyst pushes filters/projections into
+    the scan, so callers should chain ``.select``/``.filter`` lazily.
+
+    TIMESTAMP(NANOS) parquet columns (the ``events.ts`` column) aren't a
+    Spark SQL type: read them as raw nanosecond longs and convert to
+    microsecond timestamps (exact for this data; same truncation DuckDB
+    applies when casting ns → its µs-native TIMESTAMP)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Parquet sink (reference S2). ``partition_by`` enables partition pruning
+    for downstream time/key-filtered scans at scale."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def ingest_json_records(spark: SparkSession, records, schema) -> DataFrame:
+    """JSON record ingest for serving (reference S5,
+    src/inference/api_server.py:150-158): dict or list[dict] → DataFrame with
+    an explicit schema (never inferred — serving schemas are contracts)."""
+    if isinstance(records, dict):
+        records = [records]
+    return spark.createDataFrame(records, schema=schema)
