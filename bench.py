@@ -1,0 +1,94 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect of big results). Times are per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from end_to_end_ml_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline queries: the flagship relational plans + the metric queries that
+# represent each operator family (agg, join, window, as-of, sweep, text).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q4_order_priority",
+    "q5_supplier_volume",
+    "w4_running_total",
+    "p6_latest_order_per_customer",
+    "t1_stratified_split",
+    "s3_pit_join",
+    "a6_roc_auc",
+    "a12_roc_curve",
+    "a13_lift_gains",
+    "m8_threshold_sweep",
+    "st_hourly_window",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(
+        "bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={
+            # small-SF local files: split finer so the scan uses all cores
+            # (on a real cluster the file count provides this for free)
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
+    from end_to_end_ml_spark.plans.entry_queries import REGISTRY
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # untimed warmup: JVM codegen + parquet footers + OS page cache
+    from end_to_end_ml_spark.sources import load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "customer", "events"):
+        load_table(spark, SF_DIR, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name][0]
+        best = float("inf")
+        for _ in range(2):  # min of 2: steady-state, codegen amortized
+            t0 = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
