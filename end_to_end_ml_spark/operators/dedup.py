@@ -1,0 +1,288 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's PK dedup (P5/P6, src/feature/utils/prep.py:447-498),
+these are the engine's LLM-data extensions: exact, MinHash+LSH, SimHash, and
+n-gram Jaccard near-dup detection — all pure DataFrame compositions.
+
+Scale design (100 TB corpora):
+- exact: one hash-groupBy on the content key (map-side partial agg).
+- MinHash+LSH: per-row signature (narrow), explode to b band keys (b ~ 8-16),
+  shuffle on band key only — candidate generation never cross-joins the
+  corpus. Verification joins shingle sets only for candidate pairs.
+- SimHash: per-row 64-bit fingerprint via one explode + groupBy (sum per bit),
+  banding on 16-bit chunks for candidates, popcount(xor) verification.
+- n-gram Jaccard: exact verification primitive used by the LSH paths; also
+  usable standalone with a cheap blocking key (lang + length band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (keeper id, copies). At scale,
+    group by a 128-bit content hash instead of the raw text to keep shuffle
+    rows small — md5 collision risk is negligible and the hash is cheap."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest-id document per distinct text (deterministic)."""
+    keepers = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keepers, on=[text_col, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text_col, n: int = 3):
+    """Distinct character n-grams as an array column (JVM-side: sequence +
+    transform + substring; no Python UDF)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(text_col, n: int = 2):
+    """Distinct word n-grams (space-joined) from whitespace tokens."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(t), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def jaccard(a_col, b_col):
+    """Exact Jaccard similarity of two array columns (single division of
+    exact integers — engine-independent)."""
+    inter = F.size(F.array_intersect(a_col, b_col))
+    union = F.size(F.array_union(a_col, b_col))
+    return inter / union
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (blocked exact)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: tuple = (),
+    length_band: int | None = 50,
+) -> DataFrame:
+    """All pairs with character-n-gram Jaccard >= threshold, blocked by
+    ``block_cols`` (e.g. language) and a length band to avoid the full
+    cross-join. Output: (id_a, id_b, jaccard_sim), id_a < id_b."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        char_shingles(text_col, n).alias("sh"),
+        F.length(text_col).alias("len"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+        F.col("sh").alias("sh_a"),
+        F.col("len").alias("len_a"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        F.col("sh").alias("sh_b"),
+        F.col("len").alias("len_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    if length_band is not None:
+        cond = cond & (F.abs(F.col("len_a") - F.col("len_b")) <= length_band)
+    pairs = a.join(b, on=cond)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
+    """num_hashes-wide MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle, seed+i). All JVM-side array lambdas."""
+    return F.transform(
+        F.sequence(F.lit(seed), F.lit(seed + num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: split the signature into
+    ``bands`` bands of r=num_hashes/bands rows; docs sharing any band hash
+    are candidates. One explode (b rows/doc) + one groupBy — no cross-join.
+    Output: distinct (id_a, id_b), id_a < id_b."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(char_shingles(text_col, shingle_size), num_hashes, seed).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), j * r + 1, r)), j
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: candidates from banding, verified with
+    exact n-gram Jaccard (shingles joined back only for candidates)."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_size, num_hashes, bands, seed
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), char_shingles(text_col, shingle_size).alias("sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: tokens → xxhash64 → per-bit signed sums
+    → sign bits reassembled. One explode + one groupBy (bits aggregations,
+    map-side combined); no UDFs."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4×16-bit
+    chunks (any pair within hamming<=3 shares at least one chunk exactly —
+    pigeonhole), join on chunks, verify with popcount(xor)."""
+    fps = simhash(df, id_col, text_col)
+    chunked = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.shiftright(F.col("simhash"), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.val")
+    left = chunked.select("chunk", "val", F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    right = chunked.select("chunk", "val", F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    return (
+        left.join(right, on=["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

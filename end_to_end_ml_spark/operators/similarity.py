@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The dot products run as JVM
+  array expressions (zip_with + aggregate in double) — no Python, no UDF.
+  Quadratic in candidates, so it is the *verification* path and the
+  small-query-set path.
+- ``lsh_topk``: the scale path — random-hyperplane (sign) LSH buckets with
+  multi-probe via banding; only vectors sharing a bucket are compared.
+  Hyperplanes are derived deterministically from a seed so results are
+  reproducible across runs/cluster sizes.
+
+At 100 TB the LSH path shuffles each vector to b band buckets (b ~ 8), never
+cross-joins, and the final per-query top-k is a bounded window.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
+    return df.withColumn(out_col, _norm(F.col(vec_col)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_df: DataFrame | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector (queries default to the
+    whole table; self-matches excluded). Output: (query_id, neighbor_id,
+    cosine_sim) with deterministic tie-break on neighbor id."""
+    base = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).withColumn(
+        "nnorm", _norm(F.col("nvec"))
+    )
+    q = (query_df or df).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).withColumn("qnorm", _norm(F.col("qvec")))
+    sim = _dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = q.join(base, F.col("qid") != F.col("nid")).select(
+        "qid", "nid", sim.alias("cosine_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine_sim",
+        )
+        .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes via a splitmix-style
+    integer generator (no numpy state, reproducible anywhere)."""
+    planes = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            u = z / 2**64  # uniform [0,1)
+            row.append(math.sqrt(-2 * math.log(u + 1e-18)) * math.cos(2 * math.pi * u))
+        planes.append(row)
+    return planes
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: sign-LSH signature (n_planes bits), banded
+    into ``bands`` bucket keys; candidates share any band bucket; exact
+    cosine re-rank within candidates. Recall improves with bands; cost is
+    O(avg bucket size), not O(N²)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    r = n_planes // bands
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "sig",
+        F.transform(plane_arr, lambda p: (_dot(p, F.col("vec")) >= 0).cast("int")),
+    )
+    banded = base.select(
+        "id",
+        "vec",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.concat_ws("", F.slice(F.col("sig"), j * r + 1, r)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+    left = banded.select("band", "bucket", F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    right = banded.select("band", "bucket", F.col("id").alias("nid"), F.col("vec").alias("nvec"))
+    cands = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "qvec", "nid", "nvec")
+        .distinct()
+    )
+    sim = F.round(
+        _dot(F.col("qvec"), F.col("nvec")) / (_norm(F.col("qvec")) * _norm(F.col("nvec"))), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("nid"))
+    return (
+        cands.select("qid", "nid", sim.alias("cosine_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine_sim",
+        )
+        .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+    )

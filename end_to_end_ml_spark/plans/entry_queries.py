@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import metrics as M
-from ..operators import pit, prep, split
+from ..operators import dedup, multimodal, pit, prep, similarity, split, text
 from ..plans import relational as R
 from ..sources import load_table
 
@@ -526,6 +526,185 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# dedup / text analysis / similarity / multimodal (LLM-data extensions)
+# ---------------------------------------------------------------------------
+
+
+def d_exact_dup_groups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicate_groups(docs, "text", "doc_id")
+
+
+EXACT_DUP_SQL = """
+SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keeper_id
+"""
+
+_SHINGLE_SQL = (
+    "list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text)-2, 1)+1)])"
+)
+
+
+def d_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, block_cols=("lang",), length_band=50
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang, length(text) AS len, {_SHINGLE_SQL} AS s FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard_sim
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 50
+WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+def d_minhash_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.6)
+
+
+def d_simhash_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def x_token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs, "doc_id", "text")
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def x_quality_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_scores(docs, "doc_id", "text")
+
+
+_EN_STOP = "['the','and','of','to','a','in','is','that','it','for']"
+
+QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    regexp_split_to_array(trim(text), '\s+') AS toks,
+    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+  FROM documents
+)
+SELECT doc_id, n_chars,
+  CAST(len(toks) AS BIGINT) AS n_words,
+  n_punct / n_chars AS punct_ratio,
+  n_alpha / n_chars AS alpha_ratio,
+  (n_chars - (CAST(len(toks) AS BIGINT) - 1)) / CAST(len(toks) AS BIGINT) AS mean_word_len,
+  CAST(len(list_filter(toks, x -> list_contains({_EN_STOP}, lower(x)))) AS BIGINT)
+    / CAST(len(toks) AS BIGINT) AS stopword_ratio
+FROM base
+"""
+
+
+def x_language_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs, "doc_id", "text")
+
+
+_STOP_SQL = {
+    "de": "['der','die','und','das','in','von','zu','mit','ist','den']",
+    "en": "['the','and','of','to','a','in','is','that','it','for']",
+    "es": "['el','la','de','que','y','en','un','es','no','por']",
+    "fr": "['le','la','de','et','les','des','en','un','une','que']",
+}
+
+LANG_ID_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_distinct(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))) AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(t, {de})) AS INTEGER) AS score_de,
+    CAST(len(list_intersect(t, {en})) AS INTEGER) AS score_en,
+    CAST(len(list_intersect(t, {es})) AS INTEGER) AS score_es,
+    CAST(len(list_intersect(t, {fr})) AS INTEGER) AS score_fr
+  FROM toks
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+       ELSE 'fr' END AS predicted_lang
+FROM scored
+""".format(**_STOP_SQL)
+
+
+def x_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def mm_payload_metadata(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs, "text")
+    return multimodal.payload_metadata(payloads, "doc_id", "payload")
+
+
+PAYLOAD_META_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, 'unknown' AS format,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def sim_topk_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, "vec_id", "embedding", k=5)
+
+
+SIM_TOPK_SQL = """
+WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (x, y) -> x + y)) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM n a JOIN n b ON a.vec_id != b.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) <= 5
+ORDER BY query_id, cosine_sim DESC, neighbor_id
+"""
+
+
+def sim_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, "vec_id", "embedding", k=5, dim=64)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -556,4 +735,16 @@ REGISTRY: dict = {
     "a1_class_distribution": (a1_class_distribution, CLASS_DIST_SQL),
     "a14_feature_variance": (a14_variance, VARIANCE_SQL),
     "st_hourly_window": (e_hourly_window, HOURLY_SQL),
+    # LLM-data-pipeline extensions
+    "d1_exact_dup_groups": (d_exact_dup_groups, EXACT_DUP_SQL),
+    "d2_ngram_jaccard_pairs": (d_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "d3_minhash_lsh_pairs": (d_minhash_pairs, None),  # xxhash64: no SQL oracle
+    "d4_simhash_pairs": (d_simhash_pairs, None),  # xxhash64: no SQL oracle
+    "x1_token_counts": (x_token_counts, TOKEN_COUNTS_SQL),
+    "x2_quality_scores": (x_quality_scores, QUALITY_SQL),
+    "x3_language_id": (x_language_id, LANG_ID_SQL),
+    "x4_fingerprint": (x_fingerprint, FINGERPRINT_SQL),
+    "mm1_payload_metadata": (mm_payload_metadata, PAYLOAD_META_SQL),
+    "sim1_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
+    "sim2_lsh_topk": (sim_lsh_topk, None),  # approximate: verified by recall test
 }
