@@ -114,14 +114,18 @@ def enforce_types(
     date_format: str = "yyyy-MM-dd",
     datetime_format: str = "yyyy-MM-dd HH:mm:ss",
 ) -> DataFrame:
-    """P7: the cast stage. ``to_timestamp`` returns NULL on parse failure,
-    matching pandas ``errors="coerce"``; numerics → float; everything else
-    configured categorical → string."""
+    """P7: the cast stage. ``try_to_timestamp`` returns NULL on parse failure
+    (ANSI-safe), matching pandas ``errors="coerce"``; numerics → float;
+    everything else configured categorical → string."""
     out = df
     for c in date_cols:
-        out = out.withColumn(c, F.to_timestamp(F.col(c).cast("string"), date_format))
+        out = out.withColumn(
+            c, F.try_to_timestamp(F.col(c).cast("string"), F.lit(date_format))
+        )
     for c in datetime_cols:
-        out = out.withColumn(c, F.to_timestamp(F.col(c).cast("string"), datetime_format))
+        out = out.withColumn(
+            c, F.try_to_timestamp(F.col(c).cast("string"), F.lit(datetime_format))
+        )
     for c in numeric_cols:
         out = out.withColumn(c, F.col(c).cast("float"))
     for c in categorical_cols:

@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_ml_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    yield s

@@ -1,0 +1,106 @@
+"""Dedup + text-analysis operator tests on crafted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.operators import dedup, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "el gato rapido y el perro que no es lento"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(spark, docs):
+    out = dedup.exact_duplicate_groups(docs, "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["keeper_id"] == 1 and out[0]["n_copies"] == 2
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs, "text", "doc_id").collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_jaccard_identical_is_one(spark, docs):
+    sh = docs.select(
+        "doc_id", dedup.char_shingles("text", 3).alias("sh")
+    )
+    a = sh.filter("doc_id = 1").select(F.col("sh").alias("a"))
+    b = sh.filter("doc_id = 2").select(F.col("sh").alias("b"))
+    sim = a.crossJoin(b).select(dedup.jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0]["j"]
+    assert sim == pytest.approx(1.0)
+
+
+def test_ngram_jaccard_pairs_finds_near_dup(spark, docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    out = dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_identical_zero_hamming(spark, docs):
+    out = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=0)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c",)], ["t"])
+    out = df.select(dedup.word_shingles("t", 2).alias("s")).collect()[0]["s"]
+    assert out == ["a b", "b c"]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, 42 times!")], ["doc_id", "text"])
+    r = text.token_counts(df, "doc_id", "text").collect()[0]
+    assert r["n_ws_tokens"] == 4
+    # hello | world | , | 42 | times | !
+    assert r["n_bpe_tokens"] == 6
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame([(1, "abc de!")], ["doc_id", "text"])
+    r = text.quality_scores(df, "doc_id", "text").collect()[0]
+    assert r["n_chars"] == 7 and r["n_words"] == 2
+    assert r["punct_ratio"] == pytest.approx(1 / 7)
+    assert r["alpha_ratio"] == pytest.approx(5 / 7)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "el gato y la casa de que un perro"),
+            (3, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "different")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df, "doc_id", "text").collect()}
+    assert out[1] == out[2] and out[1] != out[3]

@@ -1,0 +1,145 @@
+"""Metric-query tests against hand-computed + numpy oracles (the container
+has no sklearn; the reference's own oracle pattern — compare to a trusted
+computation — is applied with explicit formulas)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from end_to_end_ml_spark.functions import metrics as M
+
+# y_true, y_pred fixture: TP=3, FP=2, FN=1, TN=4
+PAIRS = [(1, 1)] * 3 + [(0, 1)] * 2 + [(1, 0)] * 1 + [(0, 0)] * 4
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rows = [(i, y, s) for i, (y, s) in enumerate(
+        [(1, 0.9), (1, 0.8), (0, 0.7), (1, 0.6), (0, 0.4), (0, 0.2)]
+    )]
+    return spark.createDataFrame(rows, ["pk", "y", "s"])
+
+
+def test_confusion_matrix(spark):
+    df = spark.createDataFrame(PAIRS, ["y", "p"])
+    out = {(r["label"], r["prediction"]): r["n"] for r in M.confusion_matrix(df, "y", "p").collect()}
+    assert out == {(1, 1): 3, (0, 1): 2, (1, 0): 1, (0, 0): 4}
+
+
+def test_confusion_row_fraction(spark):
+    df = spark.createDataFrame(PAIRS, ["y", "p"])
+    out = {(r["label"], r["prediction"]): r["row_fraction"] for r in M.confusion_matrix(df, "y", "p").collect()}
+    assert out[(1, 1)] == pytest.approx(0.75)
+    assert out[(0, 0)] == pytest.approx(4 / 6)
+
+
+def test_binary_metrics(spark):
+    df = spark.createDataFrame(PAIRS, ["y", "p"])
+    r = M.binary_metrics(df, "y", "p", beta=0.5).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 2, 1, 4)
+    assert r["accuracy"] == pytest.approx(0.7)
+    assert r["precision"] == pytest.approx(0.6)
+    assert r["recall"] == pytest.approx(0.75)
+    assert r["f1"] == pytest.approx(2 * 0.6 * 0.75 / 1.35)
+    b2 = 0.25
+    assert r["fbeta"] == pytest.approx((1 + b2) * 3 / ((1 + b2) * 3 + b2 * 1 + 2))
+
+
+def test_roc_auc_separable(spark):
+    df = spark.createDataFrame([(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], ["y", "s"])
+    assert M.roc_auc(df, "y", "s").collect()[0]["roc_auc"] == pytest.approx(1.0)
+
+
+def test_roc_auc_with_ties_matches_mannwhitney(spark):
+    rows = [(1, 0.5), (0, 0.5), (1, 0.7), (0, 0.3), (1, 0.3), (0, 0.7)]
+    df = spark.createDataFrame(rows, ["y", "s"])
+    y = np.array([r[0] for r in rows])
+    s = np.array([r[1] for r in rows])
+    # Mann-Whitney U with average ranks
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(len(s), dtype=float)
+    sorted_s = s[order]
+    i = 0
+    rk = 1
+    while i < len(s):
+        j = i
+        while j < len(s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        avg = (rk + rk + (j - i) - 1) / 2
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        rk += j - i
+        i = j
+    n_pos, n_neg = y.sum(), (1 - y).sum()
+    expected = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert M.roc_auc(df, "y", "s").collect()[0]["roc_auc"] == pytest.approx(expected)
+
+
+def test_apply_threshold(spark, scored):
+    out = M.apply_threshold(scored, "s", 0.6).collect()
+    assert [r["prediction"] for r in sorted(out, key=lambda r: r["pk"])] == [1, 1, 1, 1, 0, 0]
+
+
+def test_ece_bins_exact(spark):
+    df = spark.createDataFrame(
+        [(1, 0.95), (0, 0.95), (1, 0.05), (0, 0.05)], ["y", "s"]
+    )
+    rows = {r["bin"]: r for r in M.ece_bins(df, "y", "s", n_bins=10).collect()}
+    assert set(rows) == {0, 9}
+    assert rows[9]["avg_label"] == pytest.approx(0.5)
+    assert rows[9]["avg_confidence"] == pytest.approx(0.95)
+
+
+def test_expected_calibration_error(spark):
+    df = spark.createDataFrame([(1, 0.95), (0, 0.95), (1, 0.05), (0, 0.05)], ["y", "s"])
+    # both bins: |acc - conf| = |0.5-0.95|=0.45 and |0.5-0.05|=0.45, weights 1/2
+    assert M.expected_calibration_error(df, "y", "s") == pytest.approx(0.45)
+
+
+def test_roc_curve_monotone(spark, scored):
+    rows = M.roc_curve(scored, "y", "s").collect()
+    tprs = [r["tpr"] for r in rows]
+    fprs = [r["fpr"] for r in rows]
+    assert tprs == sorted(tprs) and fprs == sorted(fprs)
+    assert tprs[-1] == pytest.approx(1.0) and fprs[-1] == pytest.approx(1.0)
+
+
+def test_pr_curve_first_point(spark, scored):
+    rows = M.precision_recall_curve(scored, "y", "s").collect()
+    assert rows[0]["precision"] == pytest.approx(1.0)  # highest threshold: only TP
+
+
+def test_lift_gains(spark):
+    rows = [(i, 1 if i < 20 else 0, 1.0 - i / 100) for i in range(100)]
+    df = spark.createDataFrame(rows, ["pk", "y", "s"])
+    out = M.lift_gains(df, "y", "s", "pk", n_tiles=10).collect()
+    # all 20 positives have the top-20 scores → first two deciles capture all
+    assert out[0]["cum_gain"] == pytest.approx(0.5)
+    assert out[1]["cum_gain"] == pytest.approx(1.0)
+    assert out[0]["lift"] == pytest.approx(5.0)
+    assert out[-1]["cum_gain"] == pytest.approx(1.0)
+
+
+def test_threshold_sweep_and_best(spark):
+    df = spark.createDataFrame([(1, 0.9), (1, 0.7), (0, 0.3), (0, 0.1)], ["y", "s"])
+    rows = M.threshold_sweep(df, "y", "s", beta=1.0).collect()
+    assert len(rows) == 99
+    mid = [r for r in rows if abs(r["threshold"] - 0.5) < 1e-9][0]
+    assert mid["fbeta"] == pytest.approx(1.0)  # perfect separation at 0.5
+    assert 0.3 < M.best_threshold(df, "y", "s") <= 0.7
+
+
+def test_class_imbalance_ratio(spark):
+    df = spark.createDataFrame([(0,)] * 9 + [(1,)], ["y"])
+    assert M.class_imbalance_ratio(df, "y") == pytest.approx(9.0)
+
+
+def test_column_variance_matches_numpy(spark):
+    data = [(float(i), float(i * i % 7)) for i in range(30)]
+    df = spark.createDataFrame(data, ["a", "b"])
+    out = {r["column_name"]: r["variance"] for r in M.column_variance(df, ["a", "b"]).collect()}
+    a = np.array([d[0] for d in data])
+    b = np.array([d[1] for d in data])
+    assert out["a"] == pytest.approx(a.var(ddof=1), rel=1e-9)
+    assert out["b"] == pytest.approx(b.var(ddof=1), rel=1e-9)

@@ -1,0 +1,81 @@
+"""Similarity-search + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_ml_spark.operators import multimodal, similarity
+
+VECS = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0]),   # close to 1
+    (3, [0.0, 1.0, 0.0]),
+    (4, [0.0, 0.9, 0.1]),   # close to 3
+    (5, [-1.0, 0.0, 0.0]),  # opposite of 1
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_neighbors(spark, vecs):
+    out = similarity.brute_force_topk(vecs, "vec_id", "embedding", k=1)
+    nn = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert nn[1] == 2 and nn[2] == 1 and nn[3] == 4 and nn[4] == 3
+
+
+def test_brute_force_excludes_self(spark, vecs):
+    out = similarity.brute_force_topk(vecs, "vec_id", "embedding", k=4)
+    assert all(r["query_id"] != r["neighbor_id"] for r in out.collect())
+
+
+def test_brute_force_cosine_value(spark, vecs):
+    out = similarity.brute_force_topk(vecs, "vec_id", "embedding", k=1)
+    r = [x for x in out.collect() if x["query_id"] == 1][0]
+    expected = 0.9 / (1.0 * (0.9**2 + 0.1**2) ** 0.5)
+    assert r["cosine_sim"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_lsh_subset_of_bruteforce_space(spark, vecs):
+    out = similarity.lsh_topk(vecs, "vec_id", "embedding", k=2, n_planes=8, bands=4, dim=3)
+    rows = out.collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert len(rows) > 0
+
+
+def test_lsh_deterministic(spark, vecs):
+    a = similarity.lsh_topk(vecs, "vec_id", "embedding", k=2, dim=3).collect()
+    b = similarity.lsh_topk(vecs, "vec_id", "embedding", k=2, dim=3).collect()
+    assert a == b
+
+
+def test_payload_metadata_magic(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xffrest")), (2, bytearray(b"plain"))], ["id", "payload"])
+    out = {r["id"]: r for r in multimodal.payload_metadata(df, "id", "payload").collect()}
+    assert out[1]["format"] == "jpeg"
+    assert out[2]["format"] == "unknown"
+    assert out[1]["n_bytes"] == 7
+
+
+def test_extract_features_deterministic_and_shaped(spark):
+    df = spark.createDataFrame([(1, bytearray(b"abcdef")), (2, bytearray(b"abcdef"))], ["id", "payload"])
+    rows = multimodal.extract_features(df, "id", "payload", dim=4).collect()
+    feats = {r["id"]: r["feature"] for r in rows}
+    assert feats[1] == feats[2]
+    assert len(feats[1]) == 4
+    assert all(0 <= v < 1 for v in feats[1])
+
+
+def test_decode_image_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_sample_frames_shape(spark):
+    df = spark.createDataFrame([(1, bytearray(bytes(range(200))))], ["id", "payload"])
+    rows = multimodal.sample_frames(df, "id", "payload", n_frames=4, frame_bytes=16).collect()
+    assert len(rows) == 4
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert all(len(r["frame_bytes"]) == 16 for r in rows)

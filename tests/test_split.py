@@ -1,0 +1,94 @@
+"""Split operator tests — mirrors the reference's
+tests/test_feature/test_data_splitter.py error paths + exact-stratification
+semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.operators import split
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = [(i, "pos" if i % 4 == 0 else "neg") for i in range(200)]
+    return spark.createDataFrame(rows, ["pk", "y"])
+
+
+def test_stratified_exact_fractions(spark, labeled):
+    train, test = split.stratified_split(labeled, "y", "pk", 0.8)
+    per = {
+        r["y"]: r["count"] for r in train.groupBy("y").count().collect()
+    }
+    assert per == {"pos": 40, "neg": 120}  # exactly 80% of 50 / 150
+    assert train.count() + test.count() == 200
+
+
+def test_stratified_deterministic(spark, labeled):
+    a, _ = split.stratified_split(labeled, "y", "pk", 0.8)
+    b, _ = split.stratified_split(labeled, "y", "pk", 0.8)
+    assert sorted(r["pk"] for r in a.collect()) == sorted(r["pk"] for r in b.collect())
+
+
+def test_stratified_disjoint(spark, labeled):
+    train, test = split.stratified_split(labeled, "y", "pk", 0.8)
+    assert split.check_no_overlap(train, test, ["pk"]) == 0
+
+
+def test_stratified_errors(spark, labeled):
+    with pytest.raises(ValueError, match="train_size"):
+        split.stratified_split(labeled, "y", "pk", 1.5)
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        split.stratified_split(labeled, "nope", "pk", 0.8)
+    single = labeled.filter(F.col("y") == "pos")
+    with pytest.raises(ValueError, match=">=2 classes"):
+        split.stratified_split(single, "y", "pk", 0.8)
+    withnull = labeled.withColumn(
+        "y", F.when(F.col("pk") == 0, None).otherwise(F.col("y"))
+    )
+    with pytest.raises(ValueError, match="null labels"):
+        split.stratified_split(withnull, "y", "pk", 0.8)
+
+
+def test_random_split_exact_fractions(spark, labeled):
+    train, test = split.stratified_split_random(labeled, "y", 0.8, seed=7)
+    per = {r["y"]: r["count"] for r in train.groupBy("y").count().collect()}
+    assert per == {"pos": 40, "neg": 120}
+
+
+def test_time_split(spark):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d} 00:00:00") for i, d in enumerate(range(1, 21))],
+        ["pk", "ts_s"],
+    ).select("pk", F.to_timestamp("ts_s").alias("ts"))
+    train, test = split.time_split(df, "ts", "2024-01-15 00:00:00")
+    assert train.count() == 14 and test.count() == 6
+
+
+def test_time_split_errors(spark):
+    df = spark.createDataFrame([(1, "x")], ["pk", "notts"])
+    with pytest.raises(ValueError, match="not a timestamp"):
+        split.time_split(df, "notts", "2024-01-01")
+    ts = spark.createDataFrame([(1,)], ["pk"]).select(
+        "pk", F.to_timestamp(F.lit("2024-01-05 00:00:00")).alias("ts")
+    )
+    with pytest.raises(ValueError, match="outside"):
+        split.time_split(ts, "ts", "2030-01-01 00:00:00")
+
+
+def test_validate_disjoint_raises(spark, labeled):
+    with pytest.raises(ValueError, match="overlap"):
+        split.validate_disjoint({"a": labeled, "b": labeled}, ["pk"])
+
+
+def test_class_distribution(spark, labeled):
+    out = {r["y"]: r for r in split.class_distribution(labeled, "y").collect()}
+    assert out["pos"]["n"] == 50
+    assert out["pos"]["fraction"] == pytest.approx(0.25)
+
+
+def test_four_way_carve_disjoint(spark, labeled):
+    splits = split.train_valid_calib_test(labeled, "y", "pk")
+    split.validate_disjoint(splits, ["pk"])  # no raise
+    assert sum(df.count() for df in splits.values()) == 200
