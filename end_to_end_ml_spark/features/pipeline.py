@@ -1,0 +1,226 @@
+"""Feature-engineering fit/transform operators (reference §2.7, F1-F10) as an
+MLlib Pipeline — fit on train only, transform everything (the reference's
+leakage discipline, src/feature/utils/data.py:669-673).
+
+sklearn-parity decisions (SURVEY §7.4):
+- F4 OneHotEncoder drop-*first*: sklearn drops the first category in
+  lexicographic order; MLlib's OneHotEncoder drops the *last* index. We index
+  with ``stringOrderType="alphabetDesc"`` so the alphabetically-first
+  category lands at the highest index — dropLast then removes exactly
+  sklearn's dropped category.
+- F4 infrequent collapse (min_frequency=0.01,
+  handle_unknown="infrequent_if_exist"): a custom Estimator computes the
+  frequent set in ONE aggregation over all categorical columns, and its
+  Model rewrites rare/unseen values to ``__infrequent__`` before indexing.
+- F8 LabelEncoder parity: ``StringIndexer(stringOrderType="alphabetAsc")``
+  (sklearn sorts labels lexicographically).
+- F2 scaler: MLlib RobustScaler uses approximate quantiles
+  (relativeError-bounded); exact-parity tests must set a tolerance.
+
+Scale: every fit statistic here is a single aggregation job (imputer
+medians, category frequencies, variances); transforms are narrow. The only
+shuffles in a full fit are those aggregations.
+
+Reference citations: F1 data.py:83-90, F2 data.py:50-64, F3 data.py:100-107,
+F4 data.py:109-119, F5 data.py:231-234, F6 data.py:201-230, F7
+data.py:166-259, F8 data.py:564-616, F9 data.py:669-683, F10
+optimizer.py:461-515.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Estimator, Model, Pipeline, Transformer
+from pyspark.ml.feature import (
+    Imputer,
+    MinMaxScaler,
+    OneHotEncoder,
+    RobustScaler,
+    StandardScaler,
+    StringIndexer,
+    VarianceThresholdSelector,
+    VectorAssembler,
+)
+from pyspark.ml.param.shared import Param, Params
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INFREQUENT = "__infrequent__"
+UNSPECIFIED = "Unspecified"
+
+
+class CategoricalImputer(
+    Transformer, DefaultParamsReadable, DefaultParamsWritable
+):
+    """F3: constant-fill categorical imputer (SimpleImputer(strategy=constant,
+    fill_value="Unspecified")) — stateless, pure ``na.fill``."""
+
+    def __init__(self, inputCols=None, fillValue: str = UNSPECIFIED):
+        super().__init__()
+        self._input_cols = list(inputCols or [])
+        self._fill_value = fillValue
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        return df.na.fill({c: self._fill_value for c in self._input_cols})
+
+
+class InfrequentCollapserModel(Model, DefaultParamsReadable, DefaultParamsWritable):
+    """Fitted side of F4's infrequent-category collapse: per column, values
+    outside the frequent set → __infrequent__ (also covers unseen values at
+    transform time = handle_unknown="infrequent_if_exist")."""
+
+    def __init__(self, frequent: dict[str, list[str]] | None = None):
+        super().__init__()
+        self._frequent = frequent or {}
+
+    @property
+    def frequent(self) -> dict[str, list[str]]:
+        return self._frequent
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = df
+        for c, keep in self._frequent.items():
+            out = out.withColumn(
+                c,
+                F.when(F.col(c).isin(keep), F.col(c)).otherwise(F.lit(INFREQUENT)),
+            )
+        return out
+
+
+class InfrequentCollapser(Estimator, DefaultParamsReadable, DefaultParamsWritable):
+    """F4(a-b): learn the frequent-category set per column. ONE aggregation
+    job for all columns (grouping-sets style union), not one per column."""
+
+    def __init__(self, inputCols=None, minFrequency: float = 0.01):
+        super().__init__()
+        self._input_cols = list(inputCols or [])
+        self._min_frequency = minFrequency
+
+    def _fit(self, df: DataFrame) -> InfrequentCollapserModel:
+        n = df.count()
+        cutoff = self._min_frequency * n
+        stacked = df.selectExpr(
+            "stack({}, {}) as (col_name, value)".format(
+                len(self._input_cols),
+                ", ".join(f"'{c}', cast(`{c}` as string)" for c in self._input_cols),
+            )
+        )
+        counts = (
+            stacked.groupBy("col_name", "value")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") >= cutoff) & F.col("value").isNotNull())
+            .collect()
+        )
+        frequent: dict[str, list[str]] = {c: [] for c in self._input_cols}
+        for r in counts:
+            frequent[r["col_name"]].append(r["value"])
+        return InfrequentCollapserModel(frequent)
+
+
+def build_preprocessing_stages(
+    numeric_cols: list[str],
+    categorical_cols: list[str],
+    numeric_impute_strategy: str = "median",
+    scaler: str = "robust",
+    cat_fill_value: str = UNSPECIFIED,
+    min_category_frequency: float = 0.01,
+    variance_threshold: float = 0.05,
+    output_col: str = "features",
+) -> list:
+    """F6/F7: the ColumnTransformer-equivalent stage list. Numeric side:
+    impute → assemble → scale; categorical side: constant-fill → infrequent
+    collapse → index (alphabetDesc) → OHE (dropLast = sklearn drop-first);
+    then final assembly + variance selection. Either side may be empty
+    (passthrough, data.py:216-230)."""
+    stages: list = []
+    assembled: list[str] = []
+
+    if numeric_cols:
+        imputed = [f"{c}__imp" for c in numeric_cols]
+        stages.append(
+            Imputer(
+                strategy=numeric_impute_strategy,
+                inputCols=numeric_cols,
+                outputCols=imputed,
+            )
+        )
+        stages.append(VectorAssembler(inputCols=imputed, outputCol="__num_vec"))
+        scalers = {
+            "robust": RobustScaler(inputCol="__num_vec", outputCol="__num_scaled"),
+            "standard": StandardScaler(
+                inputCol="__num_vec", outputCol="__num_scaled", withMean=True
+            ),
+            "minmax": MinMaxScaler(inputCol="__num_vec", outputCol="__num_scaled"),
+        }
+        if scaler in scalers:
+            stages.append(scalers[scaler])
+            assembled.append("__num_scaled")
+        elif scaler in (None, "none"):
+            assembled.append("__num_vec")
+        else:
+            raise ValueError(f"unknown scaler {scaler!r}")
+
+    if categorical_cols:
+        stages.append(CategoricalImputer(inputCols=categorical_cols, fillValue=cat_fill_value))
+        stages.append(
+            InfrequentCollapser(inputCols=categorical_cols, minFrequency=min_category_frequency)
+        )
+        indexed = [f"{c}__idx" for c in categorical_cols]
+        encoded = [f"{c}__ohe" for c in categorical_cols]
+        stages.append(
+            StringIndexer(
+                inputCols=categorical_cols,
+                outputCols=indexed,
+                stringOrderType="alphabetDesc",
+                handleInvalid="keep",
+            )
+        )
+        stages.append(
+            OneHotEncoder(inputCols=indexed, outputCols=encoded, dropLast=True)
+        )
+        assembled.extend(encoded)
+
+    stages.append(VectorAssembler(inputCols=assembled, outputCol="__features_raw"))
+    stages.append(
+        VarianceThresholdSelector(
+            featuresCol="__features_raw",
+            outputCol=output_col,
+            varianceThreshold=variance_threshold,
+        )
+    )
+    return stages
+
+
+def build_preprocessing_pipeline(**kwargs) -> Pipeline:
+    return Pipeline(stages=build_preprocessing_stages(**kwargs))
+
+
+def fit_label_indexer(df: DataFrame, label_col: str, output_col: str = "label"):
+    """F8: sklearn-LabelEncoder-parity indexer (lexicographic order)."""
+    return StringIndexer(
+        inputCol=label_col, outputCol=output_col, stringOrderType="alphabetAsc"
+    ).fit(df)
+
+
+def positive_label_index(label_indexer_model, positive_label: str) -> int:
+    """M9: never assume column 1 — locate the positive class through the
+    fitted labels (reference optimizer.py:217-235)."""
+    return list(label_indexer_model.labels).index(str(positive_label))
+
+
+def recover_feature_names(fitted_pipeline_model, df: DataFrame, output_col: str = "features") -> list[str]:
+    """F7 name recovery: post-OHE + selector feature names from ML attrs
+    metadata (reference data.py:124-163's name extraction)."""
+    transformed = fitted_pipeline_model.transform(df.limit(1))
+    meta = transformed.schema[output_col].metadata
+    attrs = meta.get("ml_attr", {}).get("attrs", {})
+    named = []
+    for group in attrs.values():
+        named.extend(attrs_entry for attrs_entry in group)
+    named.sort(key=lambda a: a["idx"])
+    return [a.get("name", f"f{a['idx']}") for a in named]
+
+
+def build_full_pipeline(prep_stages: list, classifier) -> Pipeline:
+    """F10: preprocessing + classifier in ONE PipelineModel for serving."""
+    return Pipeline(stages=[*prep_stages, classifier])

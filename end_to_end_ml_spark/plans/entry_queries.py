@@ -704,6 +704,14 @@ def sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, "vec_id", "embedding", k=5, dim=64)
 
 
+def _ml_scores(spark, sf_dir):
+    """Flagship ML flow (SURVEY §7.1): clean → split → MLlib pipeline →
+    validation scores. Model outputs aren't SQL-expressible → rows-only."""
+    from ..plans.ml_pipeline import ml_scores_query
+
+    return ml_scores_query(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -747,4 +755,5 @@ REGISTRY: dict = {
     "mm1_payload_metadata": (mm_payload_metadata, PAYLOAD_META_SQL),
     "sim1_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim2_lsh_topk": (sim_lsh_topk, None),  # approximate: verified by recall test
+    "ml1_logreg_validation_scores": (_ml_scores, None),  # MLlib fit: rows-only
 }

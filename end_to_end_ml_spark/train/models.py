@@ -1,0 +1,125 @@
+"""Model zoo (reference §2.8 M1-M4, src/training/train.py:431-509).
+
+MLlib-native classifiers; the gradient-boosting slots (reference LightGBM /
+XGBoost) map to MLlib GBTClassifier by default, with xgboost.spark /
+SynapseML LightGBM used automatically when those packages are present
+(import-try gates — they are not in this container).
+
+``class_weight="balanced"`` (reference training-config.yml:101) has no MLlib
+keyword: it becomes a computed ``weightCol`` = n / (k * n_class), the same
+formula sklearn uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LogisticRegression,
+    RandomForestClassifier,
+)
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_balanced_weights(df: DataFrame, label_col: str, weight_col: str = "class_weight") -> DataFrame:
+    """sklearn class_weight='balanced': w_c = n / (k * n_c), via one window
+    (no driver round-trip, no second scan)."""
+    w_all = Window.partitionBy()
+    w_class = Window.partitionBy(label_col)
+    return df.withColumn(
+        weight_col,
+        F.count(F.lit(1)).over(w_all)
+        / (
+            F.size(F.collect_set(label_col).over(w_all))
+            * F.count(F.lit(1)).over(w_class)
+        ),
+    )
+
+
+def logistic_regression(features_col="features", label_col="label", weight_col=None,
+                        C: float = 1.0, l1_ratio: float = 0.0, max_iter: int = 100):
+    """M1: sklearn LogisticRegression(penalty=elasticnet, C) parity:
+    regParam = 1/C (per-row-normalized losses differ by n; tuned jointly so
+    the search space absorbs it), elasticNetParam = l1_ratio."""
+    kw = dict(
+        featuresCol=features_col,
+        labelCol=label_col,
+        regParam=1.0 / C,
+        elasticNetParam=l1_ratio,
+        maxIter=max_iter,
+    )
+    if weight_col:
+        kw["weightCol"] = weight_col
+    return LogisticRegression(**kw)
+
+
+def random_forest(features_col="features", label_col="label", n_estimators: int = 100,
+                  max_depth: int = 5, impurity: str = "gini", subsample: float = 1.0,
+                  seed: int = 42):
+    """M2: RandomForestClassifier parity (criterion → impurity)."""
+    return RandomForestClassifier(
+        featuresCol=features_col,
+        labelCol=label_col,
+        numTrees=n_estimators,
+        maxDepth=max_depth,
+        impurity=impurity,
+        subsamplingRate=subsample,
+        seed=seed,
+    )
+
+
+def gradient_boosting(features_col="features", label_col="label", n_estimators: int = 50,
+                      max_depth: int = 5, learning_rate: float = 0.1, subsample: float = 1.0,
+                      seed: int = 42):
+    """M3/M4 slot: prefer SparkXGBClassifier / SynapseML LightGBM when
+    installed; MLlib GBTClassifier otherwise (param-compatible subset)."""
+    try:  # pragma: no cover - not installed in this container
+        from xgboost.spark import SparkXGBClassifier
+
+        return SparkXGBClassifier(
+            features_col=features_col,
+            label_col=label_col,
+            n_estimators=n_estimators,
+            max_depth=max_depth,
+            learning_rate=learning_rate,
+            subsample=subsample,
+        )
+    except ImportError:
+        pass
+    try:  # pragma: no cover - not installed in this container
+        from synapse.ml.lightgbm import LightGBMClassifier
+
+        return LightGBMClassifier(
+            featuresCol=features_col,
+            labelCol=label_col,
+            numIterations=n_estimators,
+            maxDepth=max_depth,
+            learningRate=learning_rate,
+        )
+    except ImportError:
+        pass
+    return GBTClassifier(
+        featuresCol=features_col,
+        labelCol=label_col,
+        maxIter=n_estimators,
+        maxDepth=max_depth,
+        stepSize=learning_rate,
+        subsamplingRate=subsample,
+        seed=seed,
+    )
+
+
+def scale_pos_weight(df: DataFrame, label_col: str) -> float:
+    """M4 helper (reference train.py:500): n_neg / n_pos."""
+    r = df.agg(
+        F.sum((F.col(label_col) == 0).cast("long")).alias("neg"),
+        F.sum((F.col(label_col) == 1).cast("long")).alias("pos"),
+    ).collect()[0]
+    return r["neg"] / r["pos"]
+
+
+MODEL_BUILDERS = {
+    "logistic_regression": logistic_regression,
+    "random_forest": random_forest,
+    "gradient_boosting": gradient_boosting,
+}

@@ -1,0 +1,211 @@
+"""MLlib feature pipeline + training workflow tests (reference §2.7-2.11:
+pipeline smoke test modeled on tests/test_training/test_pipeline_smoke.py,
+calibration tests on test_calibration_threshold.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.features import calibrate as C
+from end_to_end_ml_spark.features import pipeline as FP
+from end_to_end_ml_spark.features.ensemble import VotingEnsemble
+from end_to_end_ml_spark.train import models as MZ
+from end_to_end_ml_spark.train import tuner
+from end_to_end_ml_spark.train.workflow import (
+    deployment_gate,
+    evaluate_binary,
+    select_champion,
+)
+
+ROWS = [
+    # (id, num_a, cat_b, label_str): separable-ish synthetic data
+    (i, float(i % 10) + (5.0 if i % 2 else 0.0), "x" if i % 2 else "y", "pos" if i % 2 else "neg")
+    for i in range(120)
+] + [(1000, None, None, "pos")]  # a row with missing values
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(ROWS, ["id", "num_a", "cat_b", "label_str"])
+
+
+def test_label_indexer_alphabetical(spark, frame):
+    m = FP.fit_label_indexer(frame, "label_str")
+    assert list(m.labels) == ["neg", "pos"]  # lexicographic = sklearn parity
+    assert FP.positive_label_index(m, "pos") == 1
+
+
+def test_preprocessing_pipeline_fit_transform(spark, frame):
+    m = FP.fit_label_indexer(frame, "label_str")
+    stages = FP.build_preprocessing_stages(
+        numeric_cols=["num_a"], categorical_cols=["cat_b"], variance_threshold=0.0
+    )
+    pipe = FP.build_preprocessing_pipeline(
+        numeric_cols=["num_a"], categorical_cols=["cat_b"], variance_threshold=0.0
+    )
+    labeled = m.transform(frame)
+    fitted = pipe.fit(labeled)
+    out = fitted.transform(labeled)
+    assert "features" in out.columns
+    assert out.count() == len(ROWS)  # missing values imputed, no row loss
+
+
+def test_infrequent_collapser(spark):
+    rows = [(i, "common") for i in range(99)] + [(99, "rare")]
+    df = spark.createDataFrame(rows, ["id", "c"])
+    model = FP.InfrequentCollapser(inputCols=["c"], minFrequency=0.05).fit(df)
+    out = model.transform(df)
+    vals = {r["c"] for r in out.collect()}
+    assert vals == {"common", FP.INFREQUENT}
+    # unseen value at transform time also collapses
+    new = spark.createDataFrame([(1, "never_seen")], ["id", "c"])
+    assert model.transform(new).collect()[0]["c"] == FP.INFREQUENT
+
+
+def test_ohe_drop_first_parity(spark):
+    # categories a<b<c: sklearn drop='first' drops 'a'. With alphabetDesc
+    # indexing, 'a' has the max index, which dropLast removes.
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "c"])
+    stages = FP.build_preprocessing_stages(
+        numeric_cols=[], categorical_cols=["c"], min_category_frequency=0.0,
+        variance_threshold=0.0,
+    )
+    from pyspark.ml import Pipeline
+
+    fitted = Pipeline(stages=stages).fit(df)
+    out = fitted.transform(df)
+    vecs = {r["c"]: list(r["__features_raw"].toArray()) for r in out.select("c", "__features_raw").collect()}
+    assert vecs["a"][:2] == [0.0, 0.0]  # 'a' is the dropped category
+
+
+def test_full_pipeline_and_evaluation(spark, frame):
+    m = FP.fit_label_indexer(frame, "label_str")
+    labeled = m.transform(frame).withColumnRenamed("label", "label_idx") \
+        .withColumn("label", F.col("label_idx"))
+    stages = FP.build_preprocessing_stages(
+        numeric_cols=["num_a"], categorical_cols=["cat_b"], variance_threshold=0.0
+    )
+    pipe = FP.build_full_pipeline(stages, MZ.logistic_regression())
+    fitted = pipe.fit(labeled)
+    metrics = evaluate_binary(fitted.transform(labeled))
+    assert metrics["roc_auc"] > 0.9  # separable by construction
+    assert 0 <= metrics["ece"] <= 1
+
+
+def test_balanced_weights(spark):
+    df = spark.createDataFrame([(0.0,)] * 30 + [(1.0,)] * 10, ["label"])
+    out = MZ.add_balanced_weights(df, "label")
+    w = {r["label"]: r["class_weight"] for r in out.distinct().collect()}
+    assert w[0.0] == pytest.approx(40 / (2 * 30))
+    assert w[1.0] == pytest.approx(40 / (2 * 10))
+
+
+def test_scale_pos_weight(spark):
+    df = spark.createDataFrame([(0,)] * 30 + [(1,)] * 10, ["label"])
+    assert MZ.scale_pos_weight(df, "label") == pytest.approx(3.0)
+
+
+def test_tuner_search_and_best(spark):
+    space = {"C": ("float_log", 0.01, 10.0), "l1_ratio": ("float", 0.0, 1.0),
+             "kind": ("categorical", ["a", "b"]), "n": ("int", 1, 5)}
+    study = tuner.tune(lambda p: p["C"], space, n_trials=10, seed=1)
+    assert len(study.trials) == 10
+    assert study.best_trial.value == max(t.value for t in study.trials)
+    rows = study.to_rows()
+    assert "param_C" in rows[0]
+
+
+def test_tuner_failure_isolation(spark):
+    def objective(p):
+        if p["n"] % 2 == 0:
+            raise RuntimeError("boom")
+        return float(p["n"])
+
+    study = tuner.tune(objective, {"n": ("int", 1, 10)}, n_trials=8, seed=3)
+    states = {t.state for t in study.trials}
+    assert "complete" in states  # odd draws succeeded
+    assert all(t.state in ("complete", "failed") for t in study.trials)
+    assert study.best_trial.value % 2 == 1
+
+
+def test_tuner_deterministic(spark):
+    space = {"x": ("float", 0, 1)}
+    a = tuner.tune(lambda p: p["x"], space, n_trials=5, seed=9)
+    b = tuner.tune(lambda p: p["x"], space, n_trials=5, seed=9)
+    assert [t.params for t in a.trials] == [t.params for t in b.trials]
+
+
+def test_isotonic_calibration_prefit(spark):
+    # miscalibrated scores: true P(y=1) = 1 for s>0.5, 0 below
+    rows = [(0.6 + i / 100, 1.0) for i in range(40)] + [(0.1 + i / 100, 0.0) for i in range(40)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    cal = C.IsotonicCalibrator().fit(df, "s", "y")
+    out = cal.transform(df, "s").collect()
+    hi = [r["calibrated_proba"] for r in out if r["s"] > 0.55]
+    lo = [r["calibrated_proba"] for r in out if r["s"] < 0.45]
+    assert min(hi) >= max(lo)  # monotone and separating
+
+
+def test_platt_calibration(spark):
+    rows = [(0.9, 1.0)] * 20 + [(0.6, 1.0)] * 10 + [(0.4, 0.0)] * 10 + [(0.1, 0.0)] * 20
+    df = spark.createDataFrame(rows, ["s", "y"])
+    cal = C.PlattCalibrator().fit(df, "s", "y")
+    out = {r["s"]: r["calibrated_proba"] for r in cal.transform(df.distinct(), "s").collect()}
+    assert out[0.9] > out[0.1]
+
+
+def test_calibrate_prefit_dispatch(spark):
+    small = spark.createDataFrame([(0.5, 1.0)] * 10, ["s", "y"])
+    assert isinstance(C.calibrate_prefit(small, "s", "y"), C.PlattCalibrator)
+
+
+def test_sidecar_roundtrip(tmp_path):
+    p = str(tmp_path / "meta.json")
+    C.write_serving_sidecar(p, 0.42, 1, extra={"note": "x"})
+    meta = C.read_serving_sidecar(p)
+    assert meta["decision_threshold"] == 0.42
+    assert meta["encoded_pos_class_label"] == 1
+
+
+def test_select_champion_and_gate():
+    cands = {"a": {"fbeta": 0.4}, "b": {"fbeta": 0.6}}
+    assert select_champion(cands) == "b"
+    deployment_gate(cands["b"])  # passes
+    with pytest.raises(ValueError, match="deployment gate"):
+        deployment_gate({"fbeta": 0.1})
+
+
+def test_voting_ensemble_soft_and_hard(spark, frame):
+    m = FP.fit_label_indexer(frame, "label_str")
+    labeled = m.transform(frame)
+    stages = FP.build_preprocessing_stages(
+        numeric_cols=["num_a"], categorical_cols=["cat_b"], variance_threshold=0.0
+    )
+    m1 = FP.build_full_pipeline(stages, MZ.logistic_regression()).fit(labeled)
+    m2 = FP.build_full_pipeline(stages, MZ.random_forest(n_estimators=5, max_depth=3)).fit(labeled)
+    for voting in ("soft", "hard"):
+        ens = VotingEnsemble([m1, m2], voting=voting, id_col="id")
+        out = ens.transform(labeled)
+        assert out.count() == labeled.count()
+        preds = {r["prediction"] for r in out.select("prediction").distinct().collect()}
+        assert preds <= {0.0, 1.0}
+    with pytest.raises(ValueError, match=">= 2"):
+        VotingEnsemble([m1])
+
+
+def test_ensemble_soft_probability_is_mean(spark, frame):
+    m = FP.fit_label_indexer(frame, "label_str")
+    labeled = m.transform(frame)
+    stages = FP.build_preprocessing_stages(
+        numeric_cols=["num_a"], categorical_cols=["cat_b"], variance_threshold=0.0
+    )
+    m1 = FP.build_full_pipeline(stages, MZ.logistic_regression()).fit(labeled)
+    ens = VotingEnsemble([m1, m1], voting="soft", id_col="id")
+    a = {r["id"]: r["p"] for r in m1.transform(labeled).select(
+        "id", vector_to_array(F.col("probability"))[1].alias("p")).collect()}
+    b = {r["id"]: r["p"] for r in ens.transform(labeled).select(
+        "id", vector_to_array(F.col("probability"))[1].alias("p")).collect()}
+    for k in a:
+        assert b[k] == pytest.approx(a[k])  # mean of identical models = model
