@@ -525,6 +525,34 @@ SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+
+def st_sessionize(spark, sf_dir):
+    from ..streaming.events import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+  min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # ---------------------------------------------------------------------------
 # dedup / text analysis / similarity / multimodal (LLM-data extensions)
 # ---------------------------------------------------------------------------
@@ -743,6 +771,7 @@ REGISTRY: dict = {
     "a1_class_distribution": (a1_class_distribution, CLASS_DIST_SQL),
     "a14_feature_variance": (a14_variance, VARIANCE_SQL),
     "st_hourly_window": (e_hourly_window, HOURLY_SQL),
+    "st_sessionize": (st_sessionize, SESSIONIZE_SQL),
     # LLM-data-pipeline extensions
     "d1_exact_dup_groups": (d_exact_dup_groups, EXACT_DUP_SQL),
     "d2_ngram_jaccard_pairs": (d_ngram_jaccard, NGRAM_JACCARD_SQL),

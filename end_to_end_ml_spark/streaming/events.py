@@ -1,0 +1,142 @@
+"""Structured Streaming surface over event tables (engine extension — the
+reference is batch-only, SURVEY §2.12; this is the scale-out path for the
+``events`` schema the driver ships).
+
+Every aggregation here has a batch-equivalent in plans/entry_queries
+(st_hourly_window) so correctness is oracle-checkable in batch mode while
+the streaming form adds watermarks + incremental state.
+
+Scale notes:
+- Watermark bounds state: late rows beyond it are dropped, so state size is
+  O(active windows × groups), not O(stream length).
+- ``dropDuplicatesWithinWatermark`` gives at-least-once dedup with bounded
+  state — the streaming form of P6.
+- session_window state is per (user, gap-session); AQE doesn't apply to
+  streaming shuffles, so shuffle partitions are set by the session factory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, directory: str, glob: str = "events.parquet") -> DataFrame:
+    """File-source stream of the events table (parquet). The file source
+    needs a *directory* (new files appear → new micro-batches); ``glob``
+    selects the table's files within it. In production the same
+    transformations run off Kafka — only this reader changes."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", glob)
+        .load(directory)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts+sums by event_type (streaming form
+    of st_hourly_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event rates."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based): session bounds + event count +
+    value sum. State is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming P6: drop duplicate event_ids within the watermark horizon
+    (bounded-state exactly-once-per-horizon semantics)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Test/demo sink: drive the streaming query over all available input
+    synchronously and leave results in the in-memory table ``name``."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization (lag + cumulative gap-count) — the classic SQL
+    formulation, usable as an oracle for session_window and at rest over the
+    full history. One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = (
+        F.when(gap.isNull(), 1)
+        .when(F.unix_micros(F.col("ts")) - gap > gap_minutes * 60 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    tagged = events.withColumn("session_seq", F.sum(new_session).over(w_cum))
+    return (
+        tagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

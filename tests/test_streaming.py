@@ -1,0 +1,113 @@
+"""Structured Streaming tests: drive file-source streams synchronously into
+memory sinks and compare against batch-equivalent computations.
+
+Append-mode semantics: windows/sessions still open at the final watermark
+(the last ~watermark of event time) are never emitted — the comparisons
+exclude that open tail explicitly."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.sources import load_table
+from end_to_end_ml_spark.streaming import events as SE
+
+SF_DIR = "/root/testdata/sf0.001"
+WATERMARK = dt.timedelta(hours=2)
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return SE.read_event_stream(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+@pytest.fixture(scope="module")
+def max_ts(batch):
+    return batch.agg(F.max("ts")).collect()[0][0]
+
+
+def test_tumbling_counts_match_batch(spark, stream, batch, max_ts):
+    SE.run_to_memory(SE.tumbling_counts(stream), "t_tumbling")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    watermark_cutoff = max_ts - WATERMARK
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .collect()
+        if r["window_start"] + dt.timedelta(hours=1) <= watermark_cutoff
+    }
+    assert expected and got == expected
+
+
+def test_sliding_counts_match_closed_windows(spark, stream, batch, max_ts):
+    SE.run_to_memory(SE.sliding_counts(stream), "t_sliding")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_sliding").collect()
+    }
+    watermark_cutoff = max_ts - WATERMARK
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+        if r["window_start"] + dt.timedelta(hours=1) <= watermark_cutoff
+    }
+    assert expected and got == expected
+
+
+def test_session_aggregates_match_batch_sessionize(spark, stream, batch, max_ts):
+    SE.run_to_memory(SE.session_aggregates(stream, gap="30 minutes"), "t_sessions")
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    # a session is emitted once the watermark passes its end+gap
+    closed = max_ts - WATERMARK - dt.timedelta(minutes=30)
+    expected = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in SE.sessionize_batch(batch, gap_minutes=30).collect()
+        if r["session_end"] <= closed
+    }
+    assert expected
+    for k, v in expected.items():
+        assert got.get(k) == v, f"session {k} mismatch"
+
+
+def test_dedup_stream(spark, stream):
+    SE.run_to_memory(SE.dedup_stream(stream), "t_dedup")
+    n = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0]["n"]
+    distinct_ids = spark.sql("SELECT count(DISTINCT event_id) AS n FROM t_dedup").collect()[0]["n"]
+    assert n == distinct_ids > 0  # no duplicate event_ids survive
+
+
+def test_sessionize_batch_gap_splits(spark):
+    rows = [
+        (1, 100, "2024-01-01 00:00:00", 1.0),
+        (2, 100, "2024-01-01 00:10:00", 1.0),   # same session (10m gap)
+        (3, 100, "2024-01-01 01:00:00", 1.0),   # new session (50m gap)
+        (4, 200, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts_s", "value"]).select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = SE.sessionize_batch(df, gap_minutes=30).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[100]) == [1, 2]
+    assert per_user[200] == [1]
