@@ -73,30 +73,35 @@ def binary_metrics(
 
 
 def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
-    """A6: Mann-Whitney rank-statistic AUC with proper tie handling
-    (average ranks), as a single sort + two windows:
+    """A6: Mann-Whitney rank-statistic AUC with proper tie handling (average
+    ranks), computed SCALABLY: first reduce N rows to per-distinct-score
+    (pos, neg) counts (map-side partial agg + one shuffle), then one window
+    over the tiny distinct-score frame:
 
-        AUC = (sum of positive ranks - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+        AUC = Σ_s pos_s · (neg_below_s + neg_s/2) / (n_pos · n_neg)
 
-    Tie-group average ranks are means of consecutive integers (exact halves),
-    so the whole computation is exact until one final division.
+    which equals the average-rank formulation exactly (all terms are integers
+    or exact halves — engine-independent until the final division). The
+    global window touches |distinct scores| rows, never N.
     """
-    w_order = Window.orderBy(F.col("s"))
-    w_ties = Window.partitionBy(F.col("s"))
-    ranked = df.select(
-        F.col(label_col).alias("y"), F.col(score_col).alias("s")
-    ).withColumn("rn", F.row_number().over(w_order)).withColumn(
-        "rank", F.avg("rn").over(w_ties)
+    by_score = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum((F.col(label_col) == 1).cast("long")).alias("pos"),
+        F.sum((F.col(label_col) == 0).cast("long")).alias("neg"),
     )
-    return ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("rank"))).alias("pos_rank_sum"),
-        F.sum((F.col("y") == 1).cast("long")).alias("n_pos"),
-        F.sum((F.col("y") == 0).cast("long")).alias("n_neg"),
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = by_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
     ).select(
-        (
-            (F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2)
-            / (F.col("n_pos") * F.col("n_neg"))
-        ).alias("roc_auc")
+        (F.col("pos") * (F.col("neg_below") + F.col("neg") / 2)).alias("u"),
+        "pos",
+        "neg",
+    )
+    return contrib.agg(
+        F.sum("u").alias("u_sum"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+    ).select(
+        (F.col("u_sum") / (F.col("n_pos") * F.col("n_neg"))).alias("roc_auc")
     )
 
 
@@ -235,6 +240,125 @@ def best_threshold(df: DataFrame, label_col: str, score_col: str, beta: float = 
     rows = threshold_sweep(df, label_col, score_col, beta).collect()
     best = max(rows, key=lambda r: (r["fbeta"] if r["fbeta"] is not None else -1.0))
     return float(best["threshold"])
+
+
+def multiclass_per_class_metrics(
+    df: DataFrame, label_col: str, pred_col: str, classes: list
+) -> DataFrame:
+    """A7 (per-class): precision/recall/F1/support per class from one
+    aggregation pass (conditional counts), stacked to rows. Integer counts +
+    single divisions — oracle-exact."""
+    lbl, prd = F.col(label_col), F.col(pred_col)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in classes:
+        aggs += [
+            F.sum(((lbl == c) & (prd == c)).cast("long")).alias(f"tp_{c}"),
+            F.sum(((lbl != c) & (prd == c)).cast("long")).alias(f"fp_{c}"),
+            F.sum(((lbl == c) & (prd != c)).cast("long")).alias(f"fn_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = []
+    for c in classes:
+        tp, fp, fn = F.col(f"tp_{c}"), F.col(f"fp_{c}"), F.col(f"fn_{c}")
+        rows.append(
+            one.select(
+                F.lit(int(c)).alias("class"),
+                tp.alias("tp"),
+                (tp + fn).alias("support"),
+                (tp / (tp + fp)).alias("precision"),
+                (tp / (tp + fn)).alias("recall"),
+                (2 * tp / (2 * tp + fp + fn)).alias("f1"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("class")
+
+
+def multiclass_summary(
+    df: DataFrame, label_col: str, pred_col: str, classes: list
+) -> DataFrame:
+    """A7 (averages): accuracy + macro/weighted precision/recall/F1 in one
+    row. Macro/weighted folds run over the explicit class list in fixed
+    order (deterministic double arithmetic, same fold order as the SQL
+    oracle)."""
+    lbl, prd = F.col(label_col), F.col(pred_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum((lbl == prd).cast("long")).alias("correct"),
+    ]
+    for c in classes:
+        aggs += [
+            F.sum(((lbl == c) & (prd == c)).cast("long")).alias(f"tp_{c}"),
+            F.sum(((lbl != c) & (prd == c)).cast("long")).alias(f"fp_{c}"),
+            F.sum(((lbl == c) & (prd != c)).cast("long")).alias(f"fn_{c}"),
+        ]
+    one = df.agg(*aggs)
+
+    def prec(c):
+        return F.col(f"tp_{c}") / (F.col(f"tp_{c}") + F.col(f"fp_{c}"))
+
+    def rec(c):
+        return F.col(f"tp_{c}") / (F.col(f"tp_{c}") + F.col(f"fn_{c}"))
+
+    def f1(c):
+        return 2 * F.col(f"tp_{c}") / (
+            2 * F.col(f"tp_{c}") + F.col(f"fp_{c}") + F.col(f"fn_{c}")
+        )
+
+    def support(c):
+        return F.col(f"tp_{c}") + F.col(f"fn_{c}")
+
+    k = len(classes)
+    macro_p = sum_fold([prec(c) for c in classes]) / k
+    macro_r = sum_fold([rec(c) for c in classes]) / k
+    macro_f = sum_fold([f1(c) for c in classes]) / k
+    weighted_f = sum_fold([f1(c) * support(c) for c in classes]) / F.col("n")
+    return one.select(
+        (F.col("correct") / F.col("n")).alias("accuracy"),
+        macro_p.alias("macro_precision"),
+        macro_r.alias("macro_recall"),
+        macro_f.alias("macro_f1"),
+        weighted_f.alias("weighted_f1"),
+    )
+
+
+def sum_fold(cols):
+    """Left fold with explicit order: ((a+b)+c)+... — deterministic FP."""
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def pr_curve_with_ap(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """A10/A12: PR curve + cumulative average-precision column. AP is the
+    last row's ``ap_cum``: Σ ΔRecall·Precision over thresholds descending.
+    The running sum is a sequential window accumulation (same order on any
+    engine → bit-identical doubles)."""
+    curve = roc_curve(df, label_col, score_col)
+    w = Window.orderBy(F.col("threshold").desc())
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        curve.withColumn("__prev_tp", F.coalesce(F.lag("cum_tp").over(w), F.lit(0)))
+        .withColumn("__total_pos", F.max("cum_tp").over(Window.partitionBy()))
+        .withColumn(
+            "precision", F.col("cum_tp") / (F.col("cum_tp") + F.col("cum_fp"))
+        )
+        .withColumn(
+            "__contrib",
+            ((F.col("cum_tp") - F.col("__prev_tp")) / F.col("__total_pos"))
+            * F.col("precision"),
+        )
+    )
+    # round: window-sum associativity differs across engines (segment-tree
+    # vs sequential) by ~1 ulp; 9 digits is far above the noise floor
+    return (
+        staged.withColumn("ap_cum", F.round(F.sum("__contrib").over(w_cum), 9))
+        .select("threshold", "precision", F.col("tpr").alias("recall"), "ap_cum")
+        .orderBy(F.col("threshold").desc())
+    )
 
 
 def class_imbalance_ratio(df: DataFrame, label_col: str) -> float:

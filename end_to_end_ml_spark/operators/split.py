@@ -80,6 +80,31 @@ def stratified_split(
     )
 
 
+def stratified_split_approx(
+    df: DataFrame,
+    class_col: str,
+    pk_col: str,
+    train_size: float = 0.8,
+    relative_error: float = 1e-4,
+) -> tuple[DataFrame, DataFrame]:
+    """T1 at 100 TB: the exact window variant funnels each class through one
+    partition (total order per class). This variant computes an approximate
+    ``train_size``-quantile of the deterministic hash key per class
+    (percentile_approx: mergeable sketches, no global sort) and splits by
+    threshold — per-class fraction error bounded by ``relative_error``,
+    fully deterministic given the data, no skewed shuffle."""
+    _validate_stratify(df, class_col, train_size)
+    keyed = df.withColumn("__k", deterministic_key(pk_col))
+    cuts = keyed.groupBy(class_col).agg(
+        F.percentile_approx("__k", train_size, int(1 / relative_error)).alias("__cut")
+    )
+    tagged = keyed.join(F.broadcast(cuts), class_col)
+    return (
+        tagged.filter(F.col("__k") <= F.col("__cut")).drop("__k", "__cut"),
+        tagged.filter(F.col("__k") > F.col("__cut")).drop("__k", "__cut"),
+    )
+
+
 def stratified_split_random(
     df: DataFrame, class_col: str, train_size: float = 0.8, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:

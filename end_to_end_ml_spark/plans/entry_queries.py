@@ -467,6 +467,171 @@ FROM agg ORDER BY threshold
 """
 
 
+# 3-class synthetic task: y = event_id % 3, pred = floor(score*3) (exact bins)
+MC_SQL = (
+    "SELECT CAST(event_id % 3 AS INTEGER) AS y, "
+    "CAST(floor((((event_id * 37) % 1024) / 1024.0) * 3) AS INTEGER) AS p "
+    "FROM events"
+)
+
+
+def _mc_frame(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("event_id") % 3).cast("int").alias("y"),
+        F.floor((((F.col("event_id") * 37) % 1024) / F.lit(1024.0)) * 3)
+        .cast("int")
+        .alias("p"),
+    )
+
+
+def a7_multiclass_per_class(spark, sf_dir):
+    return M.multiclass_per_class_metrics(_mc_frame(spark, sf_dir), "y", "p", [0, 1, 2])
+
+
+def _mc_cte() -> str:
+    parts = []
+    for c in (0, 1, 2):
+        parts.append(
+            f"CAST(sum(CASE WHEN y = {c} AND p = {c} THEN 1 ELSE 0 END) AS BIGINT) AS tp_{c}, "
+            f"CAST(sum(CASE WHEN y != {c} AND p = {c} THEN 1 ELSE 0 END) AS BIGINT) AS fp_{c}, "
+            f"CAST(sum(CASE WHEN y = {c} AND p != {c} THEN 1 ELSE 0 END) AS BIGINT) AS fn_{c}"
+        )
+    return (
+        f"SELECT count(*) AS n, CAST(sum(CASE WHEN y = p THEN 1 ELSE 0 END) AS BIGINT) AS correct, "
+        + ", ".join(parts)
+        + f" FROM ({MC_SQL})"
+    )
+
+
+MC_PER_CLASS_SQL = "WITH c AS (" + _mc_cte() + ")\n" + "\nUNION ALL\n".join(
+    f"SELECT {c} AS class, tp_{c} AS tp, tp_{c} + fn_{c} AS support, "
+    f"tp_{c} / (tp_{c} + fp_{c}) AS precision, tp_{c} / (tp_{c} + fn_{c}) AS recall, "
+    f"2 * tp_{c} / (2 * tp_{c} + fp_{c} + fn_{c}) AS f1 FROM c"
+    for c in (0, 1, 2)
+) + "\nORDER BY class"
+
+
+def a7_multiclass_summary(spark, sf_dir):
+    return M.multiclass_summary(_mc_frame(spark, sf_dir), "y", "p", [0, 1, 2])
+
+
+def _m(expr_fmt: str, c: int) -> str:
+    return expr_fmt.format(c=c)
+
+
+_PREC = "tp_{c} / (tp_{c} + fp_{c})"
+_REC = "tp_{c} / (tp_{c} + fn_{c})"
+_F1 = "2 * tp_{c} / (2 * tp_{c} + fp_{c} + fn_{c})"
+_SUP = "(tp_{c} + fn_{c})"
+
+MC_SUMMARY_SQL = (
+    "WITH c AS (" + _mc_cte() + ")\n"
+    "SELECT correct / n AS accuracy, "
+    f"(({_m(_PREC,0)} + {_m(_PREC,1)}) + {_m(_PREC,2)}) / 3 AS macro_precision, "
+    f"(({_m(_REC,0)} + {_m(_REC,1)}) + {_m(_REC,2)}) / 3 AS macro_recall, "
+    f"(({_m(_F1,0)} + {_m(_F1,1)}) + {_m(_F1,2)}) / 3 AS macro_f1, "
+    f"(({_m(_F1,0)} * {_m(_SUP,0)} + {_m(_F1,1)} * {_m(_SUP,1)}) + {_m(_F1,2)} * {_m(_SUP,2)}) / n AS weighted_f1 "
+    "FROM c"
+)
+
+
+def a10_pr_curve_ap(spark, sf_dir):
+    return M.pr_curve_with_ap(scored_events(spark, sf_dir), "label", "score")
+
+
+PR_AP_SQL = f"""
+WITH by_s AS (
+  SELECT score AS threshold,
+         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM ({SCORED_SQL}) GROUP BY score
+), curve AS (
+  SELECT threshold,
+    CAST(sum(pos) OVER w AS BIGINT) AS cum_tp,
+    CAST(sum(neg) OVER w AS BIGINT) AS cum_fp,
+    CAST(sum(pos) OVER w AS BIGINT) / CAST(sum(pos) OVER () AS BIGINT) AS recall
+  FROM by_s
+  WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), staged AS (
+  SELECT threshold, recall,
+    cum_tp / (cum_tp + cum_fp) AS precision,
+    ((cum_tp - COALESCE(lag(cum_tp) OVER (ORDER BY threshold DESC), 0))
+      / CAST(max(cum_tp) OVER () AS BIGINT)) * (cum_tp / (cum_tp + cum_fp)) AS contrib
+  FROM curve
+)
+SELECT threshold, precision, recall,
+  round(sum(contrib) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS ap_cum
+FROM staged ORDER BY threshold DESC
+"""
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def agg_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def agg_distinct_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def w5_topk_per_group(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
 def a1_class_distribution(spark, sf_dir):
     return split.class_distribution(load_table(spark, sf_dir, "orders"), "o_orderstatus")
 
@@ -769,6 +934,12 @@ REGISTRY: dict = {
     "a12_roc_curve": (m_roc_curve, ROC_CURVE_SQL),
     "m8_threshold_sweep": (m_threshold_sweep, SWEEP_SQL),
     "a1_class_distribution": (a1_class_distribution, CLASS_DIST_SQL),
+    "a7_multiclass_per_class": (a7_multiclass_per_class, MC_PER_CLASS_SQL),
+    "a7_multiclass_summary": (a7_multiclass_summary, MC_SUMMARY_SQL),
+    "a10_pr_curve_ap": (a10_pr_curve_ap, PR_AP_SQL),
+    "agg_rollup": (agg_rollup, ROLLUP_SQL),
+    "agg_distinct_users": (agg_distinct_users, DISTINCT_USERS_SQL),
+    "w5_topk_per_group": (w5_topk_per_group, TOPK_PER_GROUP_SQL),
     "a14_feature_variance": (a14_variance, VARIANCE_SQL),
     "st_hourly_window": (e_hourly_window, HOURLY_SQL),
     "st_sessionize": (st_sessionize, SESSIONIZE_SQL),

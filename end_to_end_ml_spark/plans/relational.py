@@ -59,13 +59,13 @@ def q3_top_unshipped_orders(spark, sf_dir: str, segment: str = "BUILDING", k: in
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1995-03-15").cast("timestamp")
     revenue = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    # broadcast ONLY the customer dim: orders is a fact table (grows with SF)
+    # and must stay shuffle-joined; Catalyst/AQE picks the strategy for it.
     return (
         li.filter(F.col("l_shipdate") > cutoff)
         .join(
-            F.broadcast(
-                orders.filter(F.col("o_orderdate") < cutoff).join(
-                    F.broadcast(cust), orders.o_custkey == cust.c_custkey
-                )
+            orders.filter(F.col("o_orderdate") < cutoff).join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
