@@ -391,3 +391,55 @@ def column_variance(df: DataFrame, cols) -> DataFrame:
         )
     )
     return long.orderBy("column_name")
+
+
+def roc_auc_ovr(df: DataFrame, label_col: str, score_cols: dict) -> DataFrame:
+    """A8: one-vs-rest ROC-AUC per class + macro average
+    (reference evaluator.py:1056-1070, roc_auc_score(multi_class="ovr",
+    average="macro")). ``score_cols`` maps class value -> its score column.
+
+    Same scalable shape as :func:`roc_auc` — stack the K binary problems,
+    reduce to per-(class, distinct score) counts, one window partitioned by
+    class (touches |classes|·|distinct scores| rows, never K·N). The macro
+    row folds the per-class AUCs in explicit sorted-class order, so the
+    double arithmetic matches a fixed-order SQL oracle bit-for-bit."""
+    keys = sorted(score_cols, key=str)
+    stacked = None
+    for cls in keys:
+        part = df.select(
+            F.lit(str(cls)).alias("class"),
+            (F.col(label_col) == cls).cast("long").alias("y"),
+            F.col(score_cols[cls]).alias("s"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    by_score = stacked.groupBy("class", "s").agg(
+        F.sum("y").alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"),
+    )
+    w = (
+        Window.partitionBy("class")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = by_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    # every u term is an exact multiple of 0.5 (integer counts), so the
+    # per-class sum is order-independent in double; one final division
+    per_class = contrib.groupBy("class").agg(
+        (
+            F.sum(F.col("pos") * (F.col("neg_below") + F.col("neg") / 2))
+            / (F.sum("pos") * F.sum("neg"))
+        ).alias("auc")
+    )
+    pivoted = per_class.agg(
+        *[
+            F.sum(F.when(F.col("class") == str(k), F.col("auc"))).alias(f"__a{i}")
+            for i, k in enumerate(keys)
+        ]
+    )
+    macro = pivoted.select(
+        F.lit("__macro__").alias("class"),
+        (sum_fold([F.col(f"__a{i}") for i in range(len(keys))]) / len(keys)).alias("auc"),
+    )
+    return per_class.unionByName(macro).orderBy("class")

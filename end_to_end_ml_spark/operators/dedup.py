@@ -286,3 +286,92 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= τ),
+    exact: every dot product runs as a JVM array expression (zip_with +
+    aggregate in double — no Python). Quadratic in candidates, so this is
+    the verification / small-set path; ``embedding_near_dup_lsh`` is the
+    100 TB path (bucketed candidates, never a cross join)."""
+    from .similarity import _dot, _norm
+
+    n = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    a = n.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = n.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH banding (reusing the
+    similarity module's deterministic hyperplanes) generates candidates by
+    an equi-join on (band, bucket); the exact cosine filter then verifies.
+    Shuffle volume is O(N · bands), never O(N²); recall is tunable via
+    bands/planes (cosine >= τ pairs agree on a 4-bit band w.h.p. for τ
+    near 1)."""
+    from .similarity import _dot, _hyperplanes, _norm
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    r = n_planes // bands
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "sig",
+        F.transform(plane_arr, lambda p: (_dot(p, F.col("vec")) >= 0).cast("int")),
+    )
+    banded = base.select(
+        "id",
+        "vec",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.concat_ws("", F.slice(F.col("sig"), j * r + 1, r)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    cands = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .distinct()
+    )
+    sim = F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+    return (
+        cands.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -197,3 +197,20 @@ class PrepPipeline:
         for step in self.steps:
             df = df.transform(step)
         return df
+
+
+def validate_request_schema(
+    expected_cols: Sequence[str], record: dict, pk_col: str | None = None
+) -> dict:
+    """P12: serving-request schema validation (reference api_server.py:96-133
+    → HTTP 422). Driver-side set diff of a JSON record's keys against the
+    model's expected feature names; the pk column is allowed but not
+    required. Returns {"missing": [...], "unexpected": [...]} — empty lists
+    mean the record is valid."""
+    expected = set(expected_cols)
+    got = set(record)
+    allowed = expected | ({pk_col} if pk_col else set())
+    return {
+        "missing": sorted(expected - got),
+        "unexpected": sorted(got - allowed),
+    }

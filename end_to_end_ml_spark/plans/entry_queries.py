@@ -906,6 +906,170 @@ def _ml_scores(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A8 one-vs-rest macro AUC; set ops; anti join; cube; Q10; embedding dedup
+# ---------------------------------------------------------------------------
+
+_OVR_MULT = (37, 59, 83)  # per-class pseudo-score multipliers (exact k/1024)
+
+
+def a8_auc_ovr(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        (F.col("event_id") % 3).cast("int").alias("y"),
+        *[
+            (((F.col("event_id") * m) % 1024) / F.lit(1024.0)).alias(f"s{i}")
+            for i, m in enumerate(_OVR_MULT)
+        ],
+    )
+    return M.roc_auc_ovr(df, "y", {0: "s0", 1: "s1", 2: "s2"})
+
+
+AUC_OVR_SQL = """
+WITH base AS (
+  SELECT CAST(event_id % 3 AS INTEGER) AS y,
+         ((event_id * 37) % 1024) / 1024.0 AS s0,
+         ((event_id * 59) % 1024) / 1024.0 AS s1,
+         ((event_id * 83) % 1024) / 1024.0 AS s2
+  FROM events
+), stacked AS (
+  SELECT '0' AS class, CASE WHEN y = 0 THEN 1 ELSE 0 END AS yy, s0 AS s FROM base
+  UNION ALL SELECT '1', CASE WHEN y = 1 THEN 1 ELSE 0 END, s1 FROM base
+  UNION ALL SELECT '2', CASE WHEN y = 2 THEN 1 ELSE 0 END, s2 FROM base
+), by_s AS (
+  SELECT class, s, CAST(sum(yy) AS BIGINT) AS pos, CAST(sum(1 - yy) AS BIGINT) AS neg
+  FROM stacked GROUP BY class, s
+), contrib AS (
+  SELECT class, pos, neg,
+         COALESCE(sum(neg) OVER (PARTITION BY class ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM by_s
+), per_class AS (
+  SELECT class, sum(pos * (neg_below + neg / 2)) / (sum(pos) * sum(neg)) AS auc
+  FROM contrib GROUP BY class
+)
+SELECT class, auc FROM per_class
+UNION ALL
+SELECT '__macro__' AS class,
+       ((max(CASE WHEN class = '0' THEN auc END)
+         + max(CASE WHEN class = '1' THEN auc END))
+         + max(CASE WHEN class = '2' THEN auc END)) / 3 AS auc
+FROM per_class
+ORDER BY class
+"""
+
+
+def d5_embedding_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+D5_EMB_DUP_SQL = """
+WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (x, y) -> x + y)) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def d6_embedding_near_dup_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, dim=64
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def agg_cube(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+ORDER BY c_custkey
+"""
+
+
+def j5_customers_without_orders(spark, sf_dir):
+    """Left-anti join (customers with no 1995 order): both sides grow with
+    SF, so this is a shuffled anti join on the customer key (no broadcast);
+    the orders side is filtered + pre-projected to the join key only before
+    the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.filter(F.year("o_orderdate") == 1995).select("o_custkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY o_custkey
+"""
+
+
+def set1_repeat_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96).orderBy("o_custkey")
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -956,4 +1120,11 @@ REGISTRY: dict = {
     "sim1_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim2_lsh_topk": (sim_lsh_topk, None),  # approximate: verified by recall test
     "ml1_logreg_validation_scores": (_ml_scores, None),  # MLlib fit: rows-only
+    "a8_auc_ovr_macro": (a8_auc_ovr, AUC_OVR_SQL),
+    "d5_embedding_near_dup": (d5_embedding_near_dup, D5_EMB_DUP_SQL),
+    "d6_embedding_near_dup_lsh": (d6_embedding_near_dup_lsh, None),  # LSH subset: recall test
+    "agg_cube": (agg_cube, CUBE_SQL),
+    "j5_customers_without_orders": (j5_customers_without_orders, ANTI_JOIN_SQL),
+    "set1_repeat_customers": (set1_repeat_customers, INTERSECT_SQL),
+    "q10_returned_items": (R.q10_returned_items, Q10_SQL),
 }

@@ -149,3 +149,32 @@ def latest_order_per_customer(spark, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .orderBy("o_custkey")
     )
+
+
+def q10_returned_items(spark, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10-style: top-k customers by revenue lost to returns in a
+    quarter. Plan shape for 100 TB: the date predicate is pushed into the
+    orders scan (row-group pruning), lineitem⋈orders and orders⋈customer
+    shuffle on their keys (both sides grow with SF — AQE picks the
+    strategy), and only the tiny nation dim is broadcast. The top-k is a
+    TakeOrderedAndProject — no global sort materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1995-10-01").cast("timestamp")
+    hi = F.lit("1996-01-01").cast("timestamp")
+    revenue = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )

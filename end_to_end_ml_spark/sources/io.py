@@ -63,3 +63,10 @@ def ingest_json_records(spark: SparkSession, records, schema) -> DataFrame:
     if isinstance(records, dict):
         records = [records]
     return spark.createDataFrame(records, schema=schema)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV sink (reference S6: Optuna trials log, study_logger.py:43-50).
+    Tiny driver-adjacent tables (trial logs, metric frames) — still written
+    through the distributed writer so the same call works at any size."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

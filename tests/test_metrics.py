@@ -143,3 +143,26 @@ def test_column_variance_matches_numpy(spark):
     b = np.array([d[1] for d in data])
     assert out["a"] == pytest.approx(a.var(ddof=1), rel=1e-9)
     assert out["b"] == pytest.approx(b.var(ddof=1), rel=1e-9)
+
+
+def test_roc_auc_ovr_matches_binary(spark):
+    """Per-class OVR AUC must equal the binary AUC of each one-vs-rest
+    problem, and macro = explicit-order mean."""
+    import random
+
+    from end_to_end_ml_spark.functions import metrics as M
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(3), rng.randrange(64) / 64, rng.randrange(64) / 64, rng.randrange(64) / 64)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["y", "s0", "s1", "s2"])
+    out = {r["class"]: r["auc"] for r in M.roc_auc_ovr(df, "y", {0: "s0", 1: "s1", 2: "s2"}).collect()}
+    aucs = []
+    for c, sc in [(0, "s0"), (1, "s1"), (2, "s2")]:
+        bin_df = df.selectExpr(f"CASE WHEN y = {c} THEN 1 ELSE 0 END AS yy", f"{sc} AS s")
+        expected = M.roc_auc(bin_df, "yy", "s").collect()[0]["roc_auc"]
+        assert out[str(c)] == expected
+        aucs.append(expected)
+    assert out["__macro__"] == ((aucs[0] + aucs[1]) + aucs[2]) / 3

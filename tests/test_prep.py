@@ -88,3 +88,14 @@ def test_prep_pipeline_order_and_insert(spark):
     pipe.add_step(lambda d: prep.blanks_to_null(d), position=0)
     out = pipe.run(df).collect()
     assert [r["c"] for r in out] == [None, None]
+
+
+def test_validate_request_schema():
+    from end_to_end_ml_spark.operators.prep import validate_request_schema
+
+    expected = ["BMI", "Age", "Smoker"]
+    ok = validate_request_schema(expected, {"BMI": 1, "Age": 2, "Smoker": 0, "ID": 9}, pk_col="ID")
+    assert ok == {"missing": [], "unexpected": []}
+    bad = validate_request_schema(expected, {"BMI": 1, "Extra": 5})
+    assert bad["missing"] == ["Age", "Smoker"]
+    assert bad["unexpected"] == ["Extra"]

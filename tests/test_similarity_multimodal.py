@@ -79,3 +79,44 @@ def test_sample_frames_shape(spark):
     assert len(rows) == 4
     assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
     assert all(len(r["frame_bytes"]) == 16 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (dedup d5/d6)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_near_dup_pairs(spark, vecs):
+    from end_to_end_ml_spark.operators import dedup
+
+    out = dedup.embedding_near_dup_pairs(vecs, "vec_id", "embedding", threshold=0.9)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2), (3, 4)}  # the two near-parallel pairs
+
+
+def test_embedding_near_dup_symmetric_canonical(spark, vecs):
+    from end_to_end_ml_spark.operators import dedup
+
+    out = dedup.embedding_near_dup_pairs(vecs, "vec_id", "embedding", threshold=-1.1)
+    rows = out.collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert len(rows) == 10  # C(5,2): every unordered pair exactly once
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark, vecs):
+    from end_to_end_ml_spark.operators import dedup
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            vecs, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_lsh(
+            vecs, "vec_id", "embedding", threshold=0.5, n_planes=8, bands=4, dim=3
+        ).collect()
+    }
+    assert approx <= exact
+    assert (1, 2) in approx  # near-identical vectors always share a bucket
