@@ -20,6 +20,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives in
+    fewer partitions (e.g. one small parquet file). The hash/shingle operators
+    below are CPU-bound per row, so their wall time scales with partition
+    count, not bytes — a cheap round-robin shuffle of the raw text beats
+    running 64-hash signatures on one core. On a real cluster reading many
+    files this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -100,7 +113,7 @@ def ngram_jaccard_pairs(
     """All pairs with character-n-gram Jaccard >= threshold, blocked by
     ``block_cols`` (e.g. language) and a length band to avoid the full
     cross-join. Output: (id_a, id_b, jaccard_sim), id_a < id_b."""
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         char_shingles(text_col, n).alias("sh"),
@@ -151,27 +164,11 @@ def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_size: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    seed: int = 42,
-) -> DataFrame:
-    """Candidate near-dup pairs via banding: split the signature into
-    ``bands`` bands of r=num_hashes/bands rows; docs sharing any band hash
-    are candidates. One explode (b rows/doc) + one groupBy — no cross-join.
-    Output: distinct (id_a, id_b), id_a < id_b."""
-    assert num_hashes % bands == 0
+def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Banding over a (id, sig) frame: docs sharing any band hash are
+    candidates. One explode (b rows/doc) + one equi-join on the band key —
+    no cross-join. Output: distinct (id_a, id_b), id_a < id_b."""
     r = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(char_shingles(text_col, shingle_size), num_hashes, seed).alias(
-            "sig"
-        ),
-    )
     banded = sig.select(
         "id",
         F.explode(
@@ -196,6 +193,26 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding (see _band_candidates)."""
+    assert num_hashes % bands == 0
+    sig = _spread(df).select(
+        F.col(id_col).alias("id"),
+        minhash_signature(char_shingles(text_col, shingle_size), num_hashes, seed).alias(
+            "sig"
+        ),
+    )
+    return _band_candidates(sig, num_hashes, bands)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -205,17 +222,53 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    estimator_margin: float = 0.15,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup: candidates from banding, verified with
-    exact n-gram Jaccard (shingles joined back only for candidates)."""
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, shingle_size, num_hashes, bands, seed
+    """Full MinHash-LSH near-dup: banding generates candidates, the MinHash
+    estimator (fraction of agreeing signature components, unbiased for
+    Jaccard) prunes them, and exact n-gram Jaccard verifies only the
+    survivors.
+
+    The estimator pass is the scale lever: banding with r = num_hashes/bands
+    tuned for the target threshold still passes ~s^r of *random* pairs, and
+    on corpora with high background similarity that candidate set is large.
+    Comparing the two 64-long signatures (already computed, persisted, tiny)
+    costs O(num_hashes) per pair vs O(|shingle set|) for exact Jaccard; the
+    margin (~2.5σ of the binomial estimator at n=64) keeps false prunes
+    rare. Signatures persist across the two uses (candidates + estimator) —
+    at 100 TB they are ~1000× smaller than the text."""
+    assert num_hashes % bands == 0
+    sig = _spread(df).select(
+        F.col(id_col).alias("id"),
+        minhash_signature(char_shingles(text_col, shingle_size), num_hashes, seed).alias(
+            "sig"
+        ),
     )
-    sh = df.select(
+    sig.persist()
+    cands = _band_candidates(sig, num_hashes, bands)
+    est = (
+        cands.join(
+            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+        )
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "est_sim",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda b: b,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_sim") >= threshold - estimator_margin)
+        .select("id_a", "id_b")
+    )
+    sh = _spread(df).select(
         F.col(id_col).alias("id"), char_shingles(text_col, shingle_size).alias("sh")
     )
     return (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        est.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
@@ -301,24 +354,43 @@ def embedding_near_dup_pairs(
     round_digits: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= τ),
-    exact: every dot product runs as a JVM array expression (zip_with +
-    aggregate in double — no Python). Quadratic in candidates, so this is
-    the verification / small-set path; ``embedding_near_dup_lsh`` is the
-    100 TB path (bucketed candidates, never a cross join)."""
-    from .similarity import _dot, _norm
+    exact. Executed as a broadcast matmul: the full embedding matrix is
+    broadcast once, each Arrow batch of rows does one BLAS multiply against
+    it (vectorized — no per-pair expression evaluation). Quadratic in
+    comparisons, so this is the verification / small-set path;
+    ``embedding_near_dup_lsh`` is the 100 TB path (bucketed candidates,
+    never an all-pairs compare)."""
+    import numpy as np
+    import pandas as pd
 
-    n = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
-        "nrm", _norm(F.col("vec"))
-    )
-    a = n.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
-    b = n.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
-    sim = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    spark = df.sparkSession
+    cand = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids_all = np.array([r[0] for r in cand], dtype=np.int64)
+    m_all = np.array([list(r[1]) for r in cand], dtype=np.float64)
+    norm_all = np.sqrt((m_all * m_all).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_all, m_all, norm_all))
+
+    def gen(batches):
+        ids, m, mnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = np.round((q @ m.T) / np.outer(qn, mnorm), round_digits)
+            qids = pdf["__id"].to_numpy(dtype=np.int64)
+            # id_a < id_b canonical orientation: each row emits only pairs
+            # with the larger partner id, so every pair appears exactly once
+            hit = (cos >= threshold) & (ids[None, :] > qids[:, None])
+            ai, bj = np.nonzero(hit)
+            yield pd.DataFrame(
+                {"id_a": qids[ai], "id_b": ids[bj], "cosine_sim": cos[ai, bj]}
+            )
+
+    base = _spread(df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")))
+    return base.mapInPandas(
+        gen, "id_a long, id_b long, cosine_sim double"
+    ).orderBy("id_a", "id_b")
 
 
 def embedding_near_dup_lsh(
@@ -344,7 +416,7 @@ def embedding_near_dup_lsh(
     planes = _hyperplanes(dim, n_planes, seed)
     plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
     r = n_planes // bands
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+    base = _spread(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
         "sig",
         F.transform(plane_arr, lambda p: (_dot(p, F.col("vec")) >= 0).cast("int")),
     )

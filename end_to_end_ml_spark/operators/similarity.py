@@ -20,6 +20,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -53,28 +55,54 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector (queries default to the
     whole table; self-matches excluded). Output: (query_id, neighbor_id,
-    cosine_sim) with deterministic tie-break on neighbor id."""
-    base = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).withColumn(
-        "nnorm", _norm(F.col("nvec"))
+    cosine_sim) with deterministic tie-break on neighbor id.
+
+    Execution: the candidate side is broadcast as one dense float64 matrix;
+    each Arrow batch of query rows computes a single BLAS matmul against it
+    inside ``mapInPandas`` (vectorized — orders of magnitude faster than
+    per-pair expression evaluation of the dot product). At 100 TB the same
+    shape holds with the candidate matrix chunked to broadcast-sized blocks
+    and a running top-k merge per query partition; for corpus-scale
+    candidates use :func:`lsh_topk` instead."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cand = df.select(F.col(id_col), F.col(vec_col)).collect()
+    cand_ids = np.array([r[0] for r in cand], dtype=np.int64)
+    cand_m = np.array([list(r[1]) for r in cand], dtype=np.float64)
+    cand_norm = np.sqrt((cand_m * cand_m).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cand_ids, cand_m, cand_norm))
+
+    def gen(batches):
+        ids, m, mnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = (q @ m.T) / np.outer(qn, mnorm)
+            if round_digits is not None:
+                cos = np.round(cos, round_digits)
+            qids = pdf["__id"].to_numpy(dtype=np.int64)
+            out_q, out_n, out_c = [], [], []
+            for i in range(len(qids)):
+                mask = ids != qids[i]
+                nid, row = ids[mask], cos[i][mask]
+                order = np.lexsort((nid, -row))[:k]
+                out_q.extend([qids[i]] * len(order))
+                out_n.extend(nid[order])
+                out_c.extend(row[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_c}
+            )
+
+    q = (query_df if query_df is not None else df).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     )
-    q = (query_df or df).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
-    ).withColumn("qnorm", _norm(F.col("qvec")))
-    sim = _dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
-    if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    pairs = q.join(base, F.col("qid") != F.col("nid")).select(
-        "qid", "nid", sim.alias("cosine_sim")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("nid"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            "cosine_sim",
-        )
+        _spread(q)
+        .mapInPandas(gen, "query_id long, neighbor_id long, cosine_sim double")
         .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
     )
 
@@ -117,7 +145,7 @@ def lsh_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
     r = n_planes // bands
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+    base = _spread(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
         "sig",
         F.transform(plane_arr, lambda p: (_dot(p, F.col("vec")) >= 0).cast("int")),
     )

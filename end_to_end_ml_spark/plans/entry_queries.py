@@ -734,15 +734,19 @@ SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keeper_id,
 FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keeper_id
 """
 
+# 5-gram shingles: this corpus has a small shingle vocabulary, so 3-gram
+# Jaccard between *random* doc pairs averages ~0.45 (near-dup threshold 0.5
+# would mark 40% of all pairs); 5-grams separate random (~0.17 avg) from
+# true near-dups cleanly AND keep LSH buckets small (no quadratic blowup).
 _SHINGLE_SQL = (
-    "list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text)-2, 1)+1)])"
+    "list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)])"
 )
 
 
 def d_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.6, block_cols=("lang",), length_band=50
+        docs, "doc_id", "text", n=5, threshold=0.6, block_cols=("lang",), length_band=50
     )
 
 
@@ -761,7 +765,9 @@ ORDER BY id_a, id_b
 
 def d_minhash_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.6)
+    return dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.6, shingle_size=5
+    )
 
 
 def d_simhash_pairs(spark, sf_dir):

@@ -123,3 +123,18 @@ MODEL_BUILDERS = {
     "random_forest": random_forest,
     "gradient_boosting": gradient_boosting,
 }
+
+
+def feature_importances(model, feature_names: list[str]) -> list[tuple[str, float]]:
+    """M10: per-feature importance extraction (reference evaluator.py:109-205)
+    — LR |coefficients|, tree/GBT featureImportances; returns [] for models
+    exposing neither (the reference skips its voting ensemble the same way).
+    Pair with ``recover_feature_names`` (F7) for post-OHE names."""
+    stage = getattr(model, "stages", [model])[-1]
+    if hasattr(stage, "featureImportances"):
+        vals = stage.featureImportances.toArray().tolist()
+    elif hasattr(stage, "coefficients"):
+        vals = [abs(v) for v in stage.coefficients.toArray().tolist()]
+    else:
+        return []
+    return list(zip(feature_names, vals))
