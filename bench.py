@@ -28,15 +28,19 @@ HEADLINE = [
     "q3_top_orders",
     "q4_order_priority",
     "q5_supplier_volume",
+    "q10_returned_items",
     "w4_running_total",
     "p6_latest_order_per_customer",
     "t1_stratified_split",
     "s3_pit_join",
     "a6_roc_auc",
+    "a8_auc_ovr_macro",
     "a12_roc_curve",
     "a13_lift_gains",
     "m8_threshold_sweep",
     "st_hourly_window",
+    "sim1_topk_bruteforce",
+    "d4_simhash_pairs",
 ]
 
 

@@ -1075,6 +1075,95 @@ LIMIT 20
 """
 
 
+def f8_label_index(spark, sf_dir):
+    """F8 parity: a real MLlib StringIndexer(alphabetAsc) fit+transform,
+    whose output is SQL-checkable because alphabetical ordering makes the
+    index a dense rank over sorted labels (the sklearn LabelEncoder
+    contract, SURVEY §2.7 F8)."""
+    from pyspark.ml.feature import StringIndexer
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = StringIndexer(
+        inputCol="lang", outputCol="lang_idx", stringOrderType="alphabetAsc"
+    ).fit(docs)
+    return (
+        model.transform(docs)
+        .select("doc_id", "lang", F.col("lang_idx").cast("int").alias("lang_idx"))
+        .orderBy("doc_id")
+    )
+
+
+F8_SQL = """
+SELECT doc_id, lang, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS INTEGER) AS lang_idx
+FROM documents ORDER BY doc_id
+"""
+
+
+def f4_infrequent_collapse(spark, sf_dir):
+    """F4(a-b): fitted infrequent-category collapse (OneHotEncoder
+    min_frequency semantics, data.py:109-119) — frequent iff
+    count >= minFrequency·n."""
+    from ..features.pipeline import InfrequentCollapser
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = InfrequentCollapser(inputCols=["source"], minFrequency=0.05).fit(docs)
+    return (
+        model.transform(docs)
+        .select("doc_id", F.col("source").alias("source_collapsed"))
+        .orderBy("doc_id")
+    )
+
+
+F4_SQL = """
+WITH n AS (SELECT count(*) AS total FROM documents),
+freq AS (SELECT source, count(*) AS c FROM documents GROUP BY source)
+SELECT doc_id,
+  CASE WHEN c >= 0.05 * total THEN d.source ELSE '__infrequent__' END AS source_collapsed
+FROM documents d JOIN freq USING (source), n
+ORDER BY doc_id
+"""
+
+
+def f3_cat_impute(spark, sf_dir):
+    """F3: constant-fill categorical imputer over deterministically-nulled
+    input (the testdata has no natural nulls)."""
+    from ..features.pipeline import CategoricalImputer
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("source")),
+    )
+    return (
+        CategoricalImputer(inputCols=["source"])
+        .transform(docs)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+F3_SQL = """
+SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'Unspecified' ELSE source END AS source
+FROM documents ORDER BY doc_id
+"""
+
+
+def a3_imbalance(spark, sf_dir):
+    sc = scored_events(spark, sf_dir)
+    return sc.agg(
+        (
+            F.sum((F.col("label") == 0).cast("long"))
+            / F.sum((F.col("label") == 1).cast("long"))
+        ).alias("imbalance_ratio")
+    )
+
+
+A3_SQL = f"""
+SELECT CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+     / CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS imbalance_ratio
+FROM ({SCORED_SQL})
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1133,4 +1222,8 @@ REGISTRY: dict = {
     "j5_customers_without_orders": (j5_customers_without_orders, ANTI_JOIN_SQL),
     "set1_repeat_customers": (set1_repeat_customers, INTERSECT_SQL),
     "q10_returned_items": (R.q10_returned_items, Q10_SQL),
+    "f8_label_index": (f8_label_index, F8_SQL),
+    "f4_infrequent_collapse": (f4_infrequent_collapse, F4_SQL),
+    "f3_cat_impute": (f3_cat_impute, F3_SQL),
+    "a3_imbalance_ratio": (a3_imbalance, A3_SQL),
 }
