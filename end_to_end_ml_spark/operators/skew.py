@@ -1,0 +1,73 @@
+"""Skew-handling operators for 100 TB shuffles.
+
+Spark already handles two big classes of skew without help:
+- algebraic aggregations (sum/count/avg/min/max) do map-side partial
+  aggregation, so a skewed groupBy key never concentrates raw rows;
+- AQE splits oversized shuffle partitions for sort-merge joins
+  (``spark.sql.adaptive.skewJoin.enabled``, on in our session factory).
+
+What still needs manual treatment:
+- **skewed joins where AQE can't help** (e.g. the skewed side feeds other
+  operators that pin the partitioning, or broadcast is impossible because
+  the dim side is mid-sized): salt the fact side, replicate the dim side;
+- **holistic aggregations** (collect_list/collect_set/percentile over a hot
+  key): two-stage salt → merge.
+
+Both transforms are *plan rewrites that preserve semantics exactly*, so they
+are DuckDB-oracle-checkable — the salted plan must produce bit-identical
+results to the naive plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the fact side's hot keys spread over ``salt_buckets``
+    shuffle partitions: fact rows get a deterministic salt (hash of the
+    whole row modulo S — reproducible, no rand()), dim rows are replicated
+    S times. The join key becomes (key, salt), so one hot key occupies S
+    partitions instead of one. Shuffle volume: fact unchanged, dim ×S —
+    the right trade when dim ≪ fact but too big to broadcast."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
+    )
+    return f.join(d, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def salted_collect_list(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    salt_buckets: int = 16,
+    sort_result: bool = True,
+) -> DataFrame:
+    """Holistic aggregation (collect_list) under key skew: stage 1 collects
+    per (key, salt) — bounded partition payloads — stage 2 flattens the at
+    most S partial lists per key. With ``sort_result`` the final array is
+    sorted, making the output deterministic and engine-comparable."""
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.collect_list(value_col).alias("__part"))
+    )
+    merged = partial.groupBy(*key_cols).agg(
+        F.flatten(F.collect_list("__part")).alias(value_col + "s")
+    )
+    if sort_result:
+        merged = merged.withColumn(value_col + "s", F.array_sort(F.col(value_col + "s")))
+    return merged

@@ -1164,6 +1164,57 @@ FROM ({SCORED_SQL})
 """
 
 
+def skew1_salted_join_agg(spark, sf_dir):
+    """Salted fact⋈dim join on a 5-value (maximally hot) key — the salted
+    plan must produce results bit-identical to the naive join, which is what
+    the oracle checks."""
+    from ..operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.min("event_id").alias("type_first_id"))
+    joined = skew.salted_join(
+        ev.select("event_id", "event_type", "value"), dim, "event_type", salt_buckets=8
+    )
+    return (
+        joined.groupBy("event_type", "type_first_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKEW_JOIN_SQL = """
+WITH dim AS (SELECT event_type, min(event_id) AS type_first_id FROM events GROUP BY event_type)
+SELECT e.event_type, d.type_first_id, count(*) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type, d.type_first_id
+ORDER BY e.event_type
+"""
+
+
+def skew2_salted_collect(spark, sf_dir):
+    """Two-stage salted collect_list (holistic agg under skew), sorted for
+    determinism."""
+    from ..operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        skew.salted_collect_list(
+            ev.select("event_type", "event_id"), ["event_type"], "event_id", 8
+        )
+        .orderBy("event_type")
+    )
+
+
+SKEW_COLLECT_SQL = """
+SELECT event_type, list(event_id ORDER BY event_id) AS event_ids
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1226,4 +1277,6 @@ REGISTRY: dict = {
     "f4_infrequent_collapse": (f4_infrequent_collapse, F4_SQL),
     "f3_cat_impute": (f3_cat_impute, F3_SQL),
     "a3_imbalance_ratio": (a3_imbalance, A3_SQL),
+    "skew1_salted_join_agg": (skew1_salted_join_agg, SKEW_JOIN_SQL),
+    "skew2_salted_collect": (skew2_salted_collect, SKEW_COLLECT_SQL),
 }

@@ -1,0 +1,63 @@
+"""Scale-machinery tests: salting preserves semantics; bucketing removes the
+join shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.operators import skew
+from end_to_end_ml_spark.sources.io import write_bucketed
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)],
+        ["id", "key", "v"],
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], ["key", "attr"])
+    salted = skew.salted_join(fact, dim, "key", salt_buckets=4)
+    plain = fact.join(dim, "key")
+    assert salted.count() == plain.count() == 1000
+    s = salted.groupBy("key", "attr").agg(F.sum("v").alias("sv")).collect()
+    p = plain.groupBy("key", "attr").agg(F.sum("v").alias("sv")).collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, p))
+
+
+def test_salted_join_left_rows_not_duplicated(spark):
+    fact = spark.createDataFrame([(i, "k") for i in range(100)], ["id", "key"])
+    dim = spark.createDataFrame([("k", 9)], ["key", "attr"])
+    out = skew.salted_join(fact, dim, "key", salt_buckets=8)
+    assert out.select("id").distinct().count() == 100
+    assert out.count() == 100
+
+
+def test_salted_collect_list_sorted_exact(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(5)], ["k", "v"]
+    )
+    out = {r["k"]: r["vs"] for r in skew.salted_collect_list(df, ["k"], "v", 4).collect()}
+    assert out["a"] == list(range(50))
+    assert out["b"] == list(range(5))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    left = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "t_bleft", ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(right, "t_bright", ["k"], num_buckets=4, sort_cols=["k"])
+    try:
+        joined = (
+            spark.table("t_bleft")
+            .hint("merge")
+            .join(spark.table("t_bright").hint("merge"), "k")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
