@@ -140,3 +140,38 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def stateful_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running totals carried across micro-batches — semantics the
+    built-in windowed aggregations can't express (an ever-growing cumulative
+    re-emitted on every batch, in ``update`` mode).
+
+    Scale shape: state is one tiny (n, total) tuple per user key, partitioned
+    by user across executors; each micro-batch touches only the users present
+    in that batch. Arrow-batched pandas transfer, no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, n_events long, total_value double",
+            "n long, total double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -111,3 +111,29 @@ def test_sessionize_batch_gap_splits(spark):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(per_user[100]) == [1, 2]
     assert per_user[200] == [1]
+
+
+def test_stateful_user_totals_matches_batch(spark, tmp_path):
+    """The custom applyInPandasWithState operator's final per-user state must
+    equal the batch aggregate over the same input."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_ml_spark.sources import load_table
+    from end_to_end_ml_spark.streaming import events as SE
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = SE.read_event_stream(spark, sf_dir)
+    SE.run_to_memory(SE.stateful_user_totals(stream), "t_state", output_mode="update")
+    # update mode re-emits per batch; the last emission per user is the total
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("t_state").collect()
+    }
+    batch = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv")
+    )
+    expected = {r["user_id"]: (r["n"], r["tv"]) for r in batch.collect()}
+    assert set(got) == set(expected)
+    for uid, (n, tv) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - tv) < 1e-6

@@ -1,0 +1,93 @@
+"""End-to-end smoke (the reference's test_pipeline_smoke.py pattern,
+SURVEY §5): train → calibrate(prefit) → tune threshold → register with
+sidecar → reload → batch-score with the persisted threshold."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.features import calibrate as C
+from end_to_end_ml_spark.features import pipeline as FP
+from end_to_end_ml_spark.functions import metrics as M
+from end_to_end_ml_spark.operators import split
+from end_to_end_ml_spark.plans.ml_pipeline import order_training_frame
+from end_to_end_ml_spark.train import models as MZ
+from end_to_end_ml_spark.train import workflow as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_e2e_train_calibrate_serve_roundtrip(spark, tmp_path):
+    df = order_training_frame(spark, SF_DIR)
+    splits = split.train_valid_calib_test(df, "label", "o_orderkey")
+    train, valid, calib, test = (
+        splits["train"],
+        splits["validation"],
+        splits["calibration"],
+        splits["test"],
+    )
+    split.validate_disjoint(splits, ["o_orderkey"])
+
+    stages = FP.build_preprocessing_stages(
+        numeric_cols=["c_acctbal"],
+        categorical_cols=["o_orderpriority", "c_mktsegment"],
+        variance_threshold=0.0,
+    )
+    fitted = FP.build_full_pipeline(stages, MZ.logistic_regression(max_iter=20)).fit(
+        train
+    )
+
+    # E1: validation metrics are sane
+    metrics = W.evaluate_binary(fitted.transform(valid))
+    assert 0.0 <= metrics["roc_auc"] <= 1.0
+    assert 0.0 <= metrics["fbeta"] <= 1.0
+
+    # M6/M8: calibrate on the calibration split only; tune the threshold there
+    calib_scored = C.positive_probability(fitted.transform(calib))
+    calibrator = C.calibrate_prefit(calib_scored, "pos_proba", "label")
+    thr = M.best_threshold(calib_scored, "label", "pos_proba", beta=0.5)
+    assert 0.0 < thr < 1.0
+
+    # E6/S8: register champion + sidecar; I3: reload through the fallback path
+    model_path = os.path.join(str(tmp_path), "champion")
+    W.register_champion(fitted, model_path, thr, pos_index=1, metrics=metrics)
+    reloaded = W.load_model_with_fallback(spark, model_path)
+    sidecar = C.read_serving_sidecar(os.path.join(model_path, "serving_metadata.json"))
+    assert sidecar["decision_threshold"] == thr
+    assert sidecar["encoded_pos_class_label"] == 1
+
+    # I1: batch scoring from parquet with the persisted threshold
+    inp = os.path.join(str(tmp_path), "inference_in")
+    test.drop("label").write.parquet(inp)
+    out = W.batch_score(
+        spark,
+        reloaded,
+        inp,
+        decision_threshold=sidecar["decision_threshold"],
+        pos_index=sidecar["encoded_pos_class_label"],
+    )
+    rows = out.select("predicted_probability", "prediction").collect()
+    assert len(rows) == test.count() > 0
+    for r in rows:
+        assert r["prediction"] == int(r["predicted_probability"] >= thr)
+
+    # the reloaded model scores identically to the in-memory one
+    a = sorted(
+        (r["o_orderkey"], round(r["predicted_probability"], 9)) for r in out.collect()
+    )
+    direct = C.positive_probability(fitted.transform(spark.read.parquet(inp)))
+    b = sorted(
+        (r["o_orderkey"], round(r["pos_proba"], 9))
+        for r in direct.select("o_orderkey", "pos_proba").collect()
+    )
+    assert a == b
+
+    # M6 calibrator applies cleanly to new data
+    cal_out = calibrator.transform(
+        C.positive_probability(reloaded.transform(test)), "pos_proba"
+    )
+    assert cal_out.filter(
+        (F.col("calibrated_proba") < 0) | (F.col("calibrated_proba") > 1)
+    ).count() == 0
