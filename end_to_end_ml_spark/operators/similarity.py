@@ -1,16 +1,17 @@
 """Similarity search over embedding columns (array<float>).
 
-- ``brute_force_topk``: exact cosine top-k. The dot products run as JVM
-  array expressions (zip_with + aggregate in double) — no Python, no UDF.
-  Quadratic in candidates, so it is the *verification* path and the
-  small-query-set path.
-- ``lsh_topk``: the scale path — random-hyperplane (sign) LSH buckets with
-  multi-probe via banding; only vectors sharing a bucket are compared.
-  Hyperplanes are derived deterministically from a seed so results are
-  reproducible across runs/cluster sizes.
+- ``brute_force_topk``: exact cosine top-k — broadcast corpus matrix, one
+  BLAS matmul per Arrow batch inside ``mapInPandas``. Quadratic in
+  comparisons, so it is the verification path and the small-candidate path.
+- ``lsh_topk``: random-hyperplane (sign) LSH buckets with banding; only
+  vectors sharing a bucket are compared. Hyperplanes derive
+  deterministically from a seed — reproducible across runs/cluster sizes.
+- ``ivf_topk``: inverted-file index — coarse k-means cells, each query
+  probes its nearest cells and reranks members exactly.
 
-At 100 TB the LSH path shuffles each vector to b band buckets (b ~ 8), never
-cross-joins, and the final per-query top-k is a bounded window.
+At 100 TB: LSH shuffles each vector to b band buckets (b ~ 8) and never
+cross-joins; IVF shards the corpus by cell; brute force chunks the broadcast
+matrix with a running top-k merge.
 """
 
 from __future__ import annotations
@@ -183,5 +184,99 @@ def lsh_topk(
             F.col("nid").alias("neighbor_id"),
             "cosine_sim",
         )
+        .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+    )
+
+
+def _lloyd_centroids(sample, n_centroids: int, iters: int = 10):
+    """Deterministic driver-side Lloyd iterations on a sample (numpy): the
+    coarse quantizer for IVF. Init = first n_centroids sample rows (sample
+    order is deterministic: sorted by id)."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    cent = x[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    partitions the corpus into ``n_centroids`` cells; each query probes its
+    ``n_probe`` nearest cells and reranks only those members exactly.
+
+    Scale shape: the quantizer fits on a driver-side sample (deterministic:
+    ids ≡ 0 mod ``sample_mod``, sorted); cell assignment + rerank run as
+    Arrow-batched matmuls in ``mapInPandas`` against the broadcast corpus
+    matrix restricted per query to its probed cells — compute per query is
+    N·(n_probe/n_centroids) dot products instead of N. At corpus sizes
+    beyond broadcast, the same structure shards the corpus matrix by cell
+    over executors (candidates join on cell id)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .filter((F.col(id_col) % sample_mod) == 0)
+        .orderBy(id_col)
+        .collect()
+    )
+    all_rows = (
+        rows
+        if sample_mod == 1
+        else df.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).collect()
+    )
+    sample_m = [list(r[1]) for r in rows]
+    cent = _lloyd_centroids(sample_m, min(n_centroids, len(sample_m)))
+    ids = np.array([r[0] for r in all_rows], dtype=np.int64)
+    m = np.array([list(r[1]) for r in all_rows], dtype=np.float64)
+    mnorm = np.sqrt((m * m).sum(axis=1))
+    assign = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    bc = spark.sparkContext.broadcast((ids, m, mnorm, assign, cent))
+
+    def gen(batches):
+        b_ids, b_m, b_norm, b_assign, b_cent = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+            qids = pdf["__id"].to_numpy(dtype=np.int64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            cd = ((q[:, None, :] - b_cent[None, :, :]) ** 2).sum(axis=2)
+            probes = np.argsort(cd, axis=1)[:, :n_probe]
+            out_q, out_n, out_c = [], [], []
+            for i in range(len(qids)):
+                cand = np.isin(b_assign, probes[i]) & (b_ids != qids[i])
+                nid = b_ids[cand]
+                cos = np.round(
+                    (b_m[cand] @ q[i]) / (b_norm[cand] * qn[i]), 6
+                )
+                order = np.lexsort((nid, -cos))[:k]
+                out_q.extend([qids[i]] * len(order))
+                out_n.extend(nid[order])
+                out_c.extend(cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_c}
+            )
+
+    qdf = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    return (
+        _spread(qdf)
+        .mapInPandas(gen, "query_id long, neighbor_id long, cosine_sim double")
         .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
     )

@@ -903,6 +903,13 @@ def sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, "vec_id", "embedding", k=5, dim=64)
 
 
+def sim_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+    )
+
+
 def _ml_scores(spark, sf_dir):
     """Flagship ML flow (SURVEY §7.1): clean → split → MLlib pipeline →
     validation scores. Model outputs aren't SQL-expressible → rows-only."""
@@ -1164,6 +1171,73 @@ FROM ({SCORED_SQL})
 """
 
 
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+Q14_SQL = """
+SELECT 100.0
+  * CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def p7_enforce_types(spark, sf_dir):
+    """P7: the cast stage with coerce semantics — stringified timestamps
+    (some deliberately mangled) parse back via try_to_timestamp → NULL on
+    failure (pandas errors='coerce' parity, prep.py:500-556); stringified
+    numerics cast to float."""
+    ev = load_table(spark, sf_dir, "events")
+    stringly = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("ts"),
+        F.col("value").cast("string").alias("value"),
+    )
+    return prep.enforce_types(
+        stringly, numeric_cols=["value"], datetime_cols=["ts"]
+    ).select("event_id", "ts", F.col("value").cast("double").alias("value")).orderBy(
+        "event_id"
+    )
+
+
+P7_SQL = """
+SELECT event_id,
+  try_strptime(
+    CASE WHEN event_id % 13 = 0 THEN 'not-a-date'
+         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END,
+    '%Y-%m-%d %H:%M:%S') AS ts,
+  CAST(CAST(CAST(value AS VARCHAR) AS FLOAT) AS DOUBLE) AS value
+FROM events
+ORDER BY event_id
+"""
+
+
 def skew1_salted_join_agg(spark, sf_dir):
     """Salted fact⋈dim join on a 5-value (maximally hot) key — the salted
     plan must produce results bit-identical to the naive join, which is what
@@ -1265,6 +1339,7 @@ REGISTRY: dict = {
     "mm1_payload_metadata": (mm_payload_metadata, PAYLOAD_META_SQL),
     "sim1_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim2_lsh_topk": (sim_lsh_topk, None),  # approximate: verified by recall test
+    "sim3_ivf_topk": (sim_ivf_topk, None),  # approximate: verified by recall test
     "ml1_logreg_validation_scores": (_ml_scores, None),  # MLlib fit: rows-only
     "a8_auc_ovr_macro": (a8_auc_ovr, AUC_OVR_SQL),
     "d5_embedding_near_dup": (d5_embedding_near_dup, D5_EMB_DUP_SQL),
@@ -1279,4 +1354,8 @@ REGISTRY: dict = {
     "a3_imbalance_ratio": (a3_imbalance, A3_SQL),
     "skew1_salted_join_agg": (skew1_salted_join_agg, SKEW_JOIN_SQL),
     "skew2_salted_collect": (skew2_salted_collect, SKEW_COLLECT_SQL),
+    "q6_forecast_revenue": (R.q6_forecast_revenue, Q6_SQL),
+    "q14_promo_revenue": (R.q14_promo_revenue, Q14_SQL),
+    "q18_large_volume_customers": (R.q18_large_volume_customers, Q18_SQL),
+    "p7_enforce_types": (p7_enforce_types, P7_SQL),
 }

@@ -178,3 +178,71 @@ def q10_returned_items(spark, sf_dir: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(k)
     )
+
+
+def q6_forecast_revenue(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-aggregate — every predicate reaches
+    the parquet reader (PushedFilters), no shuffle at all beyond the final
+    single-row agg. The canonical 'is pushdown working' probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q14_promo_revenue(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share. part is a broadcast dim; the
+    conditional aggregation is one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q18_large_volume_customers(spark, sf_dir: str, qty_threshold: int = 250, k: int = 20) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds the threshold,
+    with customer context. The HAVING subquery aggregates lineitem FIRST
+    (map-side partial agg shrinks 4B rows/TB to one row per qualifying
+    order) and only then joins — never the reverse."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__sq"))
+        .filter(F.col("__sq") > qty_threshold)
+        .select("l_orderkey", F.col("__sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )

@@ -61,3 +61,20 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    from end_to_end_ml_spark.sources.io import write_parquet
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+        (F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "parted")
+    write_parquet(df, path, partition_by=["bucket"])
+    back = spark.read.parquet(path).filter(F.col("bucket") == "2")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "(bucket = 2)" in plan or "bucket#" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == 250

@@ -120,3 +120,25 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark, vecs):
     }
     assert approx <= exact
     assert (1, 2) in approx  # near-identical vectors always share a bucket
+
+
+def test_ivf_topk_high_recall_vs_bruteforce(spark):
+    """IVF with generous probes on a small set should recover most exact
+    neighbors; structure checks: no self matches, k per query."""
+    import random
+
+    rng = random.Random(3)
+    vecs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    exact = similarity.brute_force_topk(vecs, "vec_id", "embedding", k=3)
+    approx = similarity.ivf_topk(
+        vecs, "vec_id", "embedding", k=3, n_centroids=4, n_probe=3
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert all(q != n for q, n in a)
+    assert len(a) == 60 * 3
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, recall
