@@ -1238,6 +1238,33 @@ ORDER BY event_id
 """
 
 
+def s5_json_props(spark, sf_dir):
+    """S5: JSON payload-column ingest (reference api_server.py:150-158,
+    pd.json_normalize) — ``from_json`` with an explicit schema, then typed
+    aggregation. At scale the parse fuses into the scan stage (one pass,
+    whole-stage codegen)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum(F.col("p.k")).cast("long").alias("sum_k"),
+            (F.sum(F.col("p.k")) / F.count(F.lit(1))).alias("avg_k"),
+            F.sum((F.col("p.k") > 50).cast("long")).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+S5_JSON_SQL = """
+SELECT event_type,
+  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) / count(*) AS avg_k,
+  CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def skew1_salted_join_agg(spark, sf_dir):
     """Salted fact⋈dim join on a 5-value (maximally hot) key — the salted
     plan must produce results bit-identical to the naive join, which is what
@@ -1358,4 +1385,5 @@ REGISTRY: dict = {
     "q14_promo_revenue": (R.q14_promo_revenue, Q14_SQL),
     "q18_large_volume_customers": (R.q18_large_volume_customers, Q18_SQL),
     "p7_enforce_types": (p7_enforce_types, P7_SQL),
+    "s5_json_props": (s5_json_props, S5_JSON_SQL),
 }
