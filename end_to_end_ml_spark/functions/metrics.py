@@ -443,3 +443,32 @@ def roc_auc_ovr(df: DataFrame, label_col: str, score_cols: dict) -> DataFrame:
         (sum_fold([F.col(f"__a{i}") for i in range(len(keys))]) / len(keys)).alias("auc"),
     )
     return per_class.unionByName(macro).orderBy("class")
+
+
+def ece_bins_multiclass(
+    df: DataFrame, label_col: str, score_cols: dict, n_bins: int = 10
+) -> DataFrame:
+    """A9 multiclass (max-probability) calibration bins (reference
+    evaluator.py:1280-1333): confidence = max class probability, correct =
+    (argmax class == label), argmax ties resolved to the lowest class index
+    (numpy argmax semantics). Same single groupBy shape as the binary form —
+    ECE is the driver fold over ≤ n_bins rows."""
+    keys = sorted(score_cols, key=str)
+    conf = F.greatest(*[F.col(score_cols[k]) for k in keys])
+    pred = F.when(F.col(score_cols[keys[0]]) == conf, F.lit(keys[0]))
+    for k in keys[1:]:
+        pred = pred.when(F.col(score_cols[k]) == conf, F.lit(k))
+    binned = df.select(
+        F.least(F.floor(conf * n_bins).cast("int"), F.lit(n_bins - 1)).alias("bin"),
+        (F.col(label_col) == pred).cast("double").alias("ok"),
+        conf.alias("conf"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("ok").alias("accuracy"),
+            F.avg("conf").alias("avg_confidence"),
+        )
+        .orderBy("bin")
+    )

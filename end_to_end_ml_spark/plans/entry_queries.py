@@ -1238,6 +1238,40 @@ ORDER BY event_id
 """
 
 
+def a9_ece_multiclass(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        (F.col("event_id") % 3).cast("int").alias("y"),
+        *[
+            (((F.col("event_id") * m) % 1024) / F.lit(1024.0)).alias(f"s{i}")
+            for i, m in enumerate(_OVR_MULT)
+        ],
+    )
+    return M.ece_bins_multiclass(df, "y", {0: "s0", 1: "s1", 2: "s2"}, n_bins=10)
+
+
+ECE_MC_SQL = """
+WITH base AS (
+  SELECT CAST(event_id % 3 AS INTEGER) AS y,
+         ((event_id * 37) % 1024) / 1024.0 AS s0,
+         ((event_id * 59) % 1024) / 1024.0 AS s1,
+         ((event_id * 83) % 1024) / 1024.0 AS s2
+  FROM events
+), scored AS (
+  SELECT y, greatest(s0, s1, s2) AS conf,
+    CASE WHEN s0 = greatest(s0, s1, s2) THEN 0
+         WHEN s1 = greatest(s0, s1, s2) THEN 1
+         ELSE 2 END AS pred
+  FROM base
+)
+SELECT LEAST(CAST(floor(conf * 10) AS INTEGER), 9) AS bin,
+       count(*) AS n,
+       avg(CASE WHEN y = pred THEN 1.0 ELSE 0.0 END) AS accuracy,
+       avg(conf) AS avg_confidence
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 def s5_json_props(spark, sf_dir):
     """S5: JSON payload-column ingest (reference api_server.py:150-158,
     pd.json_normalize) — ``from_json`` with an explicit schema, then typed
@@ -1386,4 +1420,5 @@ REGISTRY: dict = {
     "q18_large_volume_customers": (R.q18_large_volume_customers, Q18_SQL),
     "p7_enforce_types": (p7_enforce_types, P7_SQL),
     "s5_json_props": (s5_json_props, S5_JSON_SQL),
+    "a9_ece_multiclass": (a9_ece_multiclass, ECE_MC_SQL),
 }
