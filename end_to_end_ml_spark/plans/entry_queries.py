@@ -1238,6 +1238,28 @@ ORDER BY event_id
 """
 
 
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def agg_grouping_sets(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
 def a9_ece_multiclass(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     df = ev.select(
@@ -1421,4 +1443,5 @@ REGISTRY: dict = {
     "p7_enforce_types": (p7_enforce_types, P7_SQL),
     "s5_json_props": (s5_json_props, S5_JSON_SQL),
     "a9_ece_multiclass": (a9_ece_multiclass, ECE_MC_SQL),
+    "agg_grouping_sets": (agg_grouping_sets, GROUPING_SETS_SQL),
 }

@@ -86,3 +86,31 @@ def test_as_of_exactly_one_row_per_entity(spark):
     out = pit.as_of_join(ent, feat, ["id"], "ets", "fts")
     assert out.count() == 50
     assert out.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_union_asof_matches_ranged_asof(spark):
+    """The sort-based scale path must agree with the ranged-join path row
+    for row on data with deep feature history, TTL expiry, and ties."""
+    import random
+
+    from end_to_end_ml_spark.operators.pit import as_of_join, as_of_join_union
+
+    rng = random.Random(11)
+    entities = [
+        (k, f"2024-01-{rng.randrange(1, 28):02d} 00:00:00")
+        for k in range(30)
+        for _ in range(3)
+    ]
+    feats = [
+        (k, f"2024-01-{rng.randrange(1, 28):02d} 12:00:00", float(rng.randrange(100)))
+        for k in range(30)
+        for _ in range(6)
+    ]
+    e = _ts(spark, spark.createDataFrame(entities, ["id", "ets"]).distinct(), ["ets"])
+    f = _ts(spark, spark.createDataFrame(feats, ["id", "fts", "val"]), ["fts"])
+    for ttl in (None, 7 * 86400):
+        a = as_of_join(e, f, ["id"], "ets", "fts", ttl_seconds=ttl)
+        b = as_of_join_union(e, f, ["id"], "ets", "fts", ttl_seconds=ttl)
+        ra = sorted(map(tuple, a.select("id", "ets", "fts", "val").collect()))
+        rb = sorted(map(tuple, b.select("id", "ets", "fts", "val").collect()))
+        assert ra == rb
