@@ -40,8 +40,8 @@ def q1_pricing_summary(spark, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            F.sum(price * (1 - disc)).cast("decimal(27,4)").cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("decimal(27,4)").cast("double").alias("sum_charge"),
             (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
@@ -70,7 +70,7 @@ def q3_top_unshipped_orders(spark, sf_dir: str, segment: str = "BUILDING", k: in
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(27,4)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(k)
     )
@@ -103,7 +103,7 @@ def q5_supplier_volume(spark, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(27,4)").cast("double").alias("revenue"))
         .orderBy("r_name", "n_name")
     )
 
@@ -174,7 +174,7 @@ def q10_returned_items(spark, sf_dir: str, k: int = 20) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(27,4)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(k)
     )
@@ -197,6 +197,7 @@ def q6_forecast_revenue(spark, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
             )
+            .cast("decimal(27,4)")
             .cast("double")
             .alias("revenue")
         )
@@ -218,8 +219,10 @@ def q14_promo_revenue(spark, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))).cast("double")
-                / F.sum(rev).cast("double")
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
+                .cast("decimal(27,4)")
+                .cast("double")
+                / F.sum(rev).cast("decimal(27,4)").cast("double")
             ).alias("promo_revenue_pct")
         )
     )
