@@ -91,3 +91,36 @@ def test_e2e_train_calibrate_serve_roundtrip(spark, tmp_path):
     assert cal_out.filter(
         (F.col("calibrated_proba") < 0) | (F.col("calibrated_proba") > 1)
     ).count() == 0
+
+
+def test_serving_predict_records(spark, tmp_path):
+    """I2: JSON records through validation → scoring → thresholded output."""
+    import pytest
+
+    from end_to_end_ml_spark import serving
+
+    df = order_training_frame(spark, SF_DIR)
+    stages = FP.build_preprocessing_stages(
+        numeric_cols=["c_acctbal"],
+        categorical_cols=["o_orderpriority", "c_mktsegment"],
+        variance_threshold=0.0,
+    )
+    fitted = FP.build_full_pipeline(stages, MZ.logistic_regression(max_iter=10)).fit(df)
+    schema = "o_orderkey long, c_acctbal double, o_orderpriority string, c_mktsegment string"
+    expected = ["c_acctbal", "o_orderpriority", "c_mktsegment"]
+    records = [
+        {"o_orderkey": 1, "c_acctbal": 100.0, "o_orderpriority": "1-URGENT", "c_mktsegment": "BUILDING"},
+        {"o_orderkey": 2, "c_acctbal": -5.0, "o_orderpriority": "3-MEDIUM", "c_mktsegment": "MACHINERY"},
+    ]
+    out = serving.predict_records(
+        spark, fitted, records, schema, expected, decision_threshold=0.5, pk_col="o_orderkey"
+    )
+    assert len(out) == 2
+    for r in out:
+        assert 0.0 <= r["predicted_probability"] <= 1.0
+        assert r["prediction"] == int(r["predicted_probability"] >= 0.5)
+
+    with pytest.raises(ValueError, match="missing"):
+        serving.predict_records(
+            spark, fitted, [{"c_acctbal": 1.0}], schema, expected, pk_col="o_orderkey"
+        )
