@@ -1,0 +1,112 @@
+"""Timeseries operators over event tables — the hypertable-style surface a
+training-data pipeline needs on top of the reference's batch semantics
+(the reference itself has no timeseries ops; its only temporal machinery is
+the event_timestamp column and the time split, SURVEY §1.1).
+
+Scale shapes:
+- downsample/gap-fill: one shuffle on the entity key; the dense grid is
+  generated per key with ``sequence`` (no driver loop, no cross join) and its
+  size is bounded by the key's own time span.
+- time-weighted average: one window (lead) + one aggregation; weights are
+  exact integer durations and values are summed as DECIMAL so results are
+  engine-exact (DuckDB-oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_downsample(
+    events: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Per-key hourly buckets with count + exact decimal sum + avg."""
+    bucket = F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    return (
+        events.groupBy(F.col(key_col), bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy(key_col, "bucket")
+    )
+
+
+def gap_fill_hourly(
+    events: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Dense hourly grid per key from its first to its last observation,
+    forward-filling the last observed hourly average into empty buckets
+    (NULL until the first observation — none exist by construction since the
+    grid starts at the first one).
+
+    The grid is ``sequence(min_bucket, max_bucket, 1 hour)`` exploded per
+    key — generated where the key's data lives, never on the driver."""
+    obs = (
+        events.groupBy(
+            F.col(key_col).alias("k"), F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+        )
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hour_avg")
+        )
+    )
+    grid = (
+        obs.groupBy("k")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["k", "bucket"], "left")
+        .withColumn("filled_avg", F.last("hour_avg", ignorenulls=True).over(w))
+        .select(
+            F.col("k").alias(key_col),
+            "bucket",
+            (~F.col("hour_avg").isNull()).alias("observed"),
+            "filled_avg",
+        )
+        .orderBy(key_col, "bucket")
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame, key_col: str, ts_col: str, value_col: str, order_tiebreak: str
+) -> DataFrame:
+    """Per-key time-weighted average: each observation holds its value until
+    the next one (last observation carries no weight). Weights are integer
+    epoch-second durations and the weighted sum runs in DECIMAL, so the
+    result is a single exact division — bit-identical on any engine."""
+    # epoch micros floor-divided to seconds: exact integers on any engine
+    # (unix_timestamp()/epoch() round-vs-truncate semantics differ)
+    sec = F.expr(f"unix_micros({ts_col}) div 1000000")
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    dur = (F.lead(sec).over(w) - sec).cast("long")
+    staged = events.select(
+        F.col(key_col),
+        F.col(value_col).cast("decimal(18,4)").alias("v"),
+        dur.alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        staged.groupBy(key_col)
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("dur")).cast("double")
+                / F.sum("dur").cast("double")
+            ).alias("twa"),
+            F.sum("dur").alias("total_seconds"),
+        )
+        .orderBy(key_col)
+    )

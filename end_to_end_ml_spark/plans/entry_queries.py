@@ -1238,6 +1238,68 @@ ORDER BY event_id
 """
 
 
+def ts1_hourly_downsample(spark, sf_dir):
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    return TS.hourly_downsample(ev, "user_id", "ts", "value")
+
+
+TS1_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY user_id, bucket
+"""
+
+
+def ts2_gap_fill(spark, sf_dir):
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    return TS.gap_fill_hourly(ev, "user_id", "ts", "value")
+
+
+TS2_SQL = """
+WITH obs AS (
+  SELECT user_id AS k, date_trunc('hour', ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS hour_avg
+  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+), bounds AS (
+  SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY k
+), grid AS (
+  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+)
+SELECT g.k AS user_id, g.bucket AS bucket,
+  obs.hour_avg IS NOT NULL AS observed,
+  last_value(obs.hour_avg IGNORE NULLS) OVER (
+    PARTITION BY g.k ORDER BY g.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM grid g LEFT JOIN obs ON g.k = obs.k AND g.bucket = obs.bucket
+ORDER BY user_id, g.bucket
+"""
+
+
+def ts3_time_weighted_avg(spark, sf_dir):
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    return TS.time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
+TS3_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+    lead(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - epoch_us(ts) // 1000000 AS dur
+  FROM events
+)
+SELECT user_id,
+  CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE) AS twa,
+  CAST(sum(dur) AS BIGINT) AS total_seconds
+FROM s WHERE dur IS NOT NULL GROUP BY user_id ORDER BY user_id
+"""
+
+
 GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
@@ -1444,4 +1506,7 @@ REGISTRY: dict = {
     "s5_json_props": (s5_json_props, S5_JSON_SQL),
     "a9_ece_multiclass": (a9_ece_multiclass, ECE_MC_SQL),
     "agg_grouping_sets": (agg_grouping_sets, GROUPING_SETS_SQL),
+    "ts1_hourly_downsample": (ts1_hourly_downsample, TS1_SQL),
+    "ts2_gap_fill": (ts2_gap_fill, TS2_SQL),
+    "ts3_time_weighted_avg": (ts3_time_weighted_avg, TS3_SQL),
 }

@@ -1,0 +1,57 @@
+"""Timeseries operator semantics on hand-computed examples."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.operators import timeseries as TS
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value", "event_id"])
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_gap_fill_forward_fills_missing_hours(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:10:00", 10.0, 1),
+            (1, "2024-01-01 00:50:00", 20.0, 2),  # hour 0 avg = 15
+            (1, "2024-01-01 03:30:00", 40.0, 3),  # hours 1,2 missing
+        ],
+    )
+    out = TS.gap_fill_hourly(ev, "user_id", "ts", "value").collect()
+    assert len(out) == 4  # 00:00 .. 03:00
+    assert [r["observed"] for r in out] == [True, False, False, True]
+    assert [r["filled_avg"] for r in out] == [15.0, 15.0, 15.0, 40.0]
+
+
+def test_time_weighted_avg_exact(spark):
+    # value 10 for 3600s, then 20 for 1800s; last obs carries no weight
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 10.0, 1),
+            (1, "2024-01-01 01:00:00", 20.0, 2),
+            (1, "2024-01-01 01:30:00", 99.0, 3),
+        ],
+    )
+    r = TS.time_weighted_avg(ev, "user_id", "ts", "value", "event_id").collect()[0]
+    assert r["total_seconds"] == 5400
+    assert r["twa"] == (10.0 * 3600 + 20.0 * 1800) / 5400
+
+
+def test_hourly_downsample_counts(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:10:00", 1.5, 1),
+            (1, "2024-01-01 00:20:00", 2.5, 2),
+            (2, "2024-01-01 05:00:00", 7.0, 3),
+        ],
+    )
+    out = {(r["user_id"], str(r["bucket"])): (r["n"], r["sum_value"]) for r in
+           TS.hourly_downsample(ev, "user_id", "ts", "value").collect()}
+    assert out[(1, "2024-01-01 00:00:00")] == (2, 4.0)
+    assert out[(2, "2024-01-01 05:00:00")] == (1, 7.0)
