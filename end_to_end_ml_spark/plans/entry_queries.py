@@ -1238,6 +1238,53 @@ ORDER BY event_id
 """
 
 
+def agg_percentiles(spark, sf_dir):
+    """Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`:
+    linear interpolation, verified bit-identical). The approx path for
+    100 TB is percentile_approx (mergeable sketches) — exact is the oracle
+    surface."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def fn_string_suite(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.substring("source", 1, 3).alias("src3"),
+        F.length("text").alias("text_len"),
+        F.levenshtein("lang", F.lit("en")).alias("lev_en"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+    ).orderBy("doc_id")
+
+
+STRING_SUITE_SQL = """
+SELECT doc_id, upper(lang) AS lang_uc, substr(source, 1, 3) AS src3,
+       CAST(length(text) AS INTEGER) AS text_len,
+       CAST(levenshtein(lang, 'en') AS INTEGER) AS lev_en,
+       concat_ws('|', lang, source) AS lang_source
+FROM documents ORDER BY doc_id
+"""
+
+
 def ts1_hourly_downsample(spark, sf_dir):
     from ..operators import timeseries as TS
 
@@ -1509,4 +1556,6 @@ REGISTRY: dict = {
     "ts1_hourly_downsample": (ts1_hourly_downsample, TS1_SQL),
     "ts2_gap_fill": (ts2_gap_fill, TS2_SQL),
     "ts3_time_weighted_avg": (ts3_time_weighted_avg, TS3_SQL),
+    "agg_percentiles": (agg_percentiles, PERCENTILES_SQL),
+    "fn_string_suite": (fn_string_suite, STRING_SUITE_SQL),
 }

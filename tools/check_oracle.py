@@ -57,9 +57,11 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -94,7 +96,7 @@ def main():
             failures.append(name)
         else:
             print(f"PASS {name}: {len(s_rows)} rows")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    print(f"\n{ran - len(failures)}/{ran} pass")
     sys.exit(1 if failures else 0)
 
 
