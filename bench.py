@@ -39,6 +39,7 @@ HEADLINE = [
     "a13_lift_gains",
     "m8_threshold_sweep",
     "st_hourly_window",
+    "ts3_time_weighted_avg",
     "sim1_topk_bruteforce",
     "d4_simhash_pairs",
 ]
