@@ -1238,6 +1238,39 @@ ORDER BY event_id
 """
 
 
+EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY o_custkey
+"""
+
+
+def set2_lapsed_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96).orderBy("o_custkey")  # EXCEPT DISTINCT semantics
+
+
+UNION_SQL = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+ORDER BY custkey
+"""
+
+
+def set3_union_targets(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
+    return a.union(b).distinct().orderBy("custkey")
+
+
 def agg_percentiles(spark, sf_dir):
     """Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`:
     linear interpolation, verified bit-identical). The approx path for
@@ -1558,4 +1591,6 @@ REGISTRY: dict = {
     "ts3_time_weighted_avg": (ts3_time_weighted_avg, TS3_SQL),
     "agg_percentiles": (agg_percentiles, PERCENTILES_SQL),
     "fn_string_suite": (fn_string_suite, STRING_SUITE_SQL),
+    "set2_lapsed_customers": (set2_lapsed_customers, EXCEPT_SQL),
+    "set3_union_targets": (set3_union_targets, UNION_SQL),
 }
