@@ -171,14 +171,52 @@ def precision_recall_curve(df: DataFrame, label_col: str, score_col: str) -> Dat
 def lift_gains(
     df: DataFrame, label_col: str, score_col: str, tiebreak_col: str, n_tiles: int = 10
 ) -> DataFrame:
-    """A13: decile gains & lift. ntile needs a TOTAL order to be
-    deterministic — ``tiebreak_col`` (a PK) breaks score ties identically on
-    any engine/partitioning. Cumulatives are integer window sums."""
-    w_tile = Window.orderBy(F.col(score_col).desc(), F.col(tiebreak_col))
-    tiled = df.select(
-        F.col(label_col).alias("y"), F.ntile(n_tiles).over(w_tile).alias("decile")
+    """A13: decile gains & lift with exact ``ntile`` semantics — WITHOUT the
+    global-window ntile (which funnels all N rows through one WindowExec
+    partition). Distributed two-level ranking instead:
+
+    1. ``row_number`` partitioned BY SCORE, ordered by ``tiebreak_col`` (a
+       PK) — each distinct score is its own partition, so the heavy window
+       is spread across the cluster.
+    2. Per-score cumulative offsets from the tiny distinct-score frame
+       (same reduction as :func:`roc_curve`; the only global window runs
+       over |distinct scores| rows, never N).
+    3. global rank = offset + within-score rank; ntile's bucket arithmetic
+       (first N%k buckets get one extra row) applied as a closed-form
+       expression.
+
+    Total order is (score desc, tiebreak asc) — identical to the previous
+    ntile formulation, so results hash-match on any engine/partitioning."""
+    ranked = df.select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).alias("y"),
+        F.col(tiebreak_col).alias("tb"),
+    ).withColumn(
+        "r_in", F.row_number().over(Window.partitionBy("s").orderBy("tb"))
     )
-    per = tiled.groupBy("decile").agg(
+    counts = ranked.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        counts.withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("n_total"))))
+        .select("s", "offset", "n_total")
+    )
+    # AQE broadcasts this join when the distinct-score frame is small (the
+    # quantized-score invariant bounds it); no hint so huge score domains
+    # degrade to a shuffle join instead of an OOM broadcast.
+    with_rank = ranked.join(offsets, on="s")
+    r = F.col("offset") + F.col("r_in")
+    base = F.floor(F.col("n_total") / n_tiles)
+    rem = F.col("n_total") % n_tiles
+    big = rem * (base + 1)  # rows living in the (base+1)-sized buckets
+    decile = (
+        F.when(r <= big, F.floor((r + base) / (base + 1)))
+        .otherwise(rem + F.floor((r - big + base - 1) / base))
+        .cast("int")
+    )
+    per = with_rank.select(decile.alias("decile"), "y").groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )
     w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)

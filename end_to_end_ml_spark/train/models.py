@@ -22,18 +22,24 @@ from pyspark.sql import functions as F
 
 
 def add_balanced_weights(df: DataFrame, label_col: str, weight_col: str = "class_weight") -> DataFrame:
-    """sklearn class_weight='balanced': w_c = n / (k * n_c), via one window
-    (no driver round-trip, no second scan)."""
-    w_all = Window.partitionBy()
-    w_class = Window.partitionBy(label_col)
-    return df.withColumn(
-        weight_col,
-        F.count(F.lit(1)).over(w_all)
-        / (
-            F.size(F.collect_set(label_col).over(w_all))
-            * F.count(F.lit(1)).over(w_class)
-        ),
+    """sklearn class_weight='balanced': w_c = n / (k * n_c).
+
+    The per-class counts are a k-row aggregate (k = #classes), so the weights
+    table is tiny by construction: compute it with a map-side-combinable
+    ``groupBy(label).count()``, derive n and k with a single-row cross join,
+    and broadcast-join the k-row weight table back onto the frame.  No
+    unpartitioned window touches the full dataset (the naive
+    ``count().over(Window.partitionBy())`` funnels every row through one
+    WindowExec partition — a non-starter at scale)."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n_c"))
+    totals = counts.agg(
+        F.sum("__n_c").alias("__n"), F.count(F.lit(1)).alias("__k")
     )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        label_col,
+        (F.col("__n") / (F.col("__k") * F.col("__n_c"))).alias(weight_col),
+    )
+    return df.join(F.broadcast(weights), on=label_col, how="inner")
 
 
 def logistic_regression(features_col="features", label_col="label", weight_col=None,

@@ -59,3 +59,53 @@ def test_no_cartesian_or_python_row_udf(spark, name):
 def test_filters_reach_the_scan(spark, name):
     plan = _plan(spark, name)
     assert PUSHDOWN_PROBES[name] in plan, plan
+
+
+# --- single-partition-window guard (VERDICT r1 #1) -------------------------
+# An unpartitioned Window is only acceptable when an aggregation sits below
+# it (its input is then a bounded reduction — distinct scores, deciles —
+# never the full table).
+
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def _has_agg_below(node) -> bool:
+    ch = node.children()
+    for i in range(ch.size()):
+        for d in _walk(ch.apply(i)):
+            if "Aggregate" in d.nodeName():
+                return True
+    return False
+
+
+@pytest.mark.parametrize(
+    "name", ["a13_lift_gains", "a6_roc_auc", "a12_roc_curve", "a10_pr_curve_ap"]
+)
+def test_no_unpartitioned_window_over_full_input(spark, name):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY[name][0](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan()
+        for node in _walk(plan):
+            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                assert _has_agg_below(node), (
+                    "unpartitioned Window over non-aggregated input:\n"
+                    + node.toString()
+                )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_balanced_weights_plan_has_no_window(spark):
+    from end_to_end_ml_spark.train.models import add_balanced_weights
+
+    df = spark.range(0, 1000).selectExpr("id", "cast(id % 3 = 0 as int) as label")
+    out = add_balanced_weights(df, "label")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
