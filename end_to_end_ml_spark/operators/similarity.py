@@ -219,64 +219,109 @@ def ivf_topk(
     partitions the corpus into ``n_centroids`` cells; each query probes its
     ``n_probe`` nearest cells and reranks only those members exactly.
 
-    Scale shape: the quantizer fits on a driver-side sample (deterministic:
-    ids ≡ 0 mod ``sample_mod``, sorted); cell assignment + rerank run as
-    Arrow-batched matmuls in ``mapInPandas`` against the broadcast corpus
-    matrix restricted per query to its probed cells — compute per query is
-    N·(n_probe/n_centroids) dot products instead of N. At corpus sizes
-    beyond broadcast, the same structure shards the corpus matrix by cell
-    over executors (candidates join on cell id)."""
+    Fully distributed — ONLY the quantizer sample touches the driver
+    (deterministic: ids ≡ 0 mod ``sample_mod``, sorted), and only the tiny
+    centroid matrix is broadcast. Cell assignment runs executor-side as
+    Arrow-batched matmuls; queries explode to their ``n_probe`` probed
+    cells and equi-join corpus members BY CELL (a cogroup — the corpus is
+    sharded across executors by cell id, never collected); each cell
+    reranks its members against its probing queries with one BLAS matmul
+    and emits a per-cell top-k; a final window over ≤ n_probe·k candidate
+    rows per query merges to the global top-k. Compute per query is
+    N·(n_probe/n_centroids) dot products instead of N; no full-corpus
+    materialization anywhere."""
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    rows = (
+    sample = (
         df.select(F.col(id_col), F.col(vec_col))
         .filter((F.col(id_col) % sample_mod) == 0)
         .orderBy(id_col)
         .collect()
     )
-    all_rows = (
-        rows
-        if sample_mod == 1
-        else df.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).collect()
+    cent = _lloyd_centroids(
+        [list(r[1]) for r in sample], min(n_centroids, len(sample))
     )
-    sample_m = [list(r[1]) for r in rows]
-    cent = _lloyd_centroids(sample_m, min(n_centroids, len(sample_m)))
-    ids = np.array([r[0] for r in all_rows], dtype=np.int64)
-    m = np.array([list(r[1]) for r in all_rows], dtype=np.float64)
-    mnorm = np.sqrt((m * m).sum(axis=1))
-    assign = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-    bc = spark.sparkContext.broadcast((ids, m, mnorm, assign, cent))
+    probe = min(n_probe, len(cent))
+    bc_cent = spark.sparkContext.broadcast(cent)
 
-    def gen(batches):
-        b_ids, b_m, b_norm, b_assign, b_cent = bc.value
+    def assign_cells(batches):
+        c = bc_cent.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
-            qids = pdf["__id"].to_numpy(dtype=np.int64)
-            qn = np.sqrt((q * q).sum(axis=1))
-            cd = ((q[:, None, :] - b_cent[None, :, :]) ** 2).sum(axis=2)
-            probes = np.argsort(cd, axis=1)[:, :n_probe]
-            out_q, out_n, out_c = [], [], []
-            for i in range(len(qids)):
-                cand = np.isin(b_assign, probes[i]) & (b_ids != qids[i])
-                nid = b_ids[cand]
-                cos = np.round(
-                    (b_m[cand] @ q[i]) / (b_norm[cand] * qn[i]), 6
-                )
-                order = np.lexsort((nid, -cos))[:k]
-                out_q.extend([qids[i]] * len(order))
-                out_n.extend(nid[order])
-                out_c.extend(cos[order])
+            x = np.array([list(v) for v in pdf["nvec"]], dtype=np.float64)
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_c}
+                {
+                    "cell": d.argmin(axis=1).astype(np.int32),
+                    "nid": pdf["nid"].to_numpy(dtype=np.int64),
+                    "nvec": pdf["nvec"],
+                }
             )
 
-    qdf = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    corpus_cells = (
+        _spread(df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")))
+        .mapInPandas(assign_cells, "cell int, nid long, nvec array<float>")
+    )
+
+    def probe_cells(batches):
+        c = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([list(v) for v in pdf["qvec"]], dtype=np.float64)
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d, axis=1)[:, :probe]
+            yield pd.DataFrame(
+                {
+                    "cell": cells.ravel().astype(np.int32),
+                    "qid": np.repeat(pdf["qid"].to_numpy(dtype=np.int64), probe),
+                    "qvec": np.repeat(pdf["qvec"].to_numpy(), probe),
+                }
+            )
+
+    query_probes = (
+        _spread(df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")))
+        .mapInPandas(probe_cells, "cell int, qid long, qvec array<float>")
+    )
+
+    def rerank(queries: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
+        if len(queries) == 0 or len(members) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine_sim": "float64"})
+        q = np.array([list(v) for v in queries["qvec"]], dtype=np.float64)
+        qids = queries["qid"].to_numpy(dtype=np.int64)
+        m = np.array([list(v) for v in members["nvec"]], dtype=np.float64)
+        nids = members["nid"].to_numpy(dtype=np.int64)
+        qn = np.sqrt((q * q).sum(axis=1))
+        mnorm = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((q @ m.T) / np.outer(qn, mnorm), 6)
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(qids)):
+            mask = nids != qids[i]
+            nid, row = nids[mask], cos[i][mask]
+            order = np.lexsort((nid, -row))[:k]
+            out_q.extend([qids[i]] * len(order))
+            out_n.extend(nid[order])
+            out_c.extend(row[order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_c}
+        )
+
+    local = (
+        query_probes.groupBy("cell")
+        .cogroup(corpus_cells.groupBy("cell"))
+        .applyInPandas(rerank, "query_id long, neighbor_id long, cosine_sim double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
     return (
-        _spread(qdf)
-        .mapInPandas(gen, "query_id long, neighbor_id long, cosine_sim double")
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
         .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
     )

@@ -142,3 +142,35 @@ def test_ivf_topk_high_recall_vs_bruteforce(spark):
     assert len(a) == 60 * 3
     recall = len(a & e) / len(e)
     assert recall >= 0.8, recall
+
+
+def test_ivf_topk_never_collects_the_corpus(spark, monkeypatch):
+    """Scale audit (VERDICT r1 #2): the only driver-side materialization in
+    the IVF path is the quantizer SAMPLE — never the full corpus — and the
+    rerank is the cell-sharded cogroup, not a broadcast of all vectors."""
+    import random
+
+    rng = random.Random(7)
+    vecs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)],
+        ["vec_id", "embedding"],
+    )
+    cls = type(vecs)  # the concrete DataFrame class actually dispatched to
+    collected = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    out = similarity.ivf_topk(
+        vecs, "vec_id", "embedding", k=3, n_centroids=4, n_probe=2, sample_mod=5
+    )
+    # plan built: exactly one driver collect so far, of the 20-row sample
+    assert collected == [20], collected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    rows = orig(out.limit(5))
+    assert len(rows) == 5
