@@ -46,6 +46,45 @@ def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
     return df.withColumn(out_col, _norm(F.col(vec_col)))
 
 
+def _group_rerank(k: int, round_digits: int | None = 6):
+    """Shared exact-rerank kernel for the cogrouped paths (IVF cells, brute
+    -force shards): one BLAS matmul of the group's queries against the
+    group's members, per-query top-k with self-exclusion and deterministic
+    (cosine desc, neighbor id asc) tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    def rerank(queries: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
+        if len(queries) == 0 or len(members) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine_sim": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cosine_sim": "float64"}
+            )
+        q = np.array([list(v) for v in queries["qvec"]], dtype=np.float64)
+        qids = queries["qid"].to_numpy(dtype=np.int64)
+        m = np.array([list(v) for v in members["nvec"]], dtype=np.float64)
+        nids = members["nid"].to_numpy(dtype=np.int64)
+        qn = np.sqrt((q * q).sum(axis=1))
+        mnorm = np.sqrt((m * m).sum(axis=1))
+        cos = (q @ m.T) / np.outer(qn, mnorm)
+        if round_digits is not None:
+            cos = np.round(cos, round_digits)
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(qids)):
+            mask = nids != qids[i]
+            nid, row = nids[mask], cos[i][mask]
+            order = np.lexsort((nid, -row))[:k]
+            out_q.extend([qids[i]] * len(order))
+            out_n.extend(nid[order])
+            out_c.extend(row[order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_c}
+        )
+
+    return rerank
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -53,20 +92,59 @@ def brute_force_topk(
     k: int = 5,
     query_df: DataFrame | None = None,
     round_digits: int | None = 6,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector (queries default to the
     whole table; self-matches excluded). Output: (query_id, neighbor_id,
     cosine_sim) with deterministic tie-break on neighbor id.
 
-    Execution: the candidate side is broadcast as one dense float64 matrix;
-    each Arrow batch of query rows computes a single BLAS matmul against it
-    inside ``mapInPandas`` (vectorized — orders of magnitude faster than
-    per-pair expression evaluation of the dot product). At 100 TB the same
-    shape holds with the candidate matrix chunked to broadcast-sized blocks
-    and a running top-k merge per query partition; for corpus-scale
-    candidates use :func:`lsh_topk` instead."""
+    Two execution modes, identical results:
+
+    - default (``n_shards=None``): the candidate side is broadcast as one
+      dense float64 matrix; each Arrow batch of query rows computes a
+      single BLAS matmul against it inside ``mapInPandas`` (vectorized —
+      orders of magnitude faster than per-pair expression evaluation).
+      Right when the corpus fits in a broadcast.
+    - sharded (``n_shards=s``): block-nested-loop over the cluster — the
+      corpus is hash-sharded by id (never collected, never broadcast),
+      queries replicate to every shard, each shard reranks with one BLAS
+      matmul (cogroup), and a final window merges the ≤ s·k per-query
+      candidates to the global top-k. This is the 100 TB exact path; for
+      corpus-scale candidate sets prefer :func:`lsh_topk`.
+    """
     import numpy as np
     import pandas as pd
+
+    if n_shards is not None and n_shards > 1:
+        corpus = df.select(
+            F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
+        )
+        queries = (
+            (query_df if query_df is not None else df)
+            .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+            .withColumn(
+                "shard", F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1)))
+            )
+        )
+        local = (
+            queries.groupBy("shard")
+            .cogroup(corpus.groupBy("shard"))
+            .applyInPandas(
+                _group_rerank(k, round_digits),
+                "query_id long, neighbor_id long, cosine_sim double",
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            local.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+            .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+        )
 
     spark = df.sparkSession
     cand = df.select(F.col(id_col), F.col(vec_col)).collect()
@@ -287,34 +365,12 @@ def ivf_topk(
         .mapInPandas(probe_cells, "cell int, qid long, qvec array<float>")
     )
 
-    def rerank(queries: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
-        if len(queries) == 0 or len(members) == 0:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "cosine_sim": []}
-            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine_sim": "float64"})
-        q = np.array([list(v) for v in queries["qvec"]], dtype=np.float64)
-        qids = queries["qid"].to_numpy(dtype=np.int64)
-        m = np.array([list(v) for v in members["nvec"]], dtype=np.float64)
-        nids = members["nid"].to_numpy(dtype=np.int64)
-        qn = np.sqrt((q * q).sum(axis=1))
-        mnorm = np.sqrt((m * m).sum(axis=1))
-        cos = np.round((q @ m.T) / np.outer(qn, mnorm), 6)
-        out_q, out_n, out_c = [], [], []
-        for i in range(len(qids)):
-            mask = nids != qids[i]
-            nid, row = nids[mask], cos[i][mask]
-            order = np.lexsort((nid, -row))[:k]
-            out_q.extend([qids[i]] * len(order))
-            out_n.extend(nid[order])
-            out_c.extend(row[order])
-        return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_c}
-        )
-
     local = (
         query_probes.groupBy("cell")
         .cogroup(corpus_cells.groupBy("cell"))
-        .applyInPandas(rerank, "query_id long, neighbor_id long, cosine_sim double")
+        .applyInPandas(
+            _group_rerank(k), "query_id long, neighbor_id long, cosine_sim double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

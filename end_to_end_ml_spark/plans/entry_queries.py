@@ -898,6 +898,15 @@ ORDER BY query_id, cosine_sim DESC, neighbor_id
 """
 
 
+def sim_topk_sharded(spark, sf_dir):
+    """Same exact top-k as sim1, forced through the distributed block-
+    nested-loop path (hash-sharded corpus + cogroup rerank + merge window)
+    — shares sim1's oracle, proving the no-broadcast mode is result-
+    identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, "vec_id", "embedding", k=5, n_shards=4)
+
+
 def sim_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, "vec_id", "embedding", k=5, dim=64)
@@ -1564,6 +1573,7 @@ REGISTRY: dict = {
     "mm1_payload_metadata": (mm_payload_metadata, PAYLOAD_META_SQL),
     "sim1_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim2_lsh_topk": (sim_lsh_topk, None),  # approximate: verified by recall test
+    "sim1b_topk_sharded": (sim_topk_sharded, SIM_TOPK_SQL),
     "sim3_ivf_topk": (sim_ivf_topk, None),  # approximate: verified by recall test
     "ml1_logreg_validation_scores": (_ml_scores, None),  # MLlib fit: rows-only
     "a8_auc_ovr_macro": (a8_auc_ovr, AUC_OVR_SQL),

@@ -174,3 +174,24 @@ def test_ivf_topk_never_collects_the_corpus(spark, monkeypatch):
     assert "FlatMapCoGroupsInPandas" in plan, plan
     rows = orig(out.limit(5))
     assert len(rows) == 5
+
+
+def test_bruteforce_sharded_equals_broadcast(spark):
+    """n_shards forces the no-broadcast block-nested-loop path; results must
+    be row-identical to the broadcast matmul path."""
+    import random
+
+    rng = random.Random(11)
+    vecs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(90)],
+        ["vec_id", "embedding"],
+    )
+    a = similarity.brute_force_topk(vecs, "vec_id", "embedding", k=4).collect()
+    b = similarity.brute_force_topk(
+        vecs, "vec_id", "embedding", k=4, n_shards=5
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    plan_b = similarity.brute_force_topk(
+        vecs, "vec_id", "embedding", k=4, n_shards=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan_b, plan_b
