@@ -120,32 +120,58 @@ def ngram_jaccard_pairs(
     length_band: int | None = 50,
 ) -> DataFrame:
     """All pairs with character-n-gram Jaccard >= threshold, blocked by
-    ``block_cols`` (e.g. language) and a length band to avoid the full
-    cross-join. Output: (id_a, id_b, jaccard_sim), id_a < id_b."""
+    ``block_cols`` (e.g. language) and a length band.
+    Output: (id_a, id_b, jaccard_sim), id_a < id_b.
+
+    The length band is an EQUI-join key, not a post-join filter: docs land
+    in bucket floor(len/band); one side additionally explodes to its two
+    neighbor buckets, so any pair within ``length_band`` shares a join key
+    (each candidate pair meets on exactly one key — a's single bucket).
+    This multiplies the shuffle-key cardinality by |len buckets| instead of
+    evaluating the band predicate after a per-language near-cross-join,
+    which is what made the old form O(N²/|langs|) compare volume."""
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         hashed_shingles(text_col, n).alias("sh"),
         F.length(text_col).alias("len"),
     )
+    keys = [f"__k_{c}" for c in block_cols]
     a = base.select(
         F.col("id").alias("id_a"),
-        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+        *[F.col(c).alias(k) for c, k in zip(block_cols, keys)],
         F.col("sh").alias("sh_a"),
         F.col("len").alias("len_a"),
     )
     b = base.select(
         F.col("id").alias("id_b"),
-        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        *[F.col(c).alias(k) for c, k in zip(block_cols, keys)],
         F.col("sh").alias("sh_b"),
         F.col("len").alias("len_b"),
     )
-    cond = F.col("id_a") < F.col("id_b")
-    for c in block_cols:
-        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    join_keys = list(keys)
     if length_band is not None:
-        cond = cond & (F.abs(F.col("len_a") - F.col("len_b")) <= length_band)
-    pairs = a.join(b, on=cond)
+        bkt_b = F.floor(F.col("len_b") / F.lit(length_band))
+        a = a.withColumn("__band", F.floor(F.col("len_a") / F.lit(length_band)))
+        b = b.withColumn(
+            "__band", F.explode(F.array(bkt_b - 1, bkt_b, bkt_b + 1))
+        )
+        join_keys.append("__band")
+    if join_keys:
+        pairs = a.join(b, on=join_keys).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, on=F.col("id_a") < F.col("id_b"))
+    if length_band is not None:
+        pairs = pairs.filter(
+            F.abs(F.col("len_a") - F.col("len_b")) <= length_band
+        )
+    if threshold > 0:
+        # necessary condition: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — an
+        # integer filter that skips the set intersection for most pairs
+        pairs = pairs.filter(
+            F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
     return (
         pairs.select(
             "id_a",
