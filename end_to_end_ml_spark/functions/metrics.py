@@ -27,6 +27,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def quantize_score(col, score_precision: int | None):
+    """Bound |distinct scores| by construction: floor(s·10^p + 0.5)/10^p.
+
+    The curve/AUC/sweep queries below reduce N rows to one row per DISTINCT
+    score before any global window — safe only while the score domain is
+    small. Real model probabilities are near-unique, so every caller at
+    scale should pass ``score_precision`` (6-7 digits is far below any
+    metric's noise floor) to make that invariant hold by construction.
+
+    Deliberately NOT engine round(): floor(x·scale + 0.5)/scale is the same
+    IEEE arithmetic in Spark and any SQL oracle, with no half-even vs
+    half-up ambiguity."""
+    if score_precision is None:
+        return col
+    scale = float(10**score_precision)
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 def apply_threshold(df: DataFrame, score_col: str, threshold: float, out_col: str = "prediction") -> DataFrame:
     """M7: score >= t → 1 else 0 (JVM-side CASE, no UDF)."""
     return df.withColumn(out_col, (F.col(score_col) >= F.lit(threshold)).cast("int"))
@@ -72,7 +90,12 @@ def binary_metrics(
     )
 
 
-def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    score_precision: int | None = None,
+) -> DataFrame:
     """A6: Mann-Whitney rank-statistic AUC with proper tie handling (average
     ranks), computed SCALABLY: first reduce N rows to per-distinct-score
     (pos, neg) counts (map-side partial agg + one shuffle), then one window
@@ -84,7 +107,9 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     or exact halves — engine-independent until the final division). The
     global window touches |distinct scores| rows, never N.
     """
-    by_score = df.groupBy(F.col(score_col).alias("s")).agg(
+    by_score = df.groupBy(
+        quantize_score(F.col(score_col), score_precision).alias("s")
+    ).agg(
         F.sum((F.col(label_col) == 1).cast("long")).alias("pos"),
         F.sum((F.col(label_col) == 0).cast("long")).alias("neg"),
     )
@@ -138,11 +163,18 @@ def expected_calibration_error(
     return sum(abs(r["avg_label"] - r["avg_confidence"]) * r["n"] for r in rows) / total
 
 
-def roc_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def roc_curve(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    score_precision: int | None = None,
+) -> DataFrame:
     """A12: one curve point per DISTINCT score — pre-aggregate by score
     (shuffle reduces N rows to |distinct scores|), then cumulative window
     sums ordered by score desc. Single pass; no per-threshold rescans."""
-    by_score = df.groupBy(F.col(score_col).alias("threshold")).agg(
+    by_score = df.groupBy(
+        quantize_score(F.col(score_col), score_precision).alias("threshold")
+    ).agg(
         F.sum((F.col(label_col) == 1).cast("long")).alias("pos"),
         F.sum((F.col(label_col) == 0).cast("long")).alias("neg"),
     )
@@ -157,10 +189,15 @@ def roc_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     ).orderBy(F.col("threshold").desc())
 
 
-def precision_recall_curve(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def precision_recall_curve(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    score_precision: int | None = None,
+) -> DataFrame:
     """A12 (PR form) + A10 groundwork: precision/recall at each distinct
     score threshold from the same sorted-cumulative pass."""
-    curve = roc_curve(df, label_col, score_col)
+    curve = roc_curve(df, label_col, score_col, score_precision)
     return curve.select(
         "threshold",
         (F.col("cum_tp") / (F.col("cum_tp") + F.col("cum_fp"))).alias("precision"),
@@ -239,6 +276,7 @@ def threshold_sweep(
     score_col: str,
     beta: float = 1.0,
     n_thresholds: int = 99,
+    score_precision: int | None = None,
 ) -> DataFrame:
     """M8: F-beta at thresholds i/(n+1), i=1..n — WITHOUT n rescans.
 
@@ -246,7 +284,9 @@ def threshold_sweep(
     tiny threshold list (|scores| × n is small), aggregate. At 100 TB the
     big table is touched exactly once.
     """
-    by_score = df.groupBy(F.col(score_col).alias("s")).agg(
+    by_score = df.groupBy(
+        quantize_score(F.col(score_col), score_precision).alias("s")
+    ).agg(
         F.sum((F.col(label_col) == 1).cast("long")).alias("pos"),
         F.sum((F.col(label_col) == 0).cast("long")).alias("neg"),
     )
@@ -370,12 +410,17 @@ def sum_fold(cols):
     return out
 
 
-def pr_curve_with_ap(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def pr_curve_with_ap(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    score_precision: int | None = None,
+) -> DataFrame:
     """A10/A12: PR curve + cumulative average-precision column. AP is the
     last row's ``ap_cum``: Σ ΔRecall·Precision over thresholds descending.
     The running sum is a sequential window accumulation (same order on any
     engine → bit-identical doubles)."""
-    curve = roc_curve(df, label_col, score_col)
+    curve = roc_curve(df, label_col, score_col, score_precision)
     w = Window.orderBy(F.col("threshold").desc())
     w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
     staged = (

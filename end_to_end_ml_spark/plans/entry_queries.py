@@ -42,6 +42,36 @@ def scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# continuous-score fixture: ~1e6 distinct values (multiplicative hash mod a
+# prime) — near-unique like real model probabilities. The quantized metric
+# queries below run over it with score_precision engaged, proving the
+# "bounded distinct scores" invariant holds by construction, not by luck.
+SCORED_CONT_SQL = (
+    "SELECT event_id, "
+    "CASE WHEN event_id % 7 < 3 THEN 1 ELSE 0 END AS label, "
+    "((event_id * 2654435761) % 1000003) / 1000003.0 AS score "
+    "FROM events"
+)
+
+# same IEEE arithmetic as metrics.quantize_score(p=4) — floor, not round():
+# engine round() half-up/half-even semantics differ; floor(x·1e4+0.5) doesn't
+_QUANT_CONT_SQL = (
+    "SELECT label, floor(score * 10000 + 0.5) / 10000.0 AS score "
+    f"FROM ({SCORED_CONT_SQL})"
+)
+
+
+def scored_events_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 < 3, 1).otherwise(0).alias("label"),
+        (
+            ((F.col("event_id") * 2654435761) % 1000003) / F.lit(1000003.0)
+        ).alias("score"),
+    )
+
+
 def _scored_with_pred(spark, sf_dir):
     return M.apply_threshold(scored_events(spark, sf_dir), "score", 0.5)
 
@@ -546,6 +576,119 @@ WITH by_s AS (
          CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
          CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
   FROM ({SCORED_SQL}) GROUP BY score
+), curve AS (
+  SELECT threshold,
+    CAST(sum(pos) OVER w AS BIGINT) AS cum_tp,
+    CAST(sum(neg) OVER w AS BIGINT) AS cum_fp,
+    CAST(sum(pos) OVER w AS BIGINT) / CAST(sum(pos) OVER () AS BIGINT) AS recall
+  FROM by_s
+  WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), staged AS (
+  SELECT threshold, recall,
+    cum_tp / (cum_tp + cum_fp) AS precision,
+    ((cum_tp - COALESCE(lag(cum_tp) OVER (ORDER BY threshold DESC), 0))
+      / CAST(max(cum_tp) OVER () AS BIGINT)) * (cum_tp / (cum_tp + cum_fp)) AS contrib
+  FROM curve
+)
+SELECT threshold, precision, recall,
+  round(sum(contrib) OVER (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS ap_cum
+FROM staged ORDER BY threshold DESC
+"""
+
+
+# --- quantized-knob variants over the continuous-score fixture -------------
+# (VERDICT r1 #3: |distinct scores| must be bounded by construction when
+# scores are near-unique; these prove the knob is oracle-exact)
+
+
+def m_roc_auc_quant(spark, sf_dir):
+    return M.roc_auc(
+        scored_events_continuous(spark, sf_dir), "label", "score", score_precision=4
+    )
+
+
+ROC_AUC_QUANT_SQL = f"""
+WITH ranked AS (
+  SELECT label AS y, score AS s, row_number() OVER (ORDER BY score) AS rn
+  FROM ({_QUANT_CONT_SQL})
+), r2 AS (
+  SELECT y, avg(rn) OVER (PARTITION BY s) AS rank FROM ranked
+)
+SELECT (sum(CASE WHEN y = 1 THEN rank END)
+        - CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          * (CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) + 1) / 2)
+       / (CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          * CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)) AS roc_auc
+FROM r2
+"""
+
+
+def m_roc_curve_quant(spark, sf_dir):
+    return M.roc_curve(
+        scored_events_continuous(spark, sf_dir), "label", "score", score_precision=4
+    )
+
+
+ROC_CURVE_QUANT_SQL = f"""
+WITH by_s AS (
+  SELECT score AS threshold,
+         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM ({_QUANT_CONT_SQL}) GROUP BY score
+)
+SELECT threshold,
+  CAST(sum(pos) OVER w AS BIGINT) AS cum_tp,
+  CAST(sum(neg) OVER w AS BIGINT) AS cum_fp,
+  CAST(sum(pos) OVER w AS BIGINT) / CAST(sum(pos) OVER () AS BIGINT) AS tpr,
+  CAST(sum(neg) OVER w AS BIGINT) / CAST(sum(neg) OVER () AS BIGINT) AS fpr
+FROM by_s
+WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY threshold DESC
+"""
+
+
+def m_threshold_sweep_quant(spark, sf_dir):
+    return M.threshold_sweep(
+        scored_events_continuous(spark, sf_dir),
+        "label",
+        "score",
+        beta=0.5,
+        score_precision=4,
+    )
+
+
+SWEEP_QUANT_SQL = f"""
+WITH by_s AS (
+  SELECT score AS s,
+         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM ({_QUANT_CONT_SQL}) GROUP BY score
+), th AS (SELECT i / 100 AS threshold FROM range(1, 100) t(i)),
+agg AS (
+  SELECT threshold,
+    CAST(sum(CASE WHEN s >= threshold THEN pos ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN s >= threshold THEN neg ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN s < threshold THEN pos ELSE 0 END) AS BIGINT) AS fn
+  FROM th CROSS JOIN by_s GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn,
+  1.25 * tp / (1.25 * tp + 0.25 * fn + fp) AS fbeta
+FROM agg ORDER BY threshold
+"""
+
+
+def m_pr_ap_quant(spark, sf_dir):
+    return M.pr_curve_with_ap(
+        scored_events_continuous(spark, sf_dir), "label", "score", score_precision=4
+    )
+
+
+PR_AP_QUANT_SQL = f"""
+WITH by_s AS (
+  SELECT score AS threshold,
+         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM ({_QUANT_CONT_SQL}) GROUP BY score
 ), curve AS (
   SELECT threshold,
     CAST(sum(pos) OVER w AS BIGINT) AS cum_tp,
@@ -1549,6 +1692,10 @@ REGISTRY: dict = {
     "a6_roc_auc": (m_roc_auc, ROC_AUC_SQL),
     "a9_ece_bins": (m_ece_bins, ECE_SQL),
     "a13_lift_gains": (m_lift_gains, LIFT_SQL),
+    "a6q_roc_auc_quantized": (m_roc_auc_quant, ROC_AUC_QUANT_SQL),
+    "a12q_roc_curve_quantized": (m_roc_curve_quant, ROC_CURVE_QUANT_SQL),
+    "m8q_threshold_sweep_quantized": (m_threshold_sweep_quant, SWEEP_QUANT_SQL),
+    "a10q_pr_curve_ap_quantized": (m_pr_ap_quant, PR_AP_QUANT_SQL),
     "a12_roc_curve": (m_roc_curve, ROC_CURVE_SQL),
     "m8_threshold_sweep": (m_threshold_sweep, SWEEP_SQL),
     "a1_class_distribution": (a1_class_distribution, CLASS_DIST_SQL),

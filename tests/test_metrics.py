@@ -166,3 +166,18 @@ def test_roc_auc_ovr_matches_binary(spark):
         assert out[str(c)] == expected
         aucs.append(expected)
     assert out["__macro__"] == ((aucs[0] + aucs[1]) + aucs[2]) / 3
+
+
+def test_score_precision_bounds_distinct_scores(spark):
+    """quantize_score must cap the distinct-score frame (the load-bearing
+    invariant for the global metric windows) without moving the metric."""
+    df = spark.range(0, 5000).selectExpr(
+        "cast(id % 2 as int) as y",
+        "((id * 2654435761) % 1000003) / 1000003.0 as s",
+    )
+    assert df.select("s").distinct().count() > 4000  # genuinely continuous
+    curve = M.roc_curve(df, "y", "s", score_precision=3)
+    assert curve.count() <= 1001  # floor(s*1e3+0.5)/1e3 on [0,1]
+    auc_q = M.roc_auc(df, "y", "s", score_precision=3).collect()[0]["roc_auc"]
+    auc = M.roc_auc(df, "y", "s").collect()[0]["roc_auc"]
+    assert abs(auc_q - auc) < 1e-3
