@@ -117,6 +117,62 @@ class InfrequentCollapser(Estimator, DefaultParamsReadable, DefaultParamsWritabl
         return InfrequentCollapserModel(frequent)
 
 
+class ParityStringIndexer(Estimator, DefaultParamsReadable, DefaultParamsWritable):
+    """F4(c): alphabetDesc multi-column string indexer whose label set ALWAYS
+    contains ``__infrequent__``.
+
+    Fitting a plain ``StringIndexer`` on the collapsed frame breaks when NO
+    training category fell below min_frequency: ``__infrequent__`` is then
+    absent from the fit data, an unseen category at transform/serving time
+    maps to index numLabels (handleInvalid='keep'), and the downstream
+    OneHotEncoder (handleInvalid='error') throws. Building the
+    ``StringIndexerModel`` from the observed labels ∪ {__infrequent__} via
+    ``from_arrays_of_labels`` guarantees the unseen→__infrequent__ path is
+    total, preserving the sklearn handle_unknown='infrequent_if_exist'
+    contract.
+
+    Label order: ``__infrequent__`` is pinned to index 0 and the frequent
+    labels follow in alphabetDesc order, so the max index — the one OHE
+    dropLast removes — is always the alphabetically-FIRST frequent
+    category, exactly sklearn drop='first' (sklearn never drops its
+    infrequent bucket either; it just places it last where we place it
+    first — column order differs, dropped category and information
+    don't)."""
+
+    def __init__(self, inputCols=None, outputCols=None):
+        super().__init__()
+        self._input_cols = list(inputCols or [])
+        self._output_cols = list(outputCols or [])
+
+    def _fit(self, df: DataFrame):
+        from pyspark.ml.feature import StringIndexerModel
+
+        stacked = df.selectExpr(
+            "stack({}, {}) as (col_name, value)".format(
+                len(self._input_cols),
+                ", ".join(f"'{c}', cast(`{c}` as string)" for c in self._input_cols),
+            )
+        )
+        rows = (
+            stacked.filter(F.col("value").isNotNull())
+            .distinct()
+            .collect()  # bounded: post-collapse ≤ 1/min_frequency + 1 per col
+        )
+        seen: dict[str, set[str]] = {c: set() for c in self._input_cols}
+        for r in rows:
+            seen[r["col_name"]].add(r["value"])
+        labels = [
+            [INFREQUENT] + sorted(seen[c] - {INFREQUENT}, reverse=True)
+            for c in self._input_cols
+        ]
+        return StringIndexerModel.from_arrays_of_labels(
+            labels,
+            inputCols=self._input_cols,
+            outputCols=self._output_cols,
+            handleInvalid="keep",
+        )
+
+
 def build_preprocessing_stages(
     numeric_cols: list[str],
     categorical_cols: list[str],
@@ -168,12 +224,7 @@ def build_preprocessing_stages(
         indexed = [f"{c}__idx" for c in categorical_cols]
         encoded = [f"{c}__ohe" for c in categorical_cols]
         stages.append(
-            StringIndexer(
-                inputCols=categorical_cols,
-                outputCols=indexed,
-                stringOrderType="alphabetDesc",
-                handleInvalid="keep",
-            )
+            ParityStringIndexer(inputCols=categorical_cols, outputCols=indexed)
         )
         stages.append(
             OneHotEncoder(inputCols=indexed, outputCols=encoded, dropLast=True)

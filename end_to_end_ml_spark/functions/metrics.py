@@ -402,6 +402,14 @@ def multiclass_summary(
     )
 
 
+def _sorted_class_keys(score_cols: dict) -> list:
+    """Class keys in lowest-class-first order for argmax tie-breaks: numeric
+    keys sort numerically (10 classes: 0,1,2,...,10 — not '0','1','10','11',
+    '2'), string keys lexicographically after them. Matches numpy argmax's
+    lowest-index-wins when classes are ints."""
+    return sorted(score_cols, key=lambda k: (isinstance(k, str), k))
+
+
 def sum_fold(cols):
     """Left fold with explicit order: ((a+b)+c)+... — deterministic FP."""
     out = cols[0]
@@ -486,7 +494,7 @@ def roc_auc_ovr(df: DataFrame, label_col: str, score_cols: dict) -> DataFrame:
     class (touches |classes|·|distinct scores| rows, never K·N). The macro
     row folds the per-class AUCs in explicit sorted-class order, so the
     double arithmetic matches a fixed-order SQL oracle bit-for-bit."""
-    keys = sorted(score_cols, key=str)
+    keys = _sorted_class_keys(score_cols)
     stacked = None
     for cls in keys:
         part = df.select(
@@ -536,7 +544,7 @@ def ece_bins_multiclass(
     (argmax class == label), argmax ties resolved to the lowest class index
     (numpy argmax semantics). Same single groupBy shape as the binary form —
     ECE is the driver fold over ≤ n_bins rows."""
-    keys = sorted(score_cols, key=str)
+    keys = _sorted_class_keys(score_cols)
     conf = F.greatest(*[F.col(score_cols[k]) for k in keys])
     pred = F.when(F.col(score_cols[keys[0]]) == conf, F.lit(keys[0]))
     for k in keys[1:]:

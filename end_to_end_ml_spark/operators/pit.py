@@ -37,11 +37,15 @@ def as_of_join(
 ) -> DataFrame:
     """Left as-of join with optional TTL.
 
-    Every entity row appears exactly once in the output. Ties on
-    ``feature_ts`` break deterministically on the feature columns so results
-    are stable across partitionings.
+    Every entity row appears exactly once in the output — INCLUDING
+    byte-identical duplicate entity rows (Feast scores each entity row
+    independently): a per-row id is attached before the join and the
+    keep-newest window partitions on it, so duplicates can't collapse.
+    Ties on ``feature_ts`` break deterministically on the feature columns
+    so results are stable across partitionings.
     """
     keys = list(keys)
+    entity_df = entity_df.withColumn("__eid", F.monotonically_increasing_id())
     feat_cols = list(feature_cols) if feature_cols is not None else [
         c for c in feature_df.columns if c not in keys
     ]
@@ -60,16 +64,16 @@ def as_of_join(
 
     joined = entity_df.join(f_sel, on=cond, how="left").drop(*[f"__k_{k}" for k in keys])
 
-    # One row per entity: newest feature wins, deterministic tie-break.
-    entity_cols = entity_df.columns
+    # One row per entity ROW (not per distinct entity tuple): newest feature
+    # wins, deterministic tie-break.
     order = [F.col(feature_ts).desc_nulls_last()] + [
         F.col(c).desc_nulls_last() for c in feat_cols if c != feature_ts
     ]
-    w = Window.partitionBy(*entity_cols).orderBy(*order)
+    w = Window.partitionBy("__eid").orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__eid")
     )
 
 
@@ -95,9 +99,9 @@ def as_of_join_union(
     Equal-timestamp semantics match :func:`as_of_join`: features at exactly
     ``entity_ts`` are visible (features sort before entities at the same
     instant), and ties on ``feature_ts`` resolve to the maximum feature
-    tuple. Entities with no (in-TTL) feature row keep NULL features. Unlike
-    :func:`as_of_join`, byte-identical duplicate entity rows are preserved
-    (it dedups them via its entity-row window)."""
+    tuple. Entities with no (in-TTL) feature row keep NULL features.
+    Byte-identical duplicate entity rows are preserved, same as
+    :func:`as_of_join`."""
     keys = list(keys)
     feat_cols = (
         list(feature_cols)

@@ -38,7 +38,16 @@ def salted_join(
     whole row modulo S — reproducible, no rand()), dim rows are replicated
     S times. The join key becomes (key, salt), so one hot key occupies S
     partitions instead of one. Shuffle volume: fact unchanged, dim ×S —
-    the right trade when dim ≪ fact but too big to broadcast."""
+    the right trade when dim ≪ fact but too big to broadcast.
+
+    Only fact-preserving join types are allowed: under 'right'/'full'
+    (or 'left_anti') an unmatched dim key would surface once per salt
+    replica, silently breaking the exact-semantics contract."""
+    if how not in ("inner", "left", "left_semi"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left','left_semi'); got {how!r} "
+            "— dim-side replicas would duplicate unmatched dim keys"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(

@@ -37,12 +37,26 @@ def predict_records(
 ) -> list[dict]:
     """I2 core: validate every record against the model's expected feature
     names (api_server.py:96-133 → HTTP 422 ≙ ValueError), build a DataFrame,
-    score, and return per-record (predicted_probability, prediction)."""
+    score, and return per-record (predicted_probability, prediction).
+
+    Results come back in REQUEST order: Spark does not guarantee row order
+    through ``model.transform``+``collect``, so an explicit ``__row_id``
+    from ``enumerate(records)`` rides along and the output sorts on it —
+    callers can zip results with their inputs even with ``pk_col=None``."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     for i, rec in enumerate(records):
         problems = validate_request_schema(expected_cols, rec, pk_col=pk_col)
         if problems["missing"] or problems["unexpected"]:
             raise ValueError(f"record {i}: {problems}")
-    df = ingest_json_records(spark, records, schema)
+    tagged = [{**rec, "__row_id": i} for i, rec in enumerate(records)]
+    if isinstance(schema, StructType):
+        schema = StructType(
+            list(schema.fields) + [StructField("__row_id", LongType(), False)]
+        )
+    else:  # DDL string
+        schema = f"{schema}, __row_id long"
+    df = ingest_json_records(spark, tagged, schema)
     scored = model.transform(df)
     out = scored.withColumn(
         "predicted_probability", vector_to_array(F.col("probability"))[pos_index]
@@ -51,7 +65,10 @@ def predict_records(
         (F.col("predicted_probability") >= F.lit(decision_threshold)).cast("int"),
     )
     cols = ([pk_col] if pk_col else []) + ["predicted_probability", "prediction"]
-    return [r.asDict() for r in out.select(*cols).collect()]
+    return [
+        r.asDict()
+        for r in out.orderBy("__row_id").select(*cols).collect()
+    ]
 
 
 def create_app(

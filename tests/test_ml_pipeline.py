@@ -64,6 +64,30 @@ def test_infrequent_collapser(spark):
     assert model.transform(new).collect()[0]["c"] == FP.INFREQUENT
 
 
+def test_unseen_category_with_zero_infrequent_at_fit(spark):
+    """ADVICE r1 (medium): when NO training category is below min_frequency,
+    __infrequent__ is absent from the fit data — the encode path must still
+    accept an unseen category at transform time and route it to the
+    __infrequent__ bucket instead of crashing in OneHotEncoder."""
+    from pyspark.ml import Pipeline
+
+    fit_df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(100)], ["id", "c"]
+    )
+    stages = FP.build_preprocessing_stages(
+        numeric_cols=[], categorical_cols=["c"],
+        min_category_frequency=0.01,  # both cats are frequent: no collapse
+        variance_threshold=0.0,
+    )
+    fitted = Pipeline(stages=stages).fit(fit_df)
+    new = spark.createDataFrame([(1, "never_seen"), (2, "x")], ["id", "c"])
+    out = {r["id"]: r for r in fitted.transform(new).collect()}  # must not throw
+    # unseen row hits the __infrequent__ index, distinct from both fit cats
+    assert out[1]["c__idx"] not in (out[2]["c__idx"],)
+    n_idx = fit_df.select("c").distinct().count() + 1  # x, y, __infrequent__
+    assert 0 <= out[1]["c__idx"] < n_idx
+
+
 def test_ohe_drop_first_parity(spark):
     # categories a<b<c: sklearn drop='first' drops 'a'. With alphabetDesc
     # indexing, 'a' has the max index, which dropLast removes.

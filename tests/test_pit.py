@@ -114,3 +114,17 @@ def test_union_asof_matches_ranged_asof(spark):
         ra = sorted(map(tuple, a.select("id", "ets", "fts", "val").collect()))
         rb = sorted(map(tuple, b.select("id", "ets", "fts", "val").collect()))
         assert ra == rb
+
+
+def test_as_of_duplicate_entity_rows_each_scored(spark):
+    """ADVICE r1: byte-identical duplicate entity rows must each appear in
+    the output (Feast scores every entity row), not collapse to one."""
+    ents = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")] * 3, ["k", "ets"]
+    ).select("k", F.col("ets").cast("timestamp"))
+    feats = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0)], ["k", "fts", "v"]
+    ).select("k", F.col("fts").cast("timestamp"), "v")
+    out = pit.as_of_join(ents, feats, ["k"], "ets", "fts").collect()
+    assert len(out) == 3
+    assert all(r["v"] == 10.0 for r in out)

@@ -78,3 +78,13 @@ def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "(bucket = 2)" in plan or "bucket#" in plan.split("PartitionFilters")[1][:200]
     assert back.count() == 250
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest as _pytest
+
+    fact = spark.createDataFrame([(1, "a")], ["key", "x"])
+    dim = spark.createDataFrame([(1, "d")], ["key", "y"])
+    for how in ("right", "full", "outer", "left_anti"):
+        with _pytest.raises(ValueError):
+            skew.salted_join(fact, dim, "key", how=how)
