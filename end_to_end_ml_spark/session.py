@@ -43,6 +43,10 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
+        # FAIR scheduling so concurrent tuner trials (train/tuner.py sets
+        # spark.scheduler.pool per trial thread) share executors instead of
+        # FIFO-starving each other; no effect on single-job workloads.
+        "spark.scheduler.mode": "FAIR",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"),
     }

@@ -161,6 +161,67 @@ def test_tuner_deterministic(spark):
     assert [t.params for t in a.trials] == [t.params for t in b.trials]
 
 
+def test_tpe_beats_random_on_seeded_objective(spark):
+    """H3 'done' criterion (VERDICT r1 #4): within 30 trials the adaptive
+    sampler must find a better optimum than pure random search on a smooth
+    2-D objective (negative quadratic, max 0 at (0.7, 0.3))."""
+
+    def objective(p):
+        return -((p["x"] - 0.7) ** 2) - (p["y"] - 0.3) ** 2
+
+    space = {"x": ("float", 0.0, 1.0), "y": ("float", 0.0, 1.0)}
+    seeds = [0, 1, 2]
+    tpe_best = [
+        tuner.tune(objective, space, n_trials=30, seed=s, sampler="tpe",
+                   n_startup_trials=8).best_trial.value
+        for s in seeds
+    ]
+    rnd_best = [
+        tuner.tune(objective, space, n_trials=30, seed=s).best_trial.value
+        for s in seeds
+    ]
+    assert sum(tpe_best) > sum(rnd_best), (tpe_best, rnd_best)
+    assert max(tpe_best) > -0.01  # actually converges near the optimum
+
+
+def test_tpe_deterministic_and_respects_bounds(spark):
+    space = {
+        "c": ("float_log", 1e-3, 10.0),
+        "n": ("int", 2, 7),
+        "k": ("categorical", ["p", "q", "r"]),
+    }
+    obj = lambda p: -abs(p["c"] - 1.0) + p["n"]  # noqa: E731
+    a = tuner.tune(obj, space, n_trials=20, seed=5, sampler="tpe", n_startup_trials=5)
+    b = tuner.tune(obj, space, n_trials=20, seed=5, sampler="tpe", n_startup_trials=5)
+    assert [t.params for t in a.trials] == [t.params for t in b.trials]
+    for t in a.trials:
+        assert 1e-3 <= t.params["c"] <= 10.0
+        assert 2 <= t.params["n"] <= 7 and isinstance(t.params["n"], int)
+        assert t.params["k"] in ("p", "q", "r")
+
+
+def test_tuner_parallel_fair_pools(spark):
+    """H4: parallel trials run under per-slot FAIR scheduler pools."""
+    seen = []
+
+    def objective(p):
+        seen.append(
+            spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        )
+        # a real (tiny) Spark job inside the pool
+        return float(spark.range(100).count()) + p["x"]
+
+    study = tuner.tune(
+        objective, {"x": ("float", 0, 1)}, n_trials=6, parallel_jobs=3,
+        seed=2, spark=spark,
+    )
+    assert all(t.state == "complete" for t in study.trials)
+    assert set(seen) <= {f"tuner-pool-{i}" for i in range(3)}
+    assert len(set(seen)) > 1  # genuinely spread over pools
+    # pool property cleared after the run on every worker thread
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+
+
 def test_isotonic_calibration_prefit(spark):
     # miscalibrated scores: true P(y=1) = 1 for s>0.5, 0 below
     rows = [(0.6 + i / 100, 1.0) for i in range(40)] + [(0.1 + i / 100, 0.0) for i in range(40)]
