@@ -913,9 +913,96 @@ def d_minhash_pairs(spark, sf_dir):
     )
 
 
+# d3 IS oracle-checkable: its output is the exact-Jaccard-verified subset of
+# the LSH candidates, and on this corpus every true pair has J >= 0.93 (the
+# nearest exact pair sits far above the 0.6 threshold), where a 16-band/
+# r=4 signature misses with P ~ (1-0.93^4)^16 < 1e-9 — so the emitted set
+# equals the full exact pair set and the brute-force SQL below is its oracle.
+MINHASH_EXACT_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 def d_simhash_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _pair_recall_summary(exact: DataFrame, approx: DataFrame, keys: list[str]) -> DataFrame:
+    """One-row (n_exact, n_approx, n_common, recall_ppm) frame — fully lazy,
+    deterministic given deterministic inputs (all our hashes are seeded).
+    recall_ppm is an exact integer: floor(n_common * 1e6 / n_exact)."""
+    e = exact.select(*keys)
+    a = approx.select(*keys)
+    hits = e.join(a.withColumn("__hit", F.lit(1)), on=keys, how="left")
+    stats = hits.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_common"),
+    )
+    return (
+        stats.crossJoin(a.agg(F.count(F.lit(1)).alias("n_approx")))
+        .select(
+            "n_exact",
+            "n_approx",
+            "n_common",
+            F.floor(F.col("n_common") * 1000000 / F.col("n_exact"))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def d4r_simhash_recall(spark, sf_dir):
+    """SimHash banding recall vs the brute-force popcount ground truth —
+    1.0 BY CONSTRUCTION (pigeonhole: hamming<=3 over 4 chunks of 16 bits
+    forces one exact chunk match); this query makes the invariant a
+    driver-visible deterministic row."""
+    docs = load_table(spark, sf_dir, "documents")
+    banded = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    fps = dedup.simhash(docs, "doc_id", "text")
+    a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    brute = (
+        a.join(b, a.id_a < b.id_b)
+        .filter(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    return _pair_recall_summary(brute, banded, ["id_a", "id_b"])
+
+
+def d6r_embedding_lsh_recall(spark, sf_dir):
+    """Sign-LSH near-dup recall vs the exact cosine pair set (threshold 0.4
+    sits in the random-cosine tail, so banding recall is well below 1 —
+    the point of this row is that it is DETERMINISTIC and tracked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    approx = dedup.embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, dim=64
+    )
+    return _pair_recall_summary(exact, approx, ["id_a", "id_b"])
+
+
+def sim2r_lsh_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, "vec_id", "embedding", k=5)
+    approx = similarity.lsh_topk(emb, "vec_id", "embedding", k=5, dim=64)
+    return _pair_recall_summary(exact, approx, ["query_id", "neighbor_id"])
+
+
+def sim3r_ivf_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, "vec_id", "embedding", k=5)
+    approx = similarity.ivf_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+    )
+    return _pair_recall_summary(exact, approx, ["query_id", "neighbor_id"])
 
 
 def x_token_counts(spark, sf_dir):
@@ -1711,8 +1798,9 @@ REGISTRY: dict = {
     # LLM-data-pipeline extensions
     "d1_exact_dup_groups": (d_exact_dup_groups, EXACT_DUP_SQL),
     "d2_ngram_jaccard_pairs": (d_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "d3_minhash_lsh_pairs": (d_minhash_pairs, None),  # xxhash64: no SQL oracle
-    "d4_simhash_pairs": (d_simhash_pairs, None),  # xxhash64: no SQL oracle
+    "d3_minhash_lsh_pairs": (d_minhash_pairs, MINHASH_EXACT_SQL),
+    "d4_simhash_pairs": (d_simhash_pairs, None),  # xxhash64 fp: no SQL oracle
+    "d4r_simhash_recall": (d4r_simhash_recall, None),  # deterministic; recall=1 by pigeonhole
     "x1_token_counts": (x_token_counts, TOKEN_COUNTS_SQL),
     "x2_quality_scores": (x_quality_scores, QUALITY_SQL),
     "x3_language_id": (x_language_id, LANG_ID_SQL),
@@ -1720,12 +1808,15 @@ REGISTRY: dict = {
     "mm1_payload_metadata": (mm_payload_metadata, PAYLOAD_META_SQL),
     "sim1_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim2_lsh_topk": (sim_lsh_topk, None),  # approximate: verified by recall test
+    "sim2r_lsh_topk_recall": (sim2r_lsh_topk_recall, None),  # deterministic recall row
+    "sim3r_ivf_topk_recall": (sim3r_ivf_topk_recall, None),  # deterministic recall row
     "sim1b_topk_sharded": (sim_topk_sharded, SIM_TOPK_SQL),
     "sim3_ivf_topk": (sim_ivf_topk, None),  # approximate: verified by recall test
     "ml1_logreg_validation_scores": (_ml_scores, None),  # MLlib fit: rows-only
     "a8_auc_ovr_macro": (a8_auc_ovr, AUC_OVR_SQL),
     "d5_embedding_near_dup": (d5_embedding_near_dup, D5_EMB_DUP_SQL),
     "d6_embedding_near_dup_lsh": (d6_embedding_near_dup_lsh, None),  # LSH subset: recall test
+    "d6r_embedding_lsh_recall": (d6r_embedding_lsh_recall, None),  # deterministic recall row
     "agg_cube": (agg_cube, CUBE_SQL),
     "j5_customers_without_orders": (j5_customers_without_orders, ANTI_JOIN_SQL),
     "set1_repeat_customers": (set1_repeat_customers, INTERSECT_SQL),

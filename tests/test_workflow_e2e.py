@@ -124,3 +124,62 @@ def test_serving_predict_records(spark, tmp_path):
         serving.predict_records(
             spark, fitted, [{"c_acctbal": 1.0}], schema, expected, pk_col="o_orderkey"
         )
+
+def test_local_json_tracker_full_run_log(tmp_path):
+    """E7: the always-on local tracker produces a complete run log —
+    params, per-model metrics, trial assets, champion, gate decision,
+    registration — surviving a write/read round trip."""
+    import json
+
+    from end_to_end_ml_spark.train.tracking import (
+        LocalJsonTracker,
+        create_tracker,
+    )
+
+    tr = create_tracker(str(tmp_path), run_name="t")
+    assert isinstance(tr, LocalJsonTracker)  # mlflow absent -> local fallback
+    tr.log_parameters({"sf_dir": "/x", "champion": "logistic_regression"})
+    tr.log_parameter("gate_passed", True)
+    tr.log_metrics({"logreg__fbeta": 0.8, "logreg__roc_auc": 0.9})
+    tr.log_metric("loss", 0.5, step=1)
+    tr.log_metric("loss", 0.4, step=2)
+    tr.log_asset("trials_logreg", [{"number": 0, "value": 0.8}])
+    tr.log_confusion_matrix([{"label": 0, "prediction": 0, "n": 10}])
+    tr.log_model("logistic_regression", "/models/champ")
+    tr.register_model("logistic_regression", path="/models/champ", threshold=0.42)
+    assert tr.get_metric("logreg__fbeta") == 0.8
+    assert tr.get_metric("missing") is None
+    tr.end()
+    tr.end()  # idempotent
+
+    doc = json.load(open(tr.path))
+    assert doc["params"]["champion"] == "logistic_regression"
+    assert doc["params"]["gate_passed"] is True
+    assert doc["metrics"]["logreg__fbeta"] == 0.8
+    assert doc["metrics"]["loss"] == 0.4  # last value wins
+    assert [s["step"] for s in doc["metric_steps"]] == [1, 2]
+    assert doc["assets"]["trials_logreg"][0]["value"] == 0.8
+    assert doc["assets"]["confusion_matrix"][0]["n"] == 10
+    assert doc["models"]["logistic_regression"] == "/models/champ"
+    assert doc["registered"][0]["threshold"] == 0.42
+    assert doc["started_at"] <= doc["ended_at"]
+
+
+def test_tracker_backend_selection(tmp_path):
+    import pytest as _pytest
+
+    from end_to_end_ml_spark.train import tracking
+
+    assert isinstance(
+        tracking.create_tracker(str(tmp_path), backend="local"),
+        tracking.LocalJsonTracker,
+    )
+    try:
+        import mlflow  # noqa: F401
+
+        has_mlflow = True
+    except ImportError:
+        has_mlflow = False
+    if not has_mlflow:
+        with _pytest.raises(ImportError):
+            tracking.create_tracker(str(tmp_path), backend="mlflow")

@@ -24,12 +24,15 @@ from end_to_end_ml_spark.sources.io import write_csv  # noqa: E402
 from end_to_end_ml_spark.train import models as MZ  # noqa: E402
 from end_to_end_ml_spark.train import tuner as T  # noqa: E402
 from end_to_end_ml_spark.train import workflow as W  # noqa: E402
+from end_to_end_ml_spark.train.tracking import create_tracker  # noqa: E402
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_ml_engine_run"
     spark = get_spark("run-pipeline")
+    tracker = create_tracker(out_dir, run_name="pipeline_run")
+    tracker.log_parameters({"sf_dir": sf_dir, "out_dir": out_dir})
 
     # ---- prep + split (reference: prep_data.py, split_data.py) ----
     df = order_training_frame(spark, sf_dir)
@@ -84,6 +87,9 @@ def main() -> None:
             spark.createDataFrame([json.loads(json.dumps(r)) for r in study.to_rows()]),
             os.path.join(out_dir, f"trials_{name}"),
         )
+        tracker.log_parameters({f"{name}__{k}": v for k, v in best.params.items()})
+        tracker.log_metrics({f"{name}__{k}": v for k, v in candidates[name].items()})
+        tracker.log_asset(f"trials_{name}", study.to_rows())
         print(f"{name}: valid={candidates[name]}")
 
     # ---- select + gate + calibrate + threshold + register (evaluate.py) ----
@@ -94,6 +100,11 @@ def main() -> None:
     thr = M.best_threshold(calib_scored, "label", "pos_proba", beta=0.5)
     model_path = os.path.join(out_dir, "champion")
     W.register_champion(fitted, model_path, thr, pos_index=1, metrics=candidates[champ])
+    tracker.log_parameter("champion", champ)
+    tracker.log_parameter("decision_threshold", thr)
+    tracker.log_parameter("gate_passed", True)
+    tracker.log_model(champ, model_path)
+    tracker.register_model(champ, path=model_path, threshold=thr)
     print(f"champion={champ} threshold={thr:.3f} registered at {model_path}")
 
     # ---- batch inference (predict.py / helpers.py) ----
@@ -110,6 +121,8 @@ def main() -> None:
         pos_index=sidecar["encoded_pos_class_label"],
     )
     test_metrics = W.evaluate_binary(fitted.transform(test), threshold=thr)
+    tracker.log_metrics({f"test__{k}": v for k, v in test_metrics.items()})
+    tracker.end()
     print(f"scored {out.count()} rows; test metrics: {test_metrics}")
     print("DONE")
 
