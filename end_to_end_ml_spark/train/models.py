@@ -76,13 +76,24 @@ def random_forest(features_col="features", label_col="label", n_estimators: int 
 
 def gradient_boosting(features_col="features", label_col="label", n_estimators: int = 50,
                       max_depth: int = 5, learning_rate: float = 0.1, subsample: float = 1.0,
-                      seed: int = 42):
+                      min_child_samples: int | None = None, num_leaves: int | None = None,
+                      scale_pos_weight: float | None = None,
+                      weight_col: str = "class_weight_spw", seed: int = 42):
     """M3/M4 slot: prefer SparkXGBClassifier / SynapseML LightGBM when
-    installed; MLlib GBTClassifier otherwise (param-compatible subset)."""
+    installed; MLlib GBTClassifier otherwise.
+
+    Param surface follows the reference's LightGBM config
+    (training-config.yml:176-181): every knob maps to its native equivalent
+    per branch, or the closest representable form on the GBT fallback —
+    ``min_child_samples`` → ``minInstancesPerNode``, ``num_leaves`` →
+    a ``maxDepth`` cap of ceil(log2(num_leaves)) (a depth-d tree has at
+    most 2^d leaves), ``scale_pos_weight`` → ``weightCol`` (pair with
+    :func:`with_scale_pos_weight` to materialize the column; reference
+    train.py:500 computes the ratio via :func:`scale_pos_weight`)."""
     try:  # pragma: no cover - not installed in this container
         from xgboost.spark import SparkXGBClassifier
 
-        return SparkXGBClassifier(
+        kw = dict(
             features_col=features_col,
             label_col=label_col,
             n_estimators=n_estimators,
@@ -90,21 +101,36 @@ def gradient_boosting(features_col="features", label_col="label", n_estimators: 
             learning_rate=learning_rate,
             subsample=subsample,
         )
+        if scale_pos_weight is not None:
+            kw["scale_pos_weight"] = scale_pos_weight
+        if num_leaves is not None:
+            kw["max_leaves"] = num_leaves
+        return SparkXGBClassifier(**kw)
     except ImportError:
         pass
     try:  # pragma: no cover - not installed in this container
         from synapse.ml.lightgbm import LightGBMClassifier
 
-        return LightGBMClassifier(
+        kw = dict(
             featuresCol=features_col,
             labelCol=label_col,
             numIterations=n_estimators,
             maxDepth=max_depth,
             learningRate=learning_rate,
+            baggingFraction=subsample,
         )
+        if min_child_samples is not None:
+            kw["minDataInLeaf"] = min_child_samples
+        if num_leaves is not None:
+            kw["numLeaves"] = num_leaves
+        if scale_pos_weight is not None:
+            kw["weightCol"] = weight_col
+        return LightGBMClassifier(**kw)
     except ImportError:
         pass
-    return GBTClassifier(
+    if num_leaves is not None:
+        max_depth = min(max_depth, max(1, (num_leaves - 1).bit_length()))
+    kw = dict(
         featuresCol=features_col,
         labelCol=label_col,
         maxIter=n_estimators,
@@ -112,6 +138,23 @@ def gradient_boosting(features_col="features", label_col="label", n_estimators: 
         stepSize=learning_rate,
         subsamplingRate=subsample,
         seed=seed,
+    )
+    if min_child_samples is not None:
+        kw["minInstancesPerNode"] = min_child_samples
+    if scale_pos_weight is not None:
+        kw["weightCol"] = weight_col
+    return GBTClassifier(**kw)
+
+
+def with_scale_pos_weight(
+    df: DataFrame, label_col: str, spw: float, out_col: str = "class_weight_spw"
+) -> DataFrame:
+    """M4 wiring: materialize scale_pos_weight as a row weight column
+    (positives weighted ×spw, negatives 1.0) for builders that emulate the
+    ratio via ``weightCol`` (MLlib GBT, SynapseML LightGBM)."""
+    return df.withColumn(
+        out_col,
+        F.when(F.col(label_col) == 1, F.lit(float(spw))).otherwise(F.lit(1.0)),
     )
 
 
