@@ -886,6 +886,33 @@ _SHINGLE_SQL = (
 )
 
 
+def s9_online_export(spark, sf_dir):
+    """S2-variant online-store export core (Feast materialize stand-in):
+    latest event per (user_id, event_type) — the frame export_online_store
+    writes bucketed by key hash; the relational part is the oracle surface."""
+    from ..sources.io import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        ev,
+        ["user_id", "event_type"],
+        "ts",
+        feature_cols=["event_id", "value"],
+        tiebreak_cols=["event_id"],
+    ).orderBy("user_id", "event_type")
+
+
+S9_ONLINE_SQL = """
+SELECT user_id, event_type, ts, event_id, value FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
 def d_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -1832,6 +1859,7 @@ REGISTRY: dict = {
     "q18_large_volume_customers": (R.q18_large_volume_customers, Q18_SQL),
     "p7_enforce_types": (p7_enforce_types, P7_SQL),
     "s5_json_props": (s5_json_props, S5_JSON_SQL),
+    "s9_online_export": (s9_online_export, S9_ONLINE_SQL),
     "a9_ece_multiclass": (a9_ece_multiclass, ECE_MC_SQL),
     "agg_grouping_sets": (agg_grouping_sets, GROUPING_SETS_SQL),
     "ts1_hourly_downsample": (ts1_hourly_downsample, TS1_SQL),

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
@@ -70,6 +70,65 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     Tiny driver-adjacent tables (trial logs, metric frames) — still written
     through the distributed writer so the same call works at any size."""
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def export_online_store(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    path: str,
+    feature_cols: list[str] | None = None,
+    num_buckets: int = 64,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Online-store export (the engine's stand-in for the reference's Feast
+    online materialization, src/feature/feature_repo/define_feature.py):
+    keep the LATEST feature row per entity key and write it bucketed by
+    key hash so a serving layer can address one file per key.
+
+    Shape at 100 TB: latest-per-key is one window partitioned by the key
+    (no global sort), the sink partitions on pmod(hash(key), buckets) so
+    point lookups touch one directory; re-exports overwrite only changed
+    buckets via dynamic partition overwrite. Returns the exported frame
+    (also the oracle surface: latest-per-key is plain SQL)."""
+    keys = list(key_cols)
+    latest = latest_per_key(df, keys, ts_col, feature_cols, tiebreak_cols)
+    bucketed = latest.withColumn(
+        "__bucket", F.pmod(F.xxhash64(*keys), F.lit(num_buckets))
+    )
+    (
+        bucketed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    return latest
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    feature_cols: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """The pure relational core of the online-store export: newest row per
+    entity key (window partitioned by key — distributed, no global sort),
+    deterministic under ts ties via ``tiebreak_cols``."""
+    keys = list(key_cols)
+    cols = (
+        [*keys, ts_col, *feature_cols] if feature_cols is not None else df.columns
+    )
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.select(*cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def write_bucketed(

@@ -88,3 +88,30 @@ def test_salted_join_rejects_outer_joins(spark):
     for how in ("right", "full", "outer", "left_anti"):
         with _pytest.raises(ValueError):
             skew.salted_join(fact, dim, "key", how=how)
+
+
+def test_online_store_export_roundtrip(spark, tmp_path):
+    """S2-variant (Feast-materialize stand-in): latest row per key, written
+    bucketed by key hash; a point lookup reads one bucket directory."""
+    from end_to_end_ml_spark.sources.io import export_online_store
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-03 00:00:00", 3.0),   # latest for key 1
+        (2, "2024-01-02 00:00:00", 2.0),
+        (1, "2024-01-02 00:00:00", 9.9),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).selectExpr(
+        "k", "cast(ts as timestamp) ts", "v"
+    )
+    path = str(tmp_path / "online")
+    out = export_online_store(df, ["k"], "ts", path, num_buckets=8)
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: 3.0, 2: 2.0}
+    back = spark.read.parquet(path)
+    assert {r["k"]: r["v"] for r in back.collect()} == got
+    assert "__bucket" in back.columns  # partition column = addressable bucket
+    import os
+
+    buckets = [d for d in os.listdir(path) if d.startswith("__bucket=")]
+    assert 1 <= len(buckets) <= 8
