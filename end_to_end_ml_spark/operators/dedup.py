@@ -17,7 +17,7 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -510,4 +510,80 @@ def embedding_near_dup_lsh(
         cands.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup groups: connected components over a pair list + canonical pick
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (id, group_id),
+    group_id = min member id. The dedup-group primitive: d2/d3/d5 emit
+    near-dup PAIRS; turning them into deletion groups needs components.
+
+    Distributed min-label propagation (the Pregel/GraphX pattern without a
+    graph library): every node starts labeled with itself; each round
+    pushes labels across edges and keeps the per-node min; converges in
+    O(component diameter) rounds — near-dup clusters are dense, so 2-4
+    rounds in practice. Each round is one equi-join + one groupBy (both on
+    the node key — AQE reuses the partitioning); lineage is truncated with
+    localCheckpoint every few rounds so 100 TB runs don't replay the whole
+    chain. The driver-side loop is the standard iterative-algorithm
+    pattern: per-round work is fully distributed, the driver only checks
+    the converged flag (a 1-row count)."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for it in range(max_iter):
+        prop = sym.join(labels, sym["a"] == labels["id"]).select(
+            F.col("b").alias("id"), F.col("label").alias("label")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        if (it + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("group_id"))
+
+
+def canonical_per_group(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Pick the keeper per dup group: longest text, ties to the smallest id
+    (the usual 'keep the most complete copy' dedup policy). One window over
+    groups — group sizes are tiny, keys are many: perfectly parallel."""
+    joined = groups.join(
+        df.select(F.col(id_col).alias("id"), F.length(text_col).alias("__len")),
+        on="id",
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("__len").desc(), F.col("id"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(group_col), F.col("id").alias("canonical_id"))
     )

@@ -962,6 +962,59 @@ def d_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def d7_near_dup_groups(spark, sf_dir):
+    """Connected components over the (oracle-proven) MinHash near-dup pairs:
+    (doc_id, group_id = min member). The deletion-list primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.6, shingle_size=5
+    )
+    return dedup.connected_components(pairs).orderBy("id").select(
+        F.col("id").alias("doc_id"), "group_id"
+    )
+
+
+# recursive transitive closure over the same exact pair set d3 is checked
+# against — DuckDB computes components exactly on the (small) dup graph
+D7_GROUPS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_EXACT_SQL.replace("ORDER BY id_a, id_b", "")}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+def d8_canonical_docs(spark, sf_dir):
+    """Keeper per near-dup group: longest text, ties to smallest doc id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.6, shingle_size=5
+    )
+    groups = dedup.connected_components(pairs)
+    return dedup.canonical_per_group(docs, groups, "doc_id", "text").orderBy(
+        "group_id"
+    )
+
+
+D8_CANONICAL_SQL = f"""
+WITH comp AS ({D7_GROUPS_SQL.replace("ORDER BY doc_id", "")})
+SELECT group_id, doc_id AS canonical_id FROM (
+  SELECT c.group_id, c.doc_id,
+         row_number() OVER (PARTITION BY c.group_id
+                            ORDER BY length(d.text) DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+) WHERE rn = 1 ORDER BY group_id
+"""
+
+
 def _pair_recall_summary(exact: DataFrame, approx: DataFrame, keys: list[str]) -> DataFrame:
     """One-row (n_exact, n_approx, n_common, recall_ppm) frame — fully lazy,
     deterministic given deterministic inputs (all our hashes are seeded).
@@ -1827,6 +1880,8 @@ REGISTRY: dict = {
     "d2_ngram_jaccard_pairs": (d_ngram_jaccard, NGRAM_JACCARD_SQL),
     "d3_minhash_lsh_pairs": (d_minhash_pairs, MINHASH_EXACT_SQL),
     "d4_simhash_pairs": (d_simhash_pairs, None),  # xxhash64 fp: no SQL oracle
+    "d7_near_dup_groups": (d7_near_dup_groups, D7_GROUPS_SQL),
+    "d8_canonical_docs": (d8_canonical_docs, D8_CANONICAL_SQL),
     "d4r_simhash_recall": (d4r_simhash_recall, None),  # deterministic; recall=1 by pigeonhole
     "x1_token_counts": (x_token_counts, TOKEN_COUNTS_SQL),
     "x2_quality_scores": (x_quality_scores, QUALITY_SQL),

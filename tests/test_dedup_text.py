@@ -104,3 +104,40 @@ def test_fingerprint_normalization(spark):
     )
     out = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df, "doc_id", "text").collect()}
     assert out[1] == out[2] and out[1] != out[3]
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """Chain 1-2-3 and triangle 10-11-12 + isolated pair 20-21: min-label
+    components, converging past direct neighbors (label must traverse the
+    chain)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["group_id"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs ~diameter rounds — exercises the iteration."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["group_id"] for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {100}
+    assert len(got) == 13
+
+
+def test_canonical_per_group_longest_wins(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "aaa"), (20, "bb"), (21, "bb")],
+        ["doc_id", "text"],
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (20, 20), (21, 20)], ["id", "group_id"]
+    )
+    got = {
+        r["group_id"]: r["canonical_id"]
+        for r in dedup.canonical_per_group(docs, groups, "doc_id", "text").collect()
+    }
+    assert got == {1: 2, 20: 20}  # longest text; tie -> smallest id
