@@ -56,17 +56,45 @@ def stratified_split_column(
     split_col: str = "split",
 ) -> DataFrame:
     """T1 (deterministic form): add a 'train'/'test' column preserving class
-    ratios exactly. percent_rank within each class over the hashed PK gives
-    exact per-class fractions — sklearn ``stratify=y`` semantics — and is
-    deterministic for any partitioning/cluster size."""
+    ratios exactly. Per-class percent_rank over the hashed PK gives exact
+    per-class fractions — sklearn ``stratify=y`` semantics — deterministic
+    for any partitioning/cluster size.
+
+    Computed WITHOUT a one-partition-per-class window: rows bucket by the
+    top 16 bits of the hash key (order-preserving ranges), rank within
+    (class, bucket) — thousands of distributed partitions per class — and
+    per-bucket offsets come from the tiny (class × bucket) count frame.
+    percent_rank = (global rank − 1)/(n_class − 1) in closed form,
+    identical to the former single-window percent_rank (the PK tie-break
+    makes rank ≡ row_number)."""
     _validate_stratify(df, class_col, train_size)
-    w = Window.partitionBy(class_col).orderBy(deterministic_key(pk_col), F.col(pk_col))
-    return df.withColumn(
-        split_col,
-        F.when(F.percent_rank().over(w) < F.lit(train_size), F.lit("train")).otherwise(
-            F.lit("test")
-        ),
+    keyed = df.withColumn("__k", deterministic_key(pk_col)).withColumn(
+        "__b", F.shiftright(F.col("__k"), 48)
     )
+    w_in = Window.partitionBy(class_col, "__b").orderBy("__k", pk_col)
+    ranked = keyed.withColumn("__r_in", F.row_number().over(w_in))
+    counts = ranked.groupBy(class_col, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(class_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    meta = (
+        counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .join(
+            counts.groupBy(class_col).agg(F.sum("__cnt").alias("__n")), class_col
+        )
+        .select(class_col, "__b", "__off", "__n")
+    )
+    out = ranked.join(meta, on=[class_col, "__b"])
+    pr = F.when(
+        F.col("__n") > 1,
+        (F.col("__off") + F.col("__r_in") - 1) / (F.col("__n") - 1),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn(
+        split_col,
+        F.when(pr < F.lit(train_size), F.lit("train")).otherwise(F.lit("test")),
+    ).select(*df.columns, split_col)
 
 
 def stratified_split(
