@@ -75,7 +75,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = REGISTRY[name][0]
         best = float("inf")
-        for _ in range(2):  # min of 2: steady-state, codegen amortized
+        for _ in range(3):  # min of 3: steady-state, codegen + host noise amortized
             t0 = time.perf_counter()
             force(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)

@@ -61,7 +61,8 @@ def stratified_split_column(
     for any partitioning/cluster size.
 
     Computed WITHOUT a one-partition-per-class window: rows bucket by the
-    top 16 bits of the hash key (order-preserving ranges), rank within
+    high bits of the hash key (order-preserving ranges: the key is in
+    [0, 1e9+7), so ``>> 16`` yields ~15k ordered buckets), rank within
     (class, bucket) — thousands of distributed partitions per class — and
     per-bucket offsets come from the tiny (class × bucket) count frame.
     percent_rank = (global rank − 1)/(n_class − 1) in closed form,
@@ -69,7 +70,7 @@ def stratified_split_column(
     makes rank ≡ row_number)."""
     _validate_stratify(df, class_col, train_size)
     keyed = df.withColumn("__k", deterministic_key(pk_col)).withColumn(
-        "__b", F.shiftright(F.col("__k"), 48)
+        "__b", F.shiftright(F.col("__k"), 16)
     )
     w_in = Window.partitionBy(class_col, "__b").orderBy("__k", pk_col)
     ranked = keyed.withColumn("__r_in", F.row_number().over(w_in))
@@ -210,3 +211,31 @@ def train_valid_calib_test(
     train, valid = stratified_split(train, class_col, pk_col, valid_size)
     train, calib = stratified_split(train, class_col, pk_col, calib_size)
     return {"train": train, "validation": valid, "calibration": calib, "test": test}
+
+
+def deterministic_sample(
+    df: DataFrame,
+    pk_col: str,
+    fraction_hex2: str = "19",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Reproducible subsampling for training-data pipelines: keep rows whose
+    md5(pk) starts below a hex cutoff — ``fraction_hex2='19'`` keeps
+    ~0x19/0x100 ≈ 9.8% of rows, identically on ANY engine, cluster size, or
+    run (unlike ``sample()``/``sampleBy()``, whose rand() draws are
+    partitioning-dependent). A narrow filter: no shuffle, no state; with
+    ``strata_col`` the same cutoff applies within each stratum, giving a
+    per-stratum expected fraction (exact determinism, approximate ratio —
+    use :func:`stratified_split_column` when the ratio must be exact).
+
+    md5 (not xxhash64) so relational oracles can replicate the predicate:
+    every SQL engine ships md5; the first two hex chars compare
+    lexicographically as the top 8 bits of a uniform hash."""
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col(pk_col).cast("string"),
+            *( [F.col(strata_col).cast("string")] if strata_col else [] ),
+        )
+    )
+    return df.filter(F.substring(key, 1, 2) < F.lit(fraction_hex2))

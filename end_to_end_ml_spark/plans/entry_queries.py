@@ -261,6 +261,24 @@ FROM orders
 """
 
 
+def t7_deterministic_sample(spark, sf_dir):
+    """Reproducible ~9.8% subsample (md5 prefix < 0x19) — engine-independent
+    unlike sample()/sampleBy(), so it IS the oracle predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        split.deterministic_sample(orders, "o_orderkey", "19")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+T7_SAMPLE_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '19'
+ORDER BY o_orderkey
+"""
+
+
 def t1_stratified_split(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     tagged = split.stratified_split_column(orders, "o_orderstatus", "o_orderkey", 0.8)
@@ -1851,6 +1869,7 @@ REGISTRY: dict = {
     "p5_dup_check": (p_dup_check, DUP_CHECK_SQL),
     "p9_recode_status": (p_recode_status, RECODE_SQL),
     "t1_stratified_split": (t1_stratified_split, T1_SQL),
+    "t7_deterministic_sample": (t7_deterministic_sample, T7_SAMPLE_SQL),
     "j2_split_overlap": (t1_overlap, T1_OVERLAP_SQL),
     "t2_time_split": (t2_time_split, T2_SQL),
     "s3_pit_join": (s3_pit_join, PIT_SQL),

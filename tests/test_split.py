@@ -92,3 +92,20 @@ def test_four_way_carve_disjoint(spark, labeled):
     splits = split.train_valid_calib_test(labeled, "y", "pk")
     split.validate_disjoint(splits, ["pk"])  # no raise
     assert sum(df.count() for df in splits.values()) == 200
+
+
+def test_deterministic_sample_reproducible_and_bounded(spark):
+    df = spark.range(0, 20000).selectExpr("id as pk", "cast(id % 4 as int) as y")
+    a = split.deterministic_sample(df, "pk", "19")
+    b = split.deterministic_sample(df, "pk", "19")
+    assert a.count() == b.count()
+    assert sorted(r["pk"] for r in a.collect()) == sorted(r["pk"] for r in b.collect())
+    frac = a.count() / 20000
+    assert 0.07 < frac < 0.13  # ~0x19/0x100 = 9.8%
+    # larger cutoff strictly contains the smaller one
+    big = {r["pk"] for r in split.deterministic_sample(df, "pk", "40").collect()}
+    assert {r["pk"] for r in a.collect()} <= big
+    # strata_col changes the draw but stays deterministic
+    s1 = {r["pk"] for r in split.deterministic_sample(df, "pk", "19", "y").collect()}
+    s2 = {r["pk"] for r in split.deterministic_sample(df, "pk", "19", "y").collect()}
+    assert s1 == s2
