@@ -181,3 +181,31 @@ def test_score_precision_bounds_distinct_scores(spark):
     auc_q = M.roc_auc(df, "y", "s", score_precision=3).collect()[0]["roc_auc"]
     auc = M.roc_auc(df, "y", "s").collect()[0]["roc_auc"]
     assert abs(auc_q - auc) < 1e-3
+
+
+def test_lift_gains_closed_form_matches_ntile(spark):
+    """The distributed two-level ranking must reproduce Spark's own ntile
+    bucket arithmetic exactly, including the uneven-bucket edge cases
+    (n not divisible by tiles, ties on score)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n, tiles in [(100, 10), (103, 10), (7, 10), (55, 7)]:
+        df = spark.range(0, n).selectExpr(
+            "id as pk",
+            "cast(id % 2 as int) as y",
+            "cast((id * 7) % 13 as double) / 13 as s",  # many score ties
+        )
+        ref = df.select(
+            "pk",
+            F.ntile(tiles)
+            .over(Window.orderBy(F.col("s").desc(), F.col("pk")))
+            .alias("decile"),
+        )
+        ref_counts = {
+            (r["decile"]): r["c"]
+            for r in ref.groupBy("decile").agg(F.count("*").alias("c")).collect()
+        }
+        got = M.lift_gains(df, "y", "s", "pk", n_tiles=tiles)
+        got_counts = {r["decile"]: r["n"] for r in got.collect()}
+        assert got_counts == ref_counts, (n, tiles, got_counts, ref_counts)

@@ -33,6 +33,11 @@ RELATIONAL = [
     "agg_cube",
     "j5_customers_without_orders",
     "skew1_salted_join_agg",
+    "t7_deterministic_sample",
+    "s9_online_export",
+    "d7_near_dup_groups",
+    "a6q_roc_auc_quantized",
+    "m8q_threshold_sweep_quantized",
 ]
 
 # queries whose filters should reach the parquet reader
