@@ -1655,6 +1655,75 @@ FROM documents ORDER BY doc_id
 """
 
 
+def fn_date_suite(spark, sf_dir):
+    """Temporal-function parity: trunc/extract/diff/add — all JVM
+    expressions pushed through whole-stage codegen; every value integral or
+    a timestamp so the compare is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        F.datediff(F.lit("2024-06-01").cast("date"), F.col("ts").cast("date")).alias(
+            "days_to_jun"
+        ),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    ).orderBy("event_id")
+
+
+# DuckDB: dayofweek ISO differs from Spark (Spark: Sunday=1; DuckDB dow:
+# Sunday=0) — align with +1. epoch from UTC-naive ts matches the UTC session.
+DATE_SUITE_SQL = """
+SELECT event_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(year(ts) AS INTEGER) AS yr,
+       CAST(month(ts) AS INTEGER) AS mo,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hr,
+       ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+       CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS INTEGER) AS days_to_jun,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM events ORDER BY event_id
+"""
+
+
+def fn_array_suite(spark, sf_dir):
+    """Higher-order array-function parity over the embedding column:
+    transform/filter/aggregate/slice/sort against DuckDB's list_* family.
+    Values quantized (×1000, floor) to integers so the compare is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ints = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter(ints, lambda v: v > 0)).alias("n_pos"),
+        F.aggregate(ints, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_milli"),
+        F.array_max(ints).alias("max_milli"),
+        F.slice(F.array_sort(ints), 1, 3).alias("bottom3"),
+    ).orderBy("vec_id")
+
+
+ARRAY_SUITE_SQL = """
+WITH ints AS (
+  SELECT vec_id, len(embedding) AS dim,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iv
+  FROM embeddings
+)
+SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+       CAST(len(list_filter(iv, v -> v > 0)) AS INTEGER) AS n_pos,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), iv), (a, x) -> a + x) AS sum_milli,
+       list_max(iv) AS max_milli,
+       list_sort(iv)[1:3] AS bottom3
+FROM ints ORDER BY vec_id
+"""
+
+
 def ts1_hourly_downsample(spark, sf_dir):
     from ..operators import timeseries as TS
 
@@ -1941,6 +2010,8 @@ REGISTRY: dict = {
     "ts3_time_weighted_avg": (ts3_time_weighted_avg, TS3_SQL),
     "agg_percentiles": (agg_percentiles, PERCENTILES_SQL),
     "fn_string_suite": (fn_string_suite, STRING_SUITE_SQL),
+    "fn_date_suite": (fn_date_suite, DATE_SUITE_SQL),
+    "fn_array_suite": (fn_array_suite, ARRAY_SUITE_SQL),
     "set2_lapsed_customers": (set2_lapsed_customers, EXCEPT_SQL),
     "set3_union_targets": (set3_union_targets, UNION_SQL),
 }
