@@ -1189,6 +1189,53 @@ FROM documents
 """
 
 
+def pipe1_clean_corpus(spark, sf_dir):
+    """Flagship LLM-data composition: the canonical corpus-cleaning pass —
+    normalized-fingerprint exact dedup (keep min id), quality gates
+    (word count, punctuation ratio, alpha ratio), and a length band — as
+    ONE declarative plan Catalyst optimizes end-to-end (the quality
+    expressions and the dedup semi-join all stay JVM-side; the only
+    shuffles are the fingerprint groupBy and the joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_scores(docs, "doc_id", "text")
+    keepers = (
+        text.fingerprint(docs, "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")  # docs has its own n_chars: use q's
+        .join(q, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .filter(
+            (F.col("n_words") >= 5)
+            & (F.col("punct_ratio") <= 0.2)
+            & (F.col("alpha_ratio") >= 0.5)
+            & F.col("n_chars").between(50, 5000)
+        )
+        .select("doc_id", "lang", "n_chars", "n_words")
+        .orderBy("doc_id")
+    )
+
+
+PIPE1_SQL = rf"""
+WITH q AS ({QUALITY_SQL}),
+fp AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp)
+SELECT d.doc_id, d.lang, q.n_chars, q.n_words
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN keep ON keep.doc_id = d.doc_id
+WHERE q.n_words >= 5 AND q.punct_ratio <= 0.2 AND q.alpha_ratio >= 0.5
+  AND q.n_chars BETWEEN 50 AND 5000
+ORDER BY d.doc_id
+"""
+
+
 def mm_payload_metadata(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(docs, "text")
@@ -1975,6 +2022,7 @@ REGISTRY: dict = {
     "x2_quality_scores": (x_quality_scores, QUALITY_SQL),
     "x3_language_id": (x_language_id, LANG_ID_SQL),
     "x4_fingerprint": (x_fingerprint, FINGERPRINT_SQL),
+    "pipe1_clean_corpus": (pipe1_clean_corpus, PIPE1_SQL),
     "mm1_payload_metadata": (mm_payload_metadata, PAYLOAD_META_SQL),
     "sim1_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
     "sim2_lsh_topk": (sim_lsh_topk, None),  # approximate: verified by recall test
