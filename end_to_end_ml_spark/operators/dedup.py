@@ -466,13 +466,15 @@ def embedding_near_dup_lsh(
     bands: int = 4,
     dim: int | None = None,
     seed: int = 42,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Scale path for embedding near-dup: sign-LSH banding (reusing the
     similarity module's deterministic hyperplanes) generates candidates by
     an equi-join on (band, bucket); the exact cosine filter then verifies.
-    Shuffle volume is O(N · bands), never O(N²); recall is tunable via
-    bands/planes (cosine >= τ pairs agree on a 4-bit band w.h.p. for τ
-    near 1)."""
+    Shuffle volume is O(N · bands · (r+1) with multiprobe), never O(N²).
+    ``multiprobe`` probes Hamming-1 neighbor buckets from one side —
+    recall rises like p^r → p^r + r·p^(r-1)(1-p) per band WITHOUT
+    shrinking the bucket space (see similarity.lsh_topk)."""
     from .similarity import _dot, _hyperplanes, _norm
 
     if dim is None:
@@ -484,21 +486,40 @@ def embedding_near_dup_lsh(
         "sig",
         F.transform(plane_arr, lambda p: (_dot(p, F.col("vec")) >= 0).cast("int")),
     )
-    banded = base.select(
-        "id",
-        "vec",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.concat_ws("", F.slice(F.col("sig"), j * r + 1, r)).alias("bucket"),
-                ),
+
+    def bucket_expr(j: int, flip: int | None = None):
+        bits = F.slice(F.col("sig"), j * r + 1, r)
+        if flip is not None:
+            bits = F.concat(
+                F.slice(bits, 1, flip),
+                F.array(F.lit(1) - F.element_at(bits, flip + 1)),
+                F.slice(bits, flip + 2, r - flip - 1),
             )
-        ).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
-    left = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    right = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+        return F.concat_ws("", bits)
+
+    exact_structs = [
+        F.struct(F.lit(j).alias("band"), bucket_expr(j).alias("bucket"))
+        for j in range(bands)
+    ]
+    probe_structs = exact_structs + (
+        [
+            F.struct(F.lit(j).alias("band"), bucket_expr(j, fl).alias("bucket"))
+            for j in range(bands)
+            for fl in range(r)
+        ]
+        if multiprobe
+        else []
+    )
+    left = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.explode(F.array(*probe_structs)).alias("bb"),
+    ).select("bb.band", "bb.bucket", "id_a", "va")
+    right = base.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.explode(F.array(*exact_structs)).alias("bb"),
+    ).select("bb.band", "bb.bucket", "id_b", "vb")
     cands = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
