@@ -261,6 +261,28 @@ FROM orders
 """
 
 
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(CAST(revenue AS DECIMAL(27,4)) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         sum(CAST(l_extendedprice AS DECIMAL(20,4))
+             * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+  GROUP BY 1, 2, 3
+)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 def t7_deterministic_sample(spark, sf_dir):
     """Reproducible ~9.8% subsample (md5 prefix < 0x19) — engine-independent
     unlike sample()/sampleBy(), so it IS the oracle predicate."""
@@ -2048,6 +2070,7 @@ REGISTRY: dict = {
     "q6_forecast_revenue": (R.q6_forecast_revenue, Q6_SQL),
     "q14_promo_revenue": (R.q14_promo_revenue, Q14_SQL),
     "q18_large_volume_customers": (R.q18_large_volume_customers, Q18_SQL),
+    "q7_volume_shipping": (R.q7_volume_shipping, Q7_SQL),
     "p7_enforce_types": (p7_enforce_types, P7_SQL),
     "s5_json_props": (s5_json_props, S5_JSON_SQL),
     "s9_online_export": (s9_online_export, S9_ONLINE_SQL),

@@ -249,3 +249,39 @@ def q18_large_volume_customers(spark, sf_dir: str, qty_threshold: int = 250, k: 
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(k)
     )
+
+
+def q7_volume_shipping(
+    spark, sf_dir: str, nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> DataFrame:
+    """TPC-H Q7-style: bilateral shipping volume between two nations by year.
+    Five-table join where BOTH nation lookups broadcast; the OR'd nation-pair
+    predicate is applied after the equi-joins (Catalyst pushes the IN-list
+    halves into each broadcast build side), so the fact table shuffles only
+    for the final small groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nation_a, nation_b))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nation_a, nation_b))
+    revenue = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("decimal(27,4)").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

@@ -20,6 +20,7 @@ RELATIONAL = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_volume_customers",
+    "q7_volume_shipping",
     "w4_running_total",
     "w5_topk_per_group",
     "p6_latest_order_per_customer",
