@@ -261,6 +261,41 @@ FROM orders
 """
 
 
+def q20_above_avg_orders(spark, sf_dir):
+    """Correlated-subquery surface via the SQL API: orders strictly above
+    their customer's average order value. Catalyst decorrelates both
+    correlated aggregates into one groupBy + join — .explain shows no
+    per-row re-execution. The predicate is written as
+    price·count > sum (exact decimal/integer arithmetic) instead of
+    price > avg (double division), so the boundary rows compare
+    identically on any engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS total_price
+        FROM orders_v o
+        WHERE CAST(o_totalprice AS DECIMAL(18,4))
+              * (SELECT count(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                 FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
+
+
+Q20_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS total_price
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,4))
+      * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
        CAST(CAST(revenue AS DECIMAL(27,4)) AS DOUBLE) AS revenue
@@ -2071,6 +2106,7 @@ REGISTRY: dict = {
     "q14_promo_revenue": (R.q14_promo_revenue, Q14_SQL),
     "q18_large_volume_customers": (R.q18_large_volume_customers, Q18_SQL),
     "q7_volume_shipping": (R.q7_volume_shipping, Q7_SQL),
+    "q20_above_avg_orders": (q20_above_avg_orders, Q20_SQL),
     "p7_enforce_types": (p7_enforce_types, P7_SQL),
     "s5_json_props": (s5_json_props, S5_JSON_SQL),
     "s9_online_export": (s9_online_export, S9_ONLINE_SQL),
