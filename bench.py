@@ -71,28 +71,36 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "events"):
         load_table(spark, SF_DIR, t).count()
 
+    # Failure-isolated: one broken query records an error entry and the run
+    # keeps going — a bench that can't produce partial results under a single
+    # failure is itself a defect.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name][0]
-        best = float("inf")
-        for _ in range(3):  # min of 3: steady-state, codegen + host noise amortized
-            t0 = time.perf_counter()
-            force(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            fn = REGISTRY[name][0]
+            best = float("inf")
+            for _ in range(3):  # min of 3: steady-state, codegen + host noise amortized
+                t0 = time.perf_counter()
+                force(fn(spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "cpus": CPUS,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": CPUS,
+        "completed": len(timings),
+        "failed": len(errors),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

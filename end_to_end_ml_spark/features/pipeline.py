@@ -40,7 +40,7 @@ from pyspark.ml.feature import (
     VarianceThresholdSelector,
     VectorAssembler,
 )
-from pyspark.ml.param.shared import Param, Params
+from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,15 +53,29 @@ class CategoricalImputer(
     Transformer, DefaultParamsReadable, DefaultParamsWritable
 ):
     """F3: constant-fill categorical imputer (SimpleImputer(strategy=constant,
-    fill_value="Unspecified")) — stateless, pure ``na.fill``."""
+    fill_value="Unspecified")) — stateless, pure ``na.fill``.
+
+    All state lives in MLlib Params (not plain attributes) so
+    DefaultParamsWritable save/load round-trips faithfully — attributes
+    outside Params silently vanish on load, turning the stage into a
+    no-op."""
+
+    inputCols = Param(
+        Params._dummy(), "inputCols", "columns to constant-fill",
+        typeConverter=TypeConverters.toListString,
+    )
+    fillValue = Param(
+        Params._dummy(), "fillValue", "constant fill value",
+        typeConverter=TypeConverters.toString,
+    )
 
     def __init__(self, inputCols=None, fillValue: str = UNSPECIFIED):
         super().__init__()
-        self._input_cols = list(inputCols or [])
-        self._fill_value = fillValue
+        self._set(inputCols=list(inputCols or []), fillValue=fillValue)
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        return df.na.fill({c: self._fill_value for c in self._input_cols})
+        fill = self.getOrDefault(self.fillValue)
+        return df.na.fill({c: fill for c in self.getOrDefault(self.inputCols)})
 
 
 class InfrequentCollapserModel(Model, DefaultParamsReadable, DefaultParamsWritable):
@@ -69,17 +83,28 @@ class InfrequentCollapserModel(Model, DefaultParamsReadable, DefaultParamsWritab
     outside the frequent set → __infrequent__ (also covers unseen values at
     transform time = handle_unknown="infrequent_if_exist")."""
 
+    frequentJson = Param(
+        Params._dummy(), "frequentJson",
+        "JSON {col: [frequent values]} — JSON-encoded so the fitted state "
+        "survives DefaultParamsWritable save/load",
+        typeConverter=TypeConverters.toString,
+    )
+
     def __init__(self, frequent: dict[str, list[str]] | None = None):
         super().__init__()
-        self._frequent = frequent or {}
+        import json
+
+        self._set(frequentJson=json.dumps(frequent or {}))
 
     @property
     def frequent(self) -> dict[str, list[str]]:
-        return self._frequent
+        import json
+
+        return json.loads(self.getOrDefault(self.frequentJson))
 
     def _transform(self, df: DataFrame) -> DataFrame:
         out = df
-        for c, keep in self._frequent.items():
+        for c, keep in self.frequent.items():
             out = out.withColumn(
                 c,
                 F.when(F.col(c).isin(keep), F.col(c)).otherwise(F.lit(INFREQUENT)),
@@ -91,18 +116,27 @@ class InfrequentCollapser(Estimator, DefaultParamsReadable, DefaultParamsWritabl
     """F4(a-b): learn the frequent-category set per column. ONE aggregation
     job for all columns (grouping-sets style union), not one per column."""
 
+    inputCols = Param(
+        Params._dummy(), "inputCols", "categorical columns to collapse",
+        typeConverter=TypeConverters.toListString,
+    )
+    minFrequency = Param(
+        Params._dummy(), "minFrequency", "min category frequency fraction",
+        typeConverter=TypeConverters.toFloat,
+    )
+
     def __init__(self, inputCols=None, minFrequency: float = 0.01):
         super().__init__()
-        self._input_cols = list(inputCols or [])
-        self._min_frequency = minFrequency
+        self._set(inputCols=list(inputCols or []), minFrequency=minFrequency)
 
     def _fit(self, df: DataFrame) -> InfrequentCollapserModel:
+        input_cols = self.getOrDefault(self.inputCols)
         n = df.count()
-        cutoff = self._min_frequency * n
+        cutoff = self.getOrDefault(self.minFrequency) * n
         stacked = df.selectExpr(
             "stack({}, {}) as (col_name, value)".format(
-                len(self._input_cols),
-                ", ".join(f"'{c}', cast(`{c}` as string)" for c in self._input_cols),
+                len(input_cols),
+                ", ".join(f"'{c}', cast(`{c}` as string)" for c in input_cols),
             )
         )
         counts = (
@@ -111,7 +145,7 @@ class InfrequentCollapser(Estimator, DefaultParamsReadable, DefaultParamsWritabl
             .filter((F.col("n") >= cutoff) & F.col("value").isNotNull())
             .collect()
         )
-        frequent: dict[str, list[str]] = {c: [] for c in self._input_cols}
+        frequent: dict[str, list[str]] = {c: [] for c in input_cols}
         for r in counts:
             frequent[r["col_name"]].append(r["value"])
         return InfrequentCollapserModel(frequent)
@@ -137,20 +171,36 @@ class ParityStringIndexer(Estimator, DefaultParamsReadable, DefaultParamsWritabl
     category, exactly sklearn drop='first' (sklearn never drops its
     infrequent bucket either; it just places it last where we place it
     first — column order differs, dropped category and information
-    don't)."""
+    don't).
+
+    State lives in Params (not plain attributes) so an UNFITTED pipeline
+    containing this estimator save/loads faithfully — attributes outside
+    Params vanish on load and the stage would fit zero columns."""
+
+    inputCols = Param(
+        Params._dummy(), "inputCols", "string columns to index",
+        typeConverter=TypeConverters.toListString,
+    )
+    outputCols = Param(
+        Params._dummy(), "outputCols", "index output columns",
+        typeConverter=TypeConverters.toListString,
+    )
 
     def __init__(self, inputCols=None, outputCols=None):
         super().__init__()
-        self._input_cols = list(inputCols or [])
-        self._output_cols = list(outputCols or [])
+        self._set(
+            inputCols=list(inputCols or []), outputCols=list(outputCols or [])
+        )
 
     def _fit(self, df: DataFrame):
         from pyspark.ml.feature import StringIndexerModel
 
+        input_cols = self.getOrDefault(self.inputCols)
+        output_cols = self.getOrDefault(self.outputCols)
         stacked = df.selectExpr(
             "stack({}, {}) as (col_name, value)".format(
-                len(self._input_cols),
-                ", ".join(f"'{c}', cast(`{c}` as string)" for c in self._input_cols),
+                len(input_cols),
+                ", ".join(f"'{c}', cast(`{c}` as string)" for c in input_cols),
             )
         )
         rows = (
@@ -158,17 +208,17 @@ class ParityStringIndexer(Estimator, DefaultParamsReadable, DefaultParamsWritabl
             .distinct()
             .collect()  # bounded: post-collapse ≤ 1/min_frequency + 1 per col
         )
-        seen: dict[str, set[str]] = {c: set() for c in self._input_cols}
+        seen: dict[str, set[str]] = {c: set() for c in input_cols}
         for r in rows:
             seen[r["col_name"]].add(r["value"])
         labels = [
             [INFREQUENT] + sorted(seen[c] - {INFREQUENT}, reverse=True)
-            for c in self._input_cols
+            for c in input_cols
         ]
         return StringIndexerModel.from_arrays_of_labels(
             labels,
-            inputCols=self._input_cols,
-            outputCols=self._output_cols,
+            inputCols=input_cols,
+            outputCols=output_cols,
             handleInvalid="keep",
         )
 

@@ -206,7 +206,12 @@ def precision_recall_curve(
 
 
 def lift_gains(
-    df: DataFrame, label_col: str, score_col: str, tiebreak_col: str, n_tiles: int = 10
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 10,
+    score_precision: int | None = None,
 ) -> DataFrame:
     """A13: decile gains & lift with exact ``ntile`` semantics — WITHOUT the
     global-window ntile (which funnels all N rows through one WindowExec
@@ -223,9 +228,17 @@ def lift_gains(
        expression.
 
     Total order is (score desc, tiebreak asc) — identical to the previous
-    ntile formulation, so results hash-match on any engine/partitioning."""
+    ntile formulation, so results hash-match on any engine/partitioning.
+
+    ``score_precision`` is the same knob the other curve metrics carry:
+    with near-unique continuous scores the distinct-score frame approaches
+    N rows and its offsets window degenerates to a single-partition N-row
+    sort. Quantizing to k decimal digits bounds |distinct scores| at
+    10^k+1 regardless of N (decile boundaries shift only within a
+    quantization bucket — the documented approximation, identical to the
+    a6q/a12q/m8q semantics)."""
     ranked = df.select(
-        F.col(score_col).alias("s"),
+        quantize_score(F.col(score_col), score_precision).alias("s"),
         F.col(label_col).alias("y"),
         F.col(tiebreak_col).alias("tb"),
     ).withColumn(

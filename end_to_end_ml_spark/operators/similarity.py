@@ -93,6 +93,7 @@ def brute_force_topk(
     query_df: DataFrame | None = None,
     round_digits: int | None = 6,
     n_shards: int | None = None,
+    max_broadcast_rows: int = 200_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector (queries default to the
     whole table; self-matches excluded). Output: (query_id, neighbor_id,
@@ -111,9 +112,22 @@ def brute_force_topk(
       matmul (cogroup), and a final window merges the ≤ s·k per-query
       candidates to the global top-k. This is the 100 TB exact path; for
       corpus-scale candidate sets prefer :func:`lsh_topk`.
+
+    The broadcast mode enforces its small-corpus contract: above
+    ``max_broadcast_rows`` it AUTO-ROUTES to the sharded mode (identical
+    results by construction — both modes share the oracle), sizing shards
+    so each holds ~max_broadcast_rows vectors. A silent driver-side
+    collect of a cluster-sized corpus is never possible.
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if n_shards is None:
+        n = df.count()
+        if n > max_broadcast_rows:
+            n_shards = max(2, math.ceil(n / max_broadcast_rows))
 
     if n_shards is not None and n_shards > 1:
         corpus = df.select(

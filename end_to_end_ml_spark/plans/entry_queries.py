@@ -2029,96 +2029,124 @@ FROM events GROUP BY event_type ORDER BY event_type
 # ---------------------------------------------------------------------------
 
 # name -> (spark_callable, oracle_sql or None)
+#
+# ORDER MATTERS: the driver's correctness snapshot covers the FIRST 50
+# entries only. The first 50 are therefore chosen to (a) all carry a SQL
+# oracle (no rows-only slots wasted), and (b) span every operator family —
+# flagship relational, windows, prep, splits, sources, metrics, multi-dim
+# aggregates, skew handling, event/timeseries, dedup, text, pipeline,
+# similarity, features. Rows-only queries (approximate LSH/IVF variants,
+# MLlib fits), quantized knob-duplicates (a6q/a12q/m8q/a10q), and queries
+# whose operator family is already represented sit after slot 50; ALL 90
+# remain locally verified via tools/check_oracle.py.
 REGISTRY: dict = {
+    # --- driver-covered window (first 50: all oracled, one per family) ---
+    # flagship relational
     "q1_pricing_summary": (R.q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (R.q3_top_unshipped_orders, Q3_SQL),
-    "q4_order_priority": (R.q4_order_priority, Q4_SQL),
     "q5_supplier_volume": (R.q5_supplier_volume, Q5_SQL),
+    "q7_volume_shipping": (R.q7_volume_shipping, Q7_SQL),
+    "q10_returned_items": (R.q10_returned_items, Q10_SQL),
+    "q18_large_volume_customers": (R.q18_large_volume_customers, Q18_SQL),
+    "q20_above_avg_orders": (q20_above_avg_orders, Q20_SQL),
+    # windows
     "w1_top_parts": (R.top_parts_by_price, TOP_PARTS_SQL),
     "w4_running_total": (R.customer_running_totals, RUNNING_TOTAL_SQL),
-    "p6_latest_order_per_customer": (R.latest_order_per_customer, LATEST_ORDER_SQL),
+    "w5_topk_per_group": (w5_topk_per_group, TOPK_PER_GROUP_SQL),
+    # prep
     "p3_p4_clean_documents": (p_clean_documents, CLEAN_DOCS_SQL),
-    "p8_null_audit": (p_null_audit, NULL_AUDIT_SQL),
     "p5_dup_check": (p_dup_check, DUP_CHECK_SQL),
-    "p9_recode_status": (p_recode_status, RECODE_SQL),
+    "p6_latest_order_per_customer": (R.latest_order_per_customer, LATEST_ORDER_SQL),
+    "p7_enforce_types": (p7_enforce_types, P7_SQL),
+    "p8_null_audit": (p_null_audit, NULL_AUDIT_SQL),
+    # splits / sampling
     "t1_stratified_split": (t1_stratified_split, T1_SQL),
-    "t7_deterministic_sample": (t7_deterministic_sample, T7_SAMPLE_SQL),
-    "j2_split_overlap": (t1_overlap, T1_OVERLAP_SQL),
     "t2_time_split": (t2_time_split, T2_SQL),
+    "t7_deterministic_sample": (t7_deterministic_sample, T7_SAMPLE_SQL),
+    # sources / sinks
     "s3_pit_join": (s3_pit_join, PIT_SQL),
-    "a4_confusion_matrix": (m_confusion, CONFUSION_SQL),
+    "s5_json_props": (s5_json_props, S5_JSON_SQL),
+    "s9_online_export": (s9_online_export, S9_ONLINE_SQL),
+    # metrics
     "a5_binary_metrics": (m_binary_metrics, BINARY_METRICS_SQL),
     "a6_roc_auc": (m_roc_auc, ROC_AUC_SQL),
+    "a7_multiclass_per_class": (a7_multiclass_per_class, MC_PER_CLASS_SQL),
+    "a8_auc_ovr_macro": (a8_auc_ovr, AUC_OVR_SQL),
     "a9_ece_bins": (m_ece_bins, ECE_SQL),
+    "a12_roc_curve": (m_roc_curve, ROC_CURVE_SQL),
     "a13_lift_gains": (m_lift_gains, LIFT_SQL),
+    "m8_threshold_sweep": (m_threshold_sweep, SWEEP_SQL),
+    # multi-dimensional aggregates
+    "agg_cube": (agg_cube, CUBE_SQL),
+    "agg_percentiles": (agg_percentiles, PERCENTILES_SQL),
+    # skew handling
+    "skew1_salted_join_agg": (skew1_salted_join_agg, SKEW_JOIN_SQL),
+    "skew2_salted_collect": (skew2_salted_collect, SKEW_COLLECT_SQL),
+    # events / timeseries
+    "st_hourly_window": (e_hourly_window, HOURLY_SQL),
+    "st_sessionize": (st_sessionize, SESSIONIZE_SQL),
+    "ts2_gap_fill": (ts2_gap_fill, TS2_SQL),
+    "ts3_time_weighted_avg": (ts3_time_weighted_avg, TS3_SQL),
+    # dedup (LLM-data-pipeline)
+    "d1_exact_dup_groups": (d_exact_dup_groups, EXACT_DUP_SQL),
+    "d2_ngram_jaccard_pairs": (d_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "d3_minhash_lsh_pairs": (d_minhash_pairs, MINHASH_EXACT_SQL),
+    "d5_embedding_near_dup": (d5_embedding_near_dup, D5_EMB_DUP_SQL),
+    "d7_near_dup_groups": (d7_near_dup_groups, D7_GROUPS_SQL),
+    # text analysis
+    "x2_quality_scores": (x_quality_scores, QUALITY_SQL),
+    "x3_language_id": (x_language_id, LANG_ID_SQL),
+    # pipeline / multimodal
+    "pipe1_clean_corpus": (pipe1_clean_corpus, PIPE1_SQL),
+    "mm1_payload_metadata": (mm_payload_metadata, PAYLOAD_META_SQL),
+    # similarity search
+    "sim1_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
+    "sim1b_topk_sharded": (sim_topk_sharded, SIM_TOPK_SQL),
+    # feature engineering
+    "f4_infrequent_collapse": (f4_infrequent_collapse, F4_SQL),
+    "f8_label_index": (f8_label_index, F8_SQL),
+    # --- beyond the driver window (still locally oracle-verified) ---
+    "q4_order_priority": (R.q4_order_priority, Q4_SQL),
+    "q6_forecast_revenue": (R.q6_forecast_revenue, Q6_SQL),
+    "q14_promo_revenue": (R.q14_promo_revenue, Q14_SQL),
+    "j2_split_overlap": (t1_overlap, T1_OVERLAP_SQL),
+    "j5_customers_without_orders": (j5_customers_without_orders, ANTI_JOIN_SQL),
+    "p9_recode_status": (p_recode_status, RECODE_SQL),
+    "a1_class_distribution": (a1_class_distribution, CLASS_DIST_SQL),
+    "a3_imbalance_ratio": (a3_imbalance, A3_SQL),
+    "a4_confusion_matrix": (m_confusion, CONFUSION_SQL),
+    "a7_multiclass_summary": (a7_multiclass_summary, MC_SUMMARY_SQL),
+    "a9_ece_multiclass": (a9_ece_multiclass, ECE_MC_SQL),
+    "a10_pr_curve_ap": (a10_pr_curve_ap, PR_AP_SQL),
+    "a14_feature_variance": (a14_variance, VARIANCE_SQL),
+    "agg_rollup": (agg_rollup, ROLLUP_SQL),
+    "agg_grouping_sets": (agg_grouping_sets, GROUPING_SETS_SQL),
+    "agg_distinct_users": (agg_distinct_users, DISTINCT_USERS_SQL),
+    "ts1_hourly_downsample": (ts1_hourly_downsample, TS1_SQL),
+    "fn_string_suite": (fn_string_suite, STRING_SUITE_SQL),
+    "fn_date_suite": (fn_date_suite, DATE_SUITE_SQL),
+    "fn_array_suite": (fn_array_suite, ARRAY_SUITE_SQL),
+    "set1_repeat_customers": (set1_repeat_customers, INTERSECT_SQL),
+    "set2_lapsed_customers": (set2_lapsed_customers, EXCEPT_SQL),
+    "set3_union_targets": (set3_union_targets, UNION_SQL),
+    "x1_token_counts": (x_token_counts, TOKEN_COUNTS_SQL),
+    "x4_fingerprint": (x_fingerprint, FINGERPRINT_SQL),
+    "d8_canonical_docs": (d8_canonical_docs, D8_CANONICAL_SQL),
+    "f3_cat_impute": (f3_cat_impute, F3_SQL),
+    # quantized knob-duplicates (same operator, score_precision exercised)
     "a6q_roc_auc_quantized": (m_roc_auc_quant, ROC_AUC_QUANT_SQL),
     "a12q_roc_curve_quantized": (m_roc_curve_quant, ROC_CURVE_QUANT_SQL),
     "m8q_threshold_sweep_quantized": (m_threshold_sweep_quant, SWEEP_QUANT_SQL),
     "a10q_pr_curve_ap_quantized": (m_pr_ap_quant, PR_AP_QUANT_SQL),
-    "a12_roc_curve": (m_roc_curve, ROC_CURVE_SQL),
-    "m8_threshold_sweep": (m_threshold_sweep, SWEEP_SQL),
-    "a1_class_distribution": (a1_class_distribution, CLASS_DIST_SQL),
-    "a7_multiclass_per_class": (a7_multiclass_per_class, MC_PER_CLASS_SQL),
-    "a7_multiclass_summary": (a7_multiclass_summary, MC_SUMMARY_SQL),
-    "a10_pr_curve_ap": (a10_pr_curve_ap, PR_AP_SQL),
-    "agg_rollup": (agg_rollup, ROLLUP_SQL),
-    "agg_distinct_users": (agg_distinct_users, DISTINCT_USERS_SQL),
-    "w5_topk_per_group": (w5_topk_per_group, TOPK_PER_GROUP_SQL),
-    "a14_feature_variance": (a14_variance, VARIANCE_SQL),
-    "st_hourly_window": (e_hourly_window, HOURLY_SQL),
-    "st_sessionize": (st_sessionize, SESSIONIZE_SQL),
-    # LLM-data-pipeline extensions
-    "d1_exact_dup_groups": (d_exact_dup_groups, EXACT_DUP_SQL),
-    "d2_ngram_jaccard_pairs": (d_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "d3_minhash_lsh_pairs": (d_minhash_pairs, MINHASH_EXACT_SQL),
+    # rows-only (no SQL-expressible oracle; each has a deterministic
+    # recall row or a dedicated pytest asserting its semantics)
     "d4_simhash_pairs": (d_simhash_pairs, None),  # xxhash64 fp: no SQL oracle
-    "d7_near_dup_groups": (d7_near_dup_groups, D7_GROUPS_SQL),
-    "d8_canonical_docs": (d8_canonical_docs, D8_CANONICAL_SQL),
     "d4r_simhash_recall": (d4r_simhash_recall, None),  # deterministic; recall=1 by pigeonhole
-    "x1_token_counts": (x_token_counts, TOKEN_COUNTS_SQL),
-    "x2_quality_scores": (x_quality_scores, QUALITY_SQL),
-    "x3_language_id": (x_language_id, LANG_ID_SQL),
-    "x4_fingerprint": (x_fingerprint, FINGERPRINT_SQL),
-    "pipe1_clean_corpus": (pipe1_clean_corpus, PIPE1_SQL),
-    "mm1_payload_metadata": (mm_payload_metadata, PAYLOAD_META_SQL),
-    "sim1_topk_bruteforce": (sim_topk_bruteforce, SIM_TOPK_SQL),
-    "sim2_lsh_topk": (sim_lsh_topk, None),  # approximate: verified by recall test
-    "sim2r_lsh_topk_recall": (sim2r_lsh_topk_recall, None),  # deterministic recall row
-    "sim3r_ivf_topk_recall": (sim3r_ivf_topk_recall, None),  # deterministic recall row
-    "sim1b_topk_sharded": (sim_topk_sharded, SIM_TOPK_SQL),
-    "sim3_ivf_topk": (sim_ivf_topk, None),  # approximate: verified by recall test
-    "ml1_logreg_validation_scores": (_ml_scores, None),  # MLlib fit: rows-only
-    "a8_auc_ovr_macro": (a8_auc_ovr, AUC_OVR_SQL),
-    "d5_embedding_near_dup": (d5_embedding_near_dup, D5_EMB_DUP_SQL),
     "d6_embedding_near_dup_lsh": (d6_embedding_near_dup_lsh, None),  # LSH subset: recall test
     "d6r_embedding_lsh_recall": (d6r_embedding_lsh_recall, None),  # deterministic recall row
-    "agg_cube": (agg_cube, CUBE_SQL),
-    "j5_customers_without_orders": (j5_customers_without_orders, ANTI_JOIN_SQL),
-    "set1_repeat_customers": (set1_repeat_customers, INTERSECT_SQL),
-    "q10_returned_items": (R.q10_returned_items, Q10_SQL),
-    "f8_label_index": (f8_label_index, F8_SQL),
-    "f4_infrequent_collapse": (f4_infrequent_collapse, F4_SQL),
-    "f3_cat_impute": (f3_cat_impute, F3_SQL),
-    "a3_imbalance_ratio": (a3_imbalance, A3_SQL),
-    "skew1_salted_join_agg": (skew1_salted_join_agg, SKEW_JOIN_SQL),
-    "skew2_salted_collect": (skew2_salted_collect, SKEW_COLLECT_SQL),
-    "q6_forecast_revenue": (R.q6_forecast_revenue, Q6_SQL),
-    "q14_promo_revenue": (R.q14_promo_revenue, Q14_SQL),
-    "q18_large_volume_customers": (R.q18_large_volume_customers, Q18_SQL),
-    "q7_volume_shipping": (R.q7_volume_shipping, Q7_SQL),
-    "q20_above_avg_orders": (q20_above_avg_orders, Q20_SQL),
-    "p7_enforce_types": (p7_enforce_types, P7_SQL),
-    "s5_json_props": (s5_json_props, S5_JSON_SQL),
-    "s9_online_export": (s9_online_export, S9_ONLINE_SQL),
-    "a9_ece_multiclass": (a9_ece_multiclass, ECE_MC_SQL),
-    "agg_grouping_sets": (agg_grouping_sets, GROUPING_SETS_SQL),
-    "ts1_hourly_downsample": (ts1_hourly_downsample, TS1_SQL),
-    "ts2_gap_fill": (ts2_gap_fill, TS2_SQL),
-    "ts3_time_weighted_avg": (ts3_time_weighted_avg, TS3_SQL),
-    "agg_percentiles": (agg_percentiles, PERCENTILES_SQL),
-    "fn_string_suite": (fn_string_suite, STRING_SUITE_SQL),
-    "fn_date_suite": (fn_date_suite, DATE_SUITE_SQL),
-    "fn_array_suite": (fn_array_suite, ARRAY_SUITE_SQL),
-    "set2_lapsed_customers": (set2_lapsed_customers, EXCEPT_SQL),
-    "set3_union_targets": (set3_union_targets, UNION_SQL),
+    "sim2_lsh_topk": (sim_lsh_topk, None),  # approximate: verified by recall test
+    "sim2r_lsh_topk_recall": (sim2r_lsh_topk_recall, None),  # deterministic recall row
+    "sim3_ivf_topk": (sim_ivf_topk, None),  # approximate: verified by recall test
+    "sim3r_ivf_topk_recall": (sim3r_ivf_topk_recall, None),  # deterministic recall row
+    "ml1_logreg_validation_scores": (_ml_scores, None),  # MLlib fit: rows-only
 }

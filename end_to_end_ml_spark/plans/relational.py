@@ -110,11 +110,39 @@ def q5_supplier_volume(spark, sf_dir: str) -> DataFrame:
 
 def top_parts_by_price(spark, sf_dir: str, k: int = 10) -> DataFrame:
     """W1: top-k with keep-all tie semantics (rank() <= k, like
-    Series.nlargest(keep='all'))."""
+    Series.nlargest(keep='all')).
+
+    Scale-safe plan — a bare ``rank() OVER (ORDER BY price DESC)`` funnels
+    the WHOLE table through one WindowExec partition. Instead:
+
+    1. Find the k-th price with ``orderBy desc → limit(k) → min``: Spark
+       plans the sort-limit as TakeOrderedAndProject (per-partition top-k,
+       merge k rows per partition on the driver) — no global sort, and the
+       scan reads only the price column. The scalar collect is a k-row
+       fold, the repo's accepted pattern for tiny aggregates.
+    2. Filter ``p_retailprice >= kth`` as a LITERAL predicate — pushed into
+       the parquet scan (min/max row-group pruning skips almost the whole
+       table at 100 TB).
+    3. Rank only the survivors (≥ k rows + ties at the k-th price): the
+       unpartitioned window now sees O(k) rows, not N.
+
+    Identical keep-all tie semantics: every row with price above the k-th
+    survives the filter, so ranks ≤ k are unchanged."""
     part = load_table(spark, sf_dir, "part")
+    kth = (
+        part.select("p_retailprice")
+        .orderBy(F.col("p_retailprice").desc())
+        .limit(k)
+        .agg(F.min("p_retailprice").alias("kth"))
+        .collect()[0]["kth"]
+    )
+    if kth is None:  # empty table: no rows can rank
+        survivors = part.filter(F.lit(False))
+    else:
+        survivors = part.filter(F.col("p_retailprice") >= F.lit(kth))
     w = Window.orderBy(F.col("p_retailprice").desc())
     return (
-        part.withColumn("price_rank", F.rank().over(w))
+        survivors.withColumn("price_rank", F.rank().over(w))
         .filter(F.col("price_rank") <= k)
         .select("p_partkey", "p_name", "p_retailprice", "price_rank")
         .orderBy("price_rank", "p_partkey")

@@ -28,18 +28,47 @@ TESTDATA_TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the ``events.ts`` column to a session-TZ TIMESTAMP whatever
+    the parquet encoding surfaced as. Encodings seen across Spark versions:
+
+    - ``timestamp_ntz`` (PySpark 4.1 reads TIMESTAMP(NANOS, isAdjustedToUTC=
+      false) this way, truncated to µs): cast to TIMESTAMP — the session TZ
+      is pinned UTC, so this is a pure type-tag change with identical
+      semantics to DuckDB's naive-UTC reading of the same file.
+    - ``bigint`` (older behavior under ``nanosAsLong``): raw nanoseconds →
+      µs timestamps via ``timestamp_micros(ts div 1000)``, the same
+      truncation DuckDB applies casting ns → its µs-native TIMESTAMP.
+    - ``timestamp`` already: pass through.
+
+    Anything else raises — a wrong-unit timestamp must be an error, never a
+    silent scale factor."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        return df
+    if dtype == "timestamp":
+        return df
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    raise TypeError(
+        f"events.{col} has unsupported dtype {dtype!r}; expected "
+        "timestamp, timestamp_ntz, or bigint (nanos-as-long)"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (parquet). Catalyst pushes filters/projections into
     the scan, so callers should chain ``.select``/``.filter`` lazily.
 
-    TIMESTAMP(NANOS) parquet columns (the ``events.ts`` column) aren't a
-    Spark SQL type: read them as raw nanosecond longs and convert to
-    microsecond timestamps (exact for this data; same truncation DuckDB
-    applies when casting ns → its µs-native TIMESTAMP)."""
+    The ``events.ts`` column is normalized to TIMESTAMP regardless of how
+    the parquet TIMESTAMP(NANOS) physical type surfaces in this Spark
+    version (see :func:`normalize_event_ts`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

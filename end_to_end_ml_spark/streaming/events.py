@@ -19,33 +19,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_event_stream(spark: SparkSession, directory: str, glob: str = "events.parquet") -> DataFrame:
     """File-source stream of the events table (parquet). The file source
     needs a *directory* (new files appear → new micro-batches); ``glob``
     selects the table's files within it. In production the same
-    transformations run off Kafka — only this reader changes."""
+    transformations run off Kafka — only this reader changes.
+
+    The schema is read from the files themselves (one batch-read of the
+    footer — metadata only, no data scan) instead of being hardcoded:
+    how the TIMESTAMP(NANOS) ``ts`` column surfaces varies by Spark
+    version, and assuming one encoding turns a version bump into silently
+    mis-scaled timestamps. ``normalize_event_ts`` raises on encodings it
+    doesn't recognize."""
+    from end_to_end_ml_spark.sources.io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(directory).schema
+    )
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(file_schema)
         .format("parquet")
         .option("pathGlobFilter", glob)
         .load(directory)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(

@@ -30,7 +30,13 @@ def add_balanced_weights(df: DataFrame, label_col: str, weight_col: str = "class
     and broadcast-join the k-row weight table back onto the frame.  No
     unpartitioned window touches the full dataset (the naive
     ``count().over(Window.partitionBy())`` funnels every row through one
-    WindowExec partition — a non-starter at scale)."""
+    WindowExec partition — a non-starter at scale).
+
+    LEFT join, not inner: an inner join on the label would silently drop
+    NULL-label rows (NULL never equi-matches), turning a data-quality
+    problem into vanished rows. NULL-label rows survive with a NULL
+    weight, so a downstream fit fails loudly or a prep step can filter
+    them explicitly."""
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n_c"))
     totals = counts.agg(
         F.sum("__n_c").alias("__n"), F.count(F.lit(1)).alias("__k")
@@ -39,7 +45,7 @@ def add_balanced_weights(df: DataFrame, label_col: str, weight_col: str = "class
         label_col,
         (F.col("__n") / (F.col("__k") * F.col("__n_c"))).alias(weight_col),
     )
-    return df.join(F.broadcast(weights), on=label_col, how="inner")
+    return df.join(F.broadcast(weights), on=label_col, how="left")
 
 
 def logistic_regression(features_col="features", label_col="label", weight_col=None,

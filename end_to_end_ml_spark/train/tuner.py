@@ -220,14 +220,21 @@ def tune(
             study.trials.append(trial)
             return trial
 
-    def run_one(slot: int) -> None:
+    def run_one(_task_idx: int) -> None:
         trial = next_trial()
         if timeout_secs is not None and _time.monotonic() - t0 > timeout_secs:
             trial.state = "skipped_timeout"
             return
         sc = spark.sparkContext if spark is not None else None
         if sc is not None:
-            sc.setLocalProperty("spark.scheduler.pool", f"tuner-pool-{slot}")
+            # Pool keyed by the EXECUTING THREAD, not the task index:
+            # Spark local properties are thread-local, so two concurrent
+            # tasks that happened to share a task-index-derived key would
+            # share one FAIR pool and starve each other. Thread identity
+            # is the only key that matches the property's scoping.
+            sc.setLocalProperty(
+                "spark.scheduler.pool", f"tuner-pool-{threading.get_ident()}"
+            )
         try:
             trial.value = float(objective(trial.params))
             trial.state = "complete"

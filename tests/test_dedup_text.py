@@ -141,3 +141,39 @@ def test_canonical_per_group_longest_wins(spark):
         for r in dedup.canonical_per_group(docs, groups, "doc_id", "text").collect()
     }
     assert got == {1: 2, 20: 20}  # longest text; tie -> smallest id
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Silently returning partial labels splits real dup groups — the
+    operator must raise instead (ADVICE r2: convergence guard)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_connected_components_pointer_jump_log_rounds(spark):
+    """Pointer-jump doubling: a 64-node path must converge in O(log d)
+    rounds — 10 rounds would be far too few for plain 1-step propagation
+    (needs ~64), but doubling covers 2^k distance per round."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 64)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["group_id"]
+        for r in dedup.connected_components(pairs, max_iter=10).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_embedding_near_dup_refuses_big_frame(spark):
+    """The exact all-pairs path enforces its small-set contract by code,
+    not comments: above max_rows it raises instead of collecting the
+    corpus to the driver."""
+    emb = spark.range(0, 50).selectExpr(
+        "id as vec_id", "array(cast(id as double), 1.0d) as embedding"
+    )
+    with pytest.raises(ValueError, match="refuses"):
+        dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", max_rows=10)

@@ -209,3 +209,23 @@ def test_lift_gains_closed_form_matches_ntile(spark):
         got = M.lift_gains(df, "y", "s", "pk", n_tiles=tiles)
         got_counts = {r["decile"]: r["n"] for r in got.collect()}
         assert got_counts == ref_counts, (n, tiles, got_counts, ref_counts)
+
+
+def test_lift_gains_score_precision_bounds_and_matches(spark):
+    """score_precision caps the distinct-score frame feeding lift_gains'
+    only global window (ADVICE r2); on scores already at that precision
+    the quantized and exact paths are identical."""
+    df = spark.range(0, 5000).selectExpr(
+        "id as pk",
+        "cast(id % 2 as int) as y",
+        "((id * 2654435761) % 1000003) / 1000003.0 as s",
+    )
+    exact3 = df.selectExpr("pk", "y", "floor(s * 1000 + 0.5) / 1000 as s")
+    got_q = M.lift_gains(exact3, "y", "s", "pk", score_precision=3).collect()
+    got_e = M.lift_gains(exact3, "y", "s", "pk").collect()
+    assert [r.asDict() for r in got_q] == [r.asDict() for r in got_e]
+    # on genuinely continuous scores the quantized decile stats stay close
+    q = {r["decile"]: r["pos"] for r in M.lift_gains(df, "y", "s", "pk", score_precision=3).collect()}
+    e = {r["decile"]: r["pos"] for r in M.lift_gains(df, "y", "s", "pk").collect()}
+    assert sum(q.values()) == sum(e.values())
+    assert all(abs(q[d] - e[d]) <= 5 for d in e)

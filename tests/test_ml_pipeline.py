@@ -201,12 +201,19 @@ def test_tpe_deterministic_and_respects_bounds(spark):
 
 
 def test_tuner_parallel_fair_pools(spark):
-    """H4: parallel trials run under per-slot FAIR scheduler pools."""
-    seen = []
+    """H4: parallel trials run under per-THREAD FAIR scheduler pools
+    (ADVICE r2: Spark local properties are thread-local, so a task-index
+    key could hand two concurrent trials the same pool)."""
+    import threading
+
+    seen = []  # (pool name, thread id) per trial
 
     def objective(p):
         seen.append(
-            spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+            (
+                spark.sparkContext.getLocalProperty("spark.scheduler.pool"),
+                threading.get_ident(),
+            )
         )
         # a real (tiny) Spark job inside the pool
         return float(spark.range(100).count()) + p["x"]
@@ -216,8 +223,8 @@ def test_tuner_parallel_fair_pools(spark):
         seed=2, spark=spark,
     )
     assert all(t.state == "complete" for t in study.trials)
-    assert set(seen) <= {f"tuner-pool-{i}" for i in range(3)}
-    assert len(set(seen)) > 1  # genuinely spread over pools
+    assert all(pool == f"tuner-pool-{tid}" for pool, tid in seen)
+    assert len({tid for _, tid in seen}) > 1  # genuinely spread over threads
     # pool property cleared after the run on every worker thread
     assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
 
@@ -382,3 +389,60 @@ def test_scale_pos_weight_wiring_trains_and_shifts_recall(spark):
 
     assert recall(scored_w) >= recall(scored_u)
     assert recall(scored_w) > 0.5  # weighting actually recovers positives
+
+
+def test_balanced_weights_keeps_null_label_rows(spark):
+    """Inner join on the label silently dropped NULL-label rows (ADVICE
+    r2); the left join must keep them, with a NULL weight."""
+    rows = [(0.0,)] * 3 + [(1.0,)] * 1 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "label double")
+    out = MZ.add_balanced_weights(df, "label")
+    assert out.count() == 6
+    nulls = out.filter(F.col("label").isNull())
+    assert nulls.count() == 2
+    assert nulls.filter(F.col("class_weight").isNull()).count() == 2
+    # non-null weights unchanged by the join-type fix
+    w = {r["label"]: r["class_weight"] for r in out.filter(F.col("label").isNotNull()).distinct().collect()}
+    assert w[0.0] == pytest.approx(4 / (2 * 3))
+
+
+def test_unfitted_pipeline_save_load_roundtrip(spark, tmp_path):
+    """All custom stages keep state in MLlib Params, so an UNFITTED
+    pipeline survives save/load (ADVICE r2: attributes outside Params
+    silently vanish on load → no-op stages)."""
+    from pyspark.ml import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", None), (None, "y")] * 25,
+        ["c1", "c2"],
+    )
+    stages = [
+        FP.CategoricalImputer(inputCols=["c1", "c2"]),
+        FP.InfrequentCollapser(inputCols=["c1", "c2"], minFrequency=0.05),
+        FP.ParityStringIndexer(inputCols=["c1", "c2"], outputCols=["i1", "i2"]),
+    ]
+    pipe = Pipeline(stages=stages)
+    path = str(tmp_path / "unfitted_pipe")
+    pipe.write().overwrite().save(path)
+    loaded = Pipeline.load(path)
+    got = loaded.fit(df).transform(df)
+    want = pipe.fit(df).transform(df)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the loaded stages actually carry their configuration
+    lc = loaded.getStages()
+    assert lc[0].getOrDefault(lc[0].inputCols) == ["c1", "c2"]
+    assert lc[2].getOrDefault(lc[2].outputCols) == ["i1", "i2"]
+
+
+def test_fitted_collapser_model_save_load(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 39 + [("z",)], ["c1"]
+    )
+    model = FP.InfrequentCollapser(inputCols=["c1"], minFrequency=0.05).fit(df)
+    path = str(tmp_path / "collapser_model")
+    model.write().overwrite().save(path)
+    loaded = FP.InfrequentCollapserModel.load(path)
+    assert loaded.frequent == model.frequent
+    out = loaded.transform(spark.createDataFrame([("a",), ("z",), ("unseen",)], ["c1"]))
+    vals = [r["c1"] for r in out.collect()]
+    assert vals == ["a", FP.INFREQUENT, FP.INFREQUENT]

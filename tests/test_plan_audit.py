@@ -107,6 +107,18 @@ def test_no_unpartitioned_window_over_full_input(spark, name):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_w1_threshold_prefilter_reaches_scan(spark):
+    """w1 must not rank the whole table through one WindowExec partition:
+    the k-th-price literal pre-filter has to reach the parquet scan
+    (row-group pruning), so the unpartitioned rank window only ever sees
+    the O(k) survivors."""
+    df = REGISTRY["w1_top_parts"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(p_retailprice" in plan, plan
+    # and the window is still there doing the keep-all-ties ranking
+    assert "Window" in plan, plan
+
+
 def test_balanced_weights_plan_has_no_window(spark):
     from end_to_end_ml_spark.train.models import add_balanced_weights
 

@@ -195,3 +195,18 @@ def test_bruteforce_sharded_equals_broadcast(spark):
         vecs, "vec_id", "embedding", k=4, n_shards=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan_b, plan_b
+
+
+def test_brute_force_autoroutes_to_sharded_above_threshold(spark):
+    """The broadcast mode must never silently collect a big corpus: above
+    max_broadcast_rows it auto-routes to the sharded exact path, with
+    identical results (both modes share the same oracle)."""
+    emb = spark.range(0, 60).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 7 as double), cast((id * 3) % 5 as double), 1.0d) as embedding",
+    )
+    small = similarity.brute_force_topk(emb, "vec_id", "embedding", k=3)
+    routed = similarity.brute_force_topk(
+        emb, "vec_id", "embedding", k=3, max_broadcast_rows=10
+    )
+    assert sorted(map(tuple, routed.collect())) == sorted(map(tuple, small.collect()))

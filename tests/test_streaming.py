@@ -71,21 +71,28 @@ def test_sliding_counts_match_closed_windows(spark, stream, batch, max_ts):
 
 
 def test_session_aggregates_match_batch_sessionize(spark, stream, batch, max_ts):
+    """Streaming session_window vs the batch lag+cumsum sessionization
+    (st_sessionize's oracle-checked formulation): same sessions, same
+    per-session counts AND value sums. session_window's end is
+    last_event+gap while the batch form reports max(ts), so ends aren't
+    compared — identity is (user, session_start)."""
     SE.run_to_memory(SE.session_aggregates(stream, gap="30 minutes"), "t_sessions")
     got = {
-        (r["user_id"], r["session_start"]): r["n_events"]
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
         for r in spark.sql("SELECT * FROM t_sessions").collect()
     }
     # a session is emitted once the watermark passes its end+gap
     closed = max_ts - WATERMARK - dt.timedelta(minutes=30)
     expected = {
-        (r["user_id"], r["session_start"]): r["n_events"]
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
         for r in SE.sessionize_batch(batch, gap_minutes=30).collect()
         if r["session_end"] <= closed
     }
     assert expected
-    for k, v in expected.items():
-        assert got.get(k) == v, f"session {k} mismatch"
+    for k, (n, tv) in expected.items():
+        assert k in got, f"session {k} missing from streaming output"
+        assert got[k][0] == n, f"session {k} count mismatch"
+        assert abs(got[k][1] - tv) < 1e-6, f"session {k} value-sum mismatch"
 
 
 def test_dedup_stream(spark, stream):

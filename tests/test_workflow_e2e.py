@@ -183,3 +183,33 @@ def test_tracker_backend_selection(tmp_path):
     if not has_mlflow:
         with _pytest.raises(ImportError):
             tracking.create_tracker(str(tmp_path), backend="mlflow")
+
+
+def test_evaluation_figure_assets_logged(spark, tmp_path):
+    """E7 gap (reference visualizer.py:77-183): ROC / PR / lift figure
+    data must land in the tracker as figure_* assets; each payload is a
+    bounded curve table, never the scored rows."""
+    from end_to_end_ml_spark.train import visualize as V
+    from end_to_end_ml_spark.train.tracking import LocalJsonTracker
+
+    scored = spark.range(0, 400).selectExpr(
+        "id as pk",
+        "cast(id % 2 as int) as label",
+        "((id * 37) % 101) / 101.0 as pos_proba",
+    )
+    tracker = LocalJsonTracker(str(tmp_path), run_name="figrun")
+    figures = V.log_evaluation_figures(
+        tracker, scored, tiebreak_col="pk", score_precision=2
+    )
+    tracker.end()
+    import json
+
+    doc = json.load(open(tracker.path))
+    for name in ("figure_roc_curve", "figure_pr_curve", "figure_lift_gains"):
+        assert doc["assets"][name], name
+        assert doc["assets"][name] == figures[name]
+    assert len(doc["assets"]["figure_roc_curve"]) <= 102  # bounded by precision
+    assert {r["decile"] for r in doc["assets"]["figure_lift_gains"]} == set(range(1, 11))
+    # curve points carry the render-ready fields
+    assert {"tpr", "fpr", "threshold"} <= set(doc["assets"]["figure_roc_curve"][0])
+    assert {"precision", "recall"} <= set(doc["assets"]["figure_pr_curve"][0])

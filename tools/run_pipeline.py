@@ -23,6 +23,7 @@ from end_to_end_ml_spark.session import get_spark  # noqa: E402
 from end_to_end_ml_spark.sources.io import write_csv  # noqa: E402
 from end_to_end_ml_spark.train import models as MZ  # noqa: E402
 from end_to_end_ml_spark.train import tuner as T  # noqa: E402
+from end_to_end_ml_spark.train import visualize as V  # noqa: E402
 from end_to_end_ml_spark.train import workflow as W  # noqa: E402
 from end_to_end_ml_spark.train.tracking import create_tracker  # noqa: E402
 
@@ -122,6 +123,15 @@ def main() -> None:
     )
     test_metrics = W.evaluate_binary(fitted.transform(test), threshold=thr)
     tracker.log_metrics({f"test__{k}": v for k, v in test_metrics.items()})
+    # ---- evaluation figures (reference visualizer.py:77-183) ----
+    V.log_evaluation_figures(
+        tracker,
+        C.positive_probability(fitted.transform(test)),
+        label_col="label",
+        proba_col="pos_proba",
+        tiebreak_col="o_orderkey",
+        render_dir=os.path.join(out_dir, "figures"),
+    )
     tracker.end()
     print(f"scored {out.count()} rows; test metrics: {test_metrics}")
     print("DONE")
