@@ -80,7 +80,10 @@ def main() -> None:
         try:
             fn = REGISTRY[name][0]
             best = float("inf")
-            for _ in range(3):  # min of 3: steady-state, codegen + host noise amortized
+            # min of 5: the heavy generated aggregates (d4's 16-lane packed
+            # sums) need 2-3 executions before C2 JIT reaches steady state;
+            # min-of-3 was still measuring compilation on the big plans.
+            for _ in range(5):
                 t0 = time.perf_counter()
                 force(fn(spark, SF_DIR))
                 best = min(best, time.perf_counter() - t0)

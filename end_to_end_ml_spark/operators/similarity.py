@@ -116,17 +116,22 @@ def brute_force_topk(
     The broadcast mode enforces its small-corpus contract: above
     ``max_broadcast_rows`` it AUTO-ROUTES to the sharded mode (identical
     results by construction — both modes share the oracle), sizing shards
-    so each holds ~max_broadcast_rows vectors. A silent driver-side
-    collect of a cluster-sized corpus is never possible.
+    so each holds ~max_broadcast_rows vectors. The guard is the
+    ``limit(max+1)`` on the corpus collect itself — driver memory stays
+    bounded and the common small case pays no extra Spark job.
     """
     import math
 
     import numpy as np
     import pandas as pd
 
+    probe = None
     if n_shards is None:
-        n = df.count()
-        if n > max_broadcast_rows:
+        probe = df.select(F.col(id_col), F.col(vec_col)).limit(
+            max_broadcast_rows + 1
+        ).collect()
+        if len(probe) > max_broadcast_rows:
+            n = df.count()
             n_shards = max(2, math.ceil(n / max_broadcast_rows))
 
     if n_shards is not None and n_shards > 1:
@@ -161,7 +166,11 @@ def brute_force_topk(
         )
 
     spark = df.sparkSession
-    cand = df.select(F.col(id_col), F.col(vec_col)).collect()
+    cand = (
+        probe
+        if probe is not None
+        else df.select(F.col(id_col), F.col(vec_col)).collect()
+    )
     cand_ids = np.array([r[0] for r in cand], dtype=np.int64)
     cand_m = np.array([list(r[1]) for r in cand], dtype=np.float64)
     cand_norm = np.sqrt((cand_m * cand_m).sum(axis=1))
