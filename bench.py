@@ -90,6 +90,12 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            # operators that persist intermediates (simhash fingerprints,
+            # minhash signatures) would otherwise accumulate cached blocks
+            # across 5 iterations x 18 queries and pressure the heap of
+            # later queries
+            spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",

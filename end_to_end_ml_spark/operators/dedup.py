@@ -449,7 +449,9 @@ def embedding_near_dup_pairs(
     import pandas as pd
 
     spark = df.sparkSession
-    cand = df.select(F.col(id_col), F.col(vec_col)).limit(max_rows + 1).collect()
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col)).limit(max_rows + 1).toPandas()
+    )
     if len(cand) > max_rows:
         raise ValueError(
             f"embedding_near_dup_pairs is the exact all-pairs verification "
@@ -457,8 +459,8 @@ def embedding_near_dup_pairs(
             "embedding_near_dup_lsh for large corpora, or raise max_rows "
             "explicitly if the driver can really hold the matrix"
         )
-    ids_all = np.array([r[0] for r in cand], dtype=np.int64)
-    m_all = np.array([list(r[1]) for r in cand], dtype=np.float64)
+    ids_all = cand.iloc[:, 0].to_numpy(dtype=np.int64)
+    m_all = np.stack([np.asarray(v, dtype=np.float64) for v in cand.iloc[:, 1]])
     norm_all = np.sqrt((m_all * m_all).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids_all, m_all, norm_all))
 
@@ -467,7 +469,7 @@ def embedding_near_dup_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
             qn = np.sqrt((q * q).sum(axis=1))
             cos = np.round((q @ m.T) / np.outer(qn, mnorm), round_digits)
             qids = pdf["__id"].to_numpy(dtype=np.int64)

@@ -61,9 +61,9 @@ def _group_rerank(k: int, round_digits: int | None = 6):
             ).astype(
                 {"query_id": "int64", "neighbor_id": "int64", "cosine_sim": "float64"}
             )
-        q = np.array([list(v) for v in queries["qvec"]], dtype=np.float64)
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in queries["qvec"]])
         qids = queries["qid"].to_numpy(dtype=np.int64)
-        m = np.array([list(v) for v in members["nvec"]], dtype=np.float64)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in members["nvec"]])
         nids = members["nid"].to_numpy(dtype=np.int64)
         qn = np.sqrt((q * q).sum(axis=1))
         mnorm = np.sqrt((m * m).sum(axis=1))
@@ -127,9 +127,11 @@ def brute_force_topk(
 
     probe = None
     if n_shards is None:
+        # Arrow-backed toPandas: columnar transfer of the corpus instead of
+        # row-object collect (the driver-side cost of this path).
         probe = df.select(F.col(id_col), F.col(vec_col)).limit(
             max_broadcast_rows + 1
-        ).collect()
+        ).toPandas()
         if len(probe) > max_broadcast_rows:
             n = df.count()
             n_shards = max(2, math.ceil(n / max_broadcast_rows))
@@ -169,10 +171,10 @@ def brute_force_topk(
     cand = (
         probe
         if probe is not None
-        else df.select(F.col(id_col), F.col(vec_col)).collect()
+        else df.select(F.col(id_col), F.col(vec_col)).toPandas()
     )
-    cand_ids = np.array([r[0] for r in cand], dtype=np.int64)
-    cand_m = np.array([list(r[1]) for r in cand], dtype=np.float64)
+    cand_ids = cand.iloc[:, 0].to_numpy(dtype=np.int64)
+    cand_m = np.stack([np.asarray(v, dtype=np.float64) for v in cand.iloc[:, 1]])
     cand_norm = np.sqrt((cand_m * cand_m).sum(axis=1))
     bc = spark.sparkContext.broadcast((cand_ids, cand_m, cand_norm))
 
@@ -181,7 +183,7 @@ def brute_force_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            q = np.array([list(v) for v in pdf["__vec"]], dtype=np.float64)
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
             qn = np.sqrt((q * q).sum(axis=1))
             cos = (q @ m.T) / np.outer(qn, mnorm)
             if round_digits is not None:
@@ -379,7 +381,7 @@ def ivf_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.array([list(v) for v in pdf["nvec"]], dtype=np.float64)
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nvec"]])
             d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame(
                 {
@@ -399,7 +401,7 @@ def ivf_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.array([list(v) for v in pdf["qvec"]], dtype=np.float64)
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
             d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             cells = np.argsort(d, axis=1)[:, :probe]
             yield pd.DataFrame(
