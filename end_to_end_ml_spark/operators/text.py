@@ -90,3 +90,105 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     standard near-exact-dup key (md5 so any engine can reproduce it)."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+def word_ngrams(text_col, n: int):
+    """Distinct word n-grams (space-joined) as an array column — pure JVM
+    expressions, same windowing convention as dedup.word_shingles: documents
+    shorter than ``n`` tokens yield their single (short) whole-doc gram."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (quality filtering for
+    LLM corpora; cf. the repetition rules of Rae et al. 2021 §A1.1):
+
+    - ``dup_word_frac``  — fraction of tokens that repeat an earlier token,
+    - ``top_bigram_n`` / ``n_bigrams`` / ``top_bigram_frac`` — most frequent
+      word bigram's share of all bigrams.
+
+    ZERO-SHUFFLE plan: the obvious formulation (explode bigrams → groupBy
+    (doc, gram) → max) shuffles every token of a 100 TB corpus twice. The
+    per-document top-bigram count is instead a run-length fold over the
+    SORTED bigram array (equal grams are adjacent after array_sort, so the
+    longest run IS the max frequency) — one narrow projection fused with
+    the scan, nothing leaves the executor."""
+    toks = tokens(text_col)
+    # non-distinct bigram array (frequency matters here)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    run = lambda acc, x: F.when(acc["prev"] == x, acc["run"] + 1).otherwise(  # noqa: E731
+        F.lit(1).cast("long")
+    )
+    top_n = F.aggregate(
+        F.array_sort(bigrams),
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_tok = F.size(toks)
+    n_big = F.size(bigrams)
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        ((n_tok - F.size(F.array_distinct(toks))) / n_tok).alias("dup_word_frac"),
+        top_n.alias("top_bigram_n"),
+        n_big.cast("long").alias("n_bigrams"),
+        (top_n / n_big).alias("top_bigram_frac"),
+    ).orderBy(id_col)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with a probe (benchmark/eval) document — the standard
+    train-set hygiene step before LLM training (n-gram overlap against
+    held-out eval sets).
+
+    Output: (doc_id, n_matched_ngrams, n_probes_hit), contaminated docs
+    only, ordered by doc_id.
+
+    Scale shape: probe sets (benchmarks) are tiny next to a 100 TB corpus —
+    the probe n-gram table is BROADCAST, so the corpus side is one narrow
+    explode + broadcast-hash-join + partial-agg groupBy on doc_id; the
+    corpus is never shuffled on the gram key."""
+    probe_grams = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(word_ngrams(text_col, n)).alias("g"),
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("g"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(probe_grams), on="g")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.col("g")).alias("n_matched_ngrams"),
+            F.count_distinct(F.col("probe_id")).alias("n_probes_hit"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1246,6 +1246,73 @@ FROM documents
 """
 
 
+def x5_repetition_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_scores(docs, "doc_id", "text")
+
+
+# top-bigram count via group-count in SQL == the engine's sorted-run fold
+# (equal grams are adjacent after sorting, so max run == max frequency)
+X5_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 2),
+           i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM toks
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+agg AS (
+  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+  FROM bc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - len(list_distinct(t.t)) AS DOUBLE) / len(t.t) AS dup_word_frac,
+       CAST(a.top_bigram_n AS BIGINT) AS top_bigram_n,
+       CAST(a.n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(a.top_bigram_n AS DOUBLE) / a.n_bigrams AS top_bigram_frac
+FROM toks t JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def d9_decontaminate(spark, sf_dir):
+    """Benchmark decontamination demo: every 7th doc plays the held-out
+    eval set; the rest of the corpus is scanned for 8-gram overlap
+    (9 contaminated docs at sf0.01, 57 at sf0.1 — a selective, non-empty
+    check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return text.ngram_contamination(corpus, probes, "doc_id", "text", n=8)
+
+
+D9_DECONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 8, 0) + 2),
+           i -> array_to_string(t[i:i+7], ' ')))) AS g
+  FROM toks
+),
+probe AS (SELECT doc_id AS probe_id, g FROM grams WHERE doc_id % 7 = 0)
+SELECT c.doc_id,
+       count(DISTINCT c.g) AS n_matched_ngrams,
+       count(DISTINCT p.probe_id) AS n_probes_hit
+FROM grams c JOIN probe p ON c.g = p.g AND c.doc_id <> p.probe_id
+WHERE c.doc_id % 7 <> 0
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 def pipe1_clean_corpus(spark, sf_dir):
     """Flagship LLM-data composition: the canonical corpus-cleaning pass —
     normalized-fingerprint exact dedup (keep min id), quality gates
@@ -2131,6 +2198,8 @@ REGISTRY: dict = {
     "set3_union_targets": (set3_union_targets, UNION_SQL),
     "x1_token_counts": (x_token_counts, TOKEN_COUNTS_SQL),
     "x4_fingerprint": (x_fingerprint, FINGERPRINT_SQL),
+    "x5_repetition_scores": (x5_repetition_scores, X5_REPETITION_SQL),
+    "d9_decontaminate": (d9_decontaminate, D9_DECONTAM_SQL),
     "d8_canonical_docs": (d8_canonical_docs, D8_CANONICAL_SQL),
     "f3_cat_impute": (f3_cat_impute, F3_SQL),
     # quantized knob-duplicates (same operator, score_precision exercised)

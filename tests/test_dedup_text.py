@@ -177,3 +177,63 @@ def test_embedding_near_dup_refuses_big_frame(spark):
     )
     with pytest.raises(ValueError, match="refuses"):
         dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", max_rows=10)
+
+
+def test_repetition_scores_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # tokens 5, distinct 2; bigrams: ab,ba,ab,ba -> top 2/4
+            (2, "x y z"),          # no repetition; bigrams xy,yz -> top 1/2
+            (3, "w w w w"),        # tokens 4 distinct 1; bigrams ww x3 -> top 3/3
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_scores(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 5 and out[1]["dup_word_frac"] == pytest.approx(3 / 5)
+    assert out[1]["top_bigram_n"] == 2 and out[1]["n_bigrams"] == 4
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_bigram_n"] == 1
+    assert out[3]["dup_word_frac"] == pytest.approx(3 / 4)
+    assert out[3]["top_bigram_n"] == 3 and out[3]["top_bigram_frac"] == 1.0
+
+
+def test_repetition_scores_plan_has_no_aggregation_shuffle(spark):
+    """The load-bearing design property: per-doc repetition stats come from
+    a sorted-run fold inside one narrow projection — no hash-partition
+    Exchange and no HashAggregate anywhere (the naive explode+groupBy
+    formulation shuffles every token of the corpus). The only Exchange
+    allowed is the rangepartitioning of the ordered output contract."""
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    plan = (
+        text.repetition_scores(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_ngram_contamination_finds_shared_passages(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    df_probe = spark.createDataFrame([(100, shared)], ["doc_id", "text"])
+    df_corpus = spark.createDataFrame(
+        [
+            (1, "prefix words " + shared + " suffix words"),  # contains all 8-grams? at least one
+            (2, "completely different content with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.ngram_contamination(df_corpus, df_probe, "doc_id", "text", n=8).collect()
+    got = {r["doc_id"]: (r["n_matched_ngrams"], r["n_probes_hit"]) for r in out}
+    assert 1 in got and got[1][1] == 1
+    assert 2 not in got
+    # probe has 2 distinct 8-grams (9 tokens), doc 1 contains both
+    assert got[1][0] == 2
+
+
+def test_ngram_contamination_broadcasts_probe_side(spark):
+    df = spark.createDataFrame([(i, f"tok{i} a b c d e f g h") for i in range(20)], ["doc_id", "text"])
+    probes = df.filter("doc_id < 2")
+    plan = (
+        text.ngram_contamination(df, probes, "doc_id", "text", n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
