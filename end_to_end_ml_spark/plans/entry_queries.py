@@ -2219,3 +2219,79 @@ REGISTRY: dict = {
     "sim3r_ivf_topk_recall": (sim3r_ivf_topk_recall, None),  # deterministic recall row
     "ml1_logreg_validation_scores": (_ml_scores, None),  # MLlib fit: rows-only
 }
+
+
+# --- round-4 relational additions (q12/q13/q17/q19/q22 style) --------------
+
+Q12_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      AND o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_late_high,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_late_low
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+Q17_SQL = """
+WITH pp AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(20,4))) AS s, count(*) AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+  GROUP BY l_partkey
+)
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(27,4)) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+WHERE 5 * CAST(l.l_quantity AS DECIMAL(20,4)) * pp.n < pp.s
+"""
+
+Q19_SQL = """
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(27,4)) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+Q22_SQL = """
+WITH t AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(20,4))) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS totacctbal
+FROM customer, t
+WHERE c_acctbal > 0
+  AND CAST(c_acctbal AS DECIMAL(20,4)) * t.n > t.s
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# round-4 relational additions (constants above are defined after the main
+# REGISTRY literal; insertion order still lands them beyond the driver's
+# 50-slot window, where new queries belong until a deliberate reorder)
+REGISTRY.update(
+    {
+        "q12_late_shipments": (R.q12_late_shipments, Q12_SQL),
+        "q13_order_distribution": (R.q13_customer_order_distribution, Q13_SQL),
+        "q17_small_qty_revenue": (R.q17_small_quantity_revenue, Q17_SQL),
+        "q19_disjunctive_revenue": (R.q19_disjunctive_revenue, Q19_SQL),
+        "q22_idle_balances": (R.q22_idle_balances, Q22_SQL),
+    }
+)

@@ -313,3 +313,167 @@ def q7_volume_shipping(
         .agg(F.sum(revenue).cast("decimal(27,4)").cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+def q12_late_shipments(spark, sf_dir: str, late_days: int = 60) -> DataFrame:
+    """TPC-H Q12-style: shipping-delay audit — per order priority, how many
+    lineitems shipped, and how many shipped more than ``late_days`` after
+    the order date, split into a high/low-priority severity count (the
+    Q12 CASE-aggregation shape; the testdata schema has no l_shipmode, so
+    priority plays the grouping role).
+
+    Plan: lineitem⋈orders is the only shuffle (both sides big, equi-key);
+    the CASE counts are one aggregation pass with map-side combine —
+    integers only, oracle-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(late.cast("long")).alias("n_late"),
+            F.sum((late & high).cast("long")).alias("n_late_high"),
+            F.sum((late & ~high).cast("long")).alias("n_late_low"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q13_customer_order_distribution(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, INCLUDING
+    zero-order customers (the left join is the point of the query).
+
+    Plan: orders pre-aggregates to one row per customer BEFORE the join
+    (map-side combine collapses the fact table), the left join fills the
+    zero bucket, and the second aggregation is over |distinct counts|
+    rows — tiny. Never joins raw orders onto customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir: str, brand: str = "Brand#23") -> DataFrame:
+    """TPC-H Q17-style: revenue locked in small-quantity orders of one
+    brand's parts — lineitems whose quantity is below 20% of that part's
+    average order quantity.
+
+    The threshold predicate is kept EXACT across engines by clearing the
+    division: qty < 0.2 * (s/n)  ⇔  5 * qty * n < s, all decimal/integer
+    arithmetic (an avg-as-double would make boundary rows engine-dependent).
+
+    Plan: per-part averages come from a groupBy on the lineitem side
+    FIRST (partial agg), the part dim filters by brand and broadcasts,
+    and the per-part threshold table broadcast-joins back — the fact
+    table is scanned once and never shuffled on anything but l_partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    branded = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    per_part = (
+        li.join(F.broadcast(branded), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    qualifying = (
+        li.join(
+            F.broadcast(per_part.withColumnRenamed("l_partkey", "__pk")),
+            F.col("l_partkey") == F.col("__pk"),
+        )
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast(DEC) * F.col("__n") < F.col("__s")
+        )
+    )
+    return qualifying.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("decimal(27,4)").cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under an OR-of-ANDs predicate over three
+    (brand, size range, quantity range) triples — the classic disjunctive
+    pushdown test: Catalyst must split the OR across the part (brand,
+    size) and lineitem (quantity) sides rather than evaluating it post-
+    join on the cross of both tables.
+
+    Plan: part pre-filters to the union of the three brand/size windows
+    (pushed to its scan) and broadcasts; the residual OR runs as the join
+    condition's filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    arm = lambda b, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s_lo, s_hi)
+        & qty.between(q_lo, q_hi)
+    )
+    pred = (
+        arm("Brand#12", 1, 5, 1, 11)
+        | arm("Brand#23", 1, 10, 10, 20)
+        | arm("Brand#34", 1, 15, 20, 30)
+    )
+    part_side = part.filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    ).select("p_partkey", "p_brand", "p_size")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.join(F.broadcast(part_side), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(F.sum(rev).cast("decimal(27,4)").cast("double").alias("revenue"))
+    )
+
+
+def q22_idle_balances(spark, sf_dir: str, since: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q22-style: positive-balance customers with no RECENT orders
+    (none since ``since``) whose balance beats the positive-balance
+    average, grouped by nation (the schema has no phone country code, so
+    c_nationkey plays that role; and nearly every synthetic customer has
+    SOME order, so the lapsed-since predicate keeps the anti-join
+    non-vacuous — 3 qualifying customers at sf0.01, 30 at sf0.1).
+
+    The global-average threshold stays engine-exact by clearing the
+    division (bal * n > s over decimals); the no-orders condition is a
+    LEFT ANTI join (never a NOT IN that scans orders per row).
+
+    Plan: the (s, n) scalar aggregate broadcasts; customer anti-joins
+    orders' distinct custkeys; one final small groupBy on nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    thresh = pos.agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        pos.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("__n") > F.col("__s"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

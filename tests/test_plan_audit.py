@@ -39,6 +39,13 @@ RELATIONAL = [
     "d7_near_dup_groups",
     "a6q_roc_auc_quantized",
     "m8q_threshold_sweep_quantized",
+    "q12_late_shipments",
+    "q13_order_distribution",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_balances",
+    "x5_repetition_scores",
+    "d9_decontaminate",
 ]
 
 # queries whose filters should reach the parquet reader
