@@ -192,3 +192,34 @@ def ngram_contamination(
         )
         .orderBy("doc_id")
     )
+
+
+def stratified_corpus_sample(
+    df: DataFrame,
+    id_col: str,
+    band_col: str,
+    cutoffs: dict[str, str],
+) -> DataFrame:
+    """Deterministic band-stratified corpus sampling — the "mix corpora at
+    different rates" step of an LLM data pipeline (e.g. keep all high-
+    quality documents, 50% of medium, 12% of low).
+
+    ``cutoffs`` maps band value → two-hex-char md5 cutoff: a row survives
+    iff ``substr(md5(id|band), 1, 2) < cutoff`` ("80" ≈ 50%, "20" ≈ 12.5%,
+    "g0" keeps everything since every hex digit sorts below 'g'); unknown
+    bands are dropped. Same engine-independence argument as
+    split.deterministic_sample: md5 exists everywhere and the decision is
+    a pure function of (id, band) — reshuffling, re-partitioning, or
+    re-running never changes the sample. A narrow filter: no shuffle, no
+    state, fuses with the scan at any corpus size."""
+    key = F.md5(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.col(band_col))
+    )
+    cutoff = None
+    for band, hex2 in cutoffs.items():
+        branch = F.when(F.col(band_col) == band, F.lit(hex2))
+        cutoff = branch if cutoff is None else cutoff.when(
+            F.col(band_col) == band, F.lit(hex2)
+        )
+    cutoff = cutoff.otherwise(F.lit("00")) if cutoff is not None else F.lit("00")
+    return df.filter(F.substring(key, 1, 2) < cutoff)

@@ -2295,3 +2295,41 @@ REGISTRY.update(
         "q22_idle_balances": (R.q22_idle_balances, Q22_SQL),
     }
 )
+
+
+def pipe2_corpus_mix(spark, sf_dir):
+    """LLM-pipeline composition #2: quality-stratified corpus mixing —
+    band documents by integer word count (long/mid/short; integer
+    thresholds are engine-exact), then keep each band at a different
+    deterministic rate (all / ~50% / ~12.5%) via the md5-cutoff sampler.
+    One narrow pass: banding + sampling fuse with the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    banded = docs.select(
+        "doc_id",
+        F.when(n_words >= 40, F.lit("long"))
+        .when(n_words >= 20, F.lit("mid"))
+        .otherwise(F.lit("short"))
+        .alias("band"),
+    )
+    kept = text.stratified_corpus_sample(
+        banded, "doc_id", "band", {"long": "g0", "mid": "80", "short": "20"}
+    )
+    return kept.orderBy("doc_id")
+
+
+PIPE2_SQL = r"""
+WITH banded AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 40 THEN 'long'
+              WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 20 THEN 'mid'
+              ELSE 'short' END AS band
+  FROM documents
+)
+SELECT doc_id, band FROM banded
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || band), 1, 2) <
+      CASE band WHEN 'long' THEN 'g0' WHEN 'mid' THEN '80' ELSE '20' END
+ORDER BY doc_id
+"""
+
+REGISTRY["pipe2_corpus_mix"] = (pipe2_corpus_mix, PIPE2_SQL)

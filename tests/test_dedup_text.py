@@ -237,3 +237,23 @@ def test_ngram_contamination_broadcasts_probe_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_stratified_corpus_sample_deterministic_and_banded(spark):
+    df = spark.createDataFrame(
+        [(i, "hi" if i % 2 else "lo") for i in range(400)], ["doc_id", "band"]
+    )
+    cutoffs = {"hi": "g0", "lo": "40"}
+    out1 = text.stratified_corpus_sample(df, "doc_id", "band", cutoffs)
+    out2 = text.stratified_corpus_sample(df.repartition(7), "doc_id", "band", cutoffs)
+    rows1 = sorted(r["doc_id"] for r in out1.collect())
+    rows2 = sorted(r["doc_id"] for r in out2.collect())
+    assert rows1 == rows2  # partitioning-independent
+    kept = {r["band"]: 0 for r in out1.collect()}
+    for r in out1.collect():
+        kept[r["band"]] += 1
+    assert kept["hi"] == 200            # 'g0' keeps every row of the band
+    assert 0 < kept.get("lo", 0) < 200  # '40' ~ 25% keeps a strict subset
+    # unknown bands are dropped, not silently kept
+    extra = spark.createDataFrame([(999, "mystery")], ["doc_id", "band"])
+    assert text.stratified_corpus_sample(extra, "doc_id", "band", cutoffs).count() == 0
