@@ -174,3 +174,46 @@ def stateful_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFr
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich the event stream with a (batch) dimension
+    table. Spark plans the static side as a broadcast against each
+    micro-batch, so no streaming state is kept at all — the canonical way
+    to attach user/item attributes to events at any scale. The dim frame
+    is re-resolved per micro-batch, so slowly-changing dims pick up
+    updates on the next trigger."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def write_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    query_name: str = "to_parquet",
+):
+    """Checkpointed parquet sink via foreachBatch: each micro-batch appends
+    atomically, exactly-once per epoch under the checkpoint (the file-sink
+    commit log). foreachBatch (rather than the direct parquet sink) so
+    aggregated streams in update/complete mode can also land in parquet,
+    and so a batch-side ``partition_by`` works identically to
+    sources.io.write_parquet. Synchronous like run_to_memory: drains all
+    available input, then stops."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        writer = batch_df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

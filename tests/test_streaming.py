@@ -144,3 +144,38 @@ def test_stateful_user_totals_matches_batch(spark, tmp_path):
     for uid, (n, tv) in expected.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - tv) < 1e-6
+
+
+def test_enrich_stream_matches_batch_join(spark, stream, batch):
+    """Stream-static join: joining a dimension onto the stream must produce
+    exactly the batch join's rows (no state, per-microbatch broadcast)."""
+    dim = (
+        batch.select("event_type").distinct()
+        .withColumn("type_tag", F.concat(F.lit("T-"), F.col("event_type")))
+    )
+    SE.run_to_memory(
+        SE.enrich_stream(stream.select("event_id", "event_type"), dim, on="event_type"),
+        "t_enriched",
+    )
+    got = {
+        (r["event_id"], r["type_tag"])
+        for r in spark.sql("SELECT event_id, type_tag FROM t_enriched").collect()
+    }
+    expected = {
+        (r["event_id"], "T-" + r["event_type"])
+        for r in batch.select("event_id", "event_type").collect()
+    }
+    assert got == expected
+
+
+def test_write_stream_parquet_roundtrip(spark, stream, batch, tmp_path):
+    """foreachBatch parquet sink: all streamed rows land in parquet exactly
+    once (checkpointed epochs), partitioned output readable as a batch."""
+    out = str(tmp_path / "events_out")
+    ck = str(tmp_path / "ck")
+    SE.write_stream_parquet(
+        stream.select("event_id", "event_type"), out, ck, partition_by=["event_type"]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == batch.count()
+    assert back.select("event_id").distinct().count() == batch.count()
