@@ -2333,3 +2333,29 @@ ORDER BY doc_id
 """
 
 REGISTRY["pipe2_corpus_mix"] = (pipe2_corpus_mix, PIPE2_SQL)
+
+
+def mm2_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing over binary payloads (every 4th 64-byte
+    frame, md5 per frame). The oracle slices the TEXT form — byte-exact
+    here because the synthetic corpus is pure ASCII, so UTF-8 encoding is
+    the identity on positions and md5 inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs, "text")
+    return multimodal.sample_frames_stride(payloads, "doc_id", "payload")
+
+
+MM2_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, greatest(CAST(ceil(length(text) / 64.0) AS INT) - 1, 0), 4)) AS fi
+  FROM documents
+)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       md5(substring(text, CAST(fi AS INT) * 64 + 1, 64)) AS frame_md5
+FROM f
+ORDER BY doc_id, frame_idx
+"""
+
+REGISTRY["mm2_frame_sample"] = (mm2_frame_sample, MM2_FRAMES_SQL)

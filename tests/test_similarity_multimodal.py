@@ -210,3 +210,26 @@ def test_brute_force_autoroutes_to_sharded_above_threshold(spark):
         emb, "vec_id", "embedding", k=3, max_broadcast_rows=10
     )
     assert sorted(map(tuple, routed.collect())) == sorted(map(tuple, small.collect()))
+
+
+def test_sample_frames_stride_shape_and_determinism(spark):
+    """Frame sampling: correct frame count/indices for known payload sizes,
+    byte-exact frames, and partitioning independence."""
+    import hashlib
+
+    rows = [(1, "a" * 300), (2, "xyz"), (3, "b" * 64)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    payloads = multimodal.attach_binary_payload(df, "text")
+    out = multimodal.sample_frames_stride(payloads, "doc_id", "payload", frame_size=64, every=4)
+    got = [(r["doc_id"], r["frame_idx"], r["frame_md5"]) for r in out.collect()]
+    # doc 1: 300 bytes -> 5 frames (0..4), every 4th -> idx 0 and 4
+    assert [(d, i) for d, i, _ in got] == [(1, 0), (1, 4), (2, 0), (3, 0)]
+    md5 = lambda b: hashlib.md5(b).hexdigest()  # noqa: E731
+    assert got[0][2] == md5(b"a" * 64)
+    assert got[1][2] == md5(b"a" * (300 - 256))  # last partial frame
+    assert got[2][2] == md5(b"xyz")
+    assert got[3][2] == md5(b"b" * 64)
+    re_got = multimodal.sample_frames_stride(
+        payloads.repartition(5), "doc_id", "payload", frame_size=64, every=4
+    ).collect()
+    assert [(r["doc_id"], r["frame_idx"], r["frame_md5"]) for r in re_got] == got
