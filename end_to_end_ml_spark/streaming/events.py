@@ -217,3 +217,42 @@ def write_stream_parquet(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: pair each left event with
+    the same user's right events whose timestamp falls in
+    (left.ts - max_lag, left.ts] — the attribution-join shape ("which
+    views preceded this purchase within the hour").
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match range, so Spark derives a state-retention bound for each side
+    (state is dropped once the other side's watermark passes the possible
+    match window) — without the time bound a stream-stream join would
+    buffer forever. Output columns: (l_id, r_id, user, l_ts, r_ts)."""
+    l = left.select(
+        F.col("event_id").alias("l_id"),
+        F.col(user_col).alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("r_id"),
+        F.col(user_col).alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    lag = F.expr(f"INTERVAL {max_lag}")
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - lag),
+        "inner",
+    ).select(
+        "l_id", "r_id", F.col("l_user").alias("user_id"), "l_ts", "r_ts"
+    )
