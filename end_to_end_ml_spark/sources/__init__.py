@@ -1,3 +1,3 @@
-from .io import load_table, load_tables, write_parquet, TESTDATA_TABLES
+from .io import TESTDATA_TABLES, load_table, load_tables, register_views, write_parquet
 
-__all__ = ["load_table", "load_tables", "write_parquet", "TESTDATA_TABLES"]
+__all__ = ["TESTDATA_TABLES", "load_table", "load_tables", "register_views", "write_parquet"]

@@ -76,6 +76,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
+    """Register every table as a temp view so the FULL Spark SQL surface is
+    available over the dataset (``spark.sql("SELECT ... FROM lineitem
+    JOIN ...")``) — same normalization (events.ts) as load_table, so SQL
+    and DataFrame queries see identical data. Views are lazy: registering
+    costs nothing until a query scans them."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Parquet sink (reference S2). ``partition_by`` enables partition pruning
     for downstream time/key-filtered scans at scale."""

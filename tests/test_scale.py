@@ -115,3 +115,28 @@ def test_online_store_export_roundtrip(spark, tmp_path):
 
     buckets = [d for d in os.listdir(path) if d.startswith("__bucket=")]
     assert 1 <= len(buckets) <= 8
+
+
+def test_register_views_full_sql_surface(spark):
+    """register_views exposes every table to spark.sql with the same
+    normalization as load_table — a SQL join must equal its DataFrame
+    twin, including the events.ts timestamp handling."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_ml_spark.sources.io import load_table, register_views
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    sql_out = spark.sql(
+        "SELECT e.event_type, count(*) AS n, min(e.ts) AS first_ts "
+        "FROM events e GROUP BY e.event_type ORDER BY e.event_type"
+    ).collect()
+    ev = load_table(spark, sf, "events")
+    df_out = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("first_ts"))
+        .orderBy("event_type")
+        .collect()
+    )
+    assert sql_out == df_out
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"] > 0
