@@ -110,3 +110,43 @@ def time_weighted_avg(
         )
         .orderBy(key_col)
     )
+
+
+def hourly_distinct_sketches(
+    df, key_col: str, ts_col: str = "ts", group_col: str = "event_type", lg_k: int = 12
+):
+    """Hourly HLL sketches of distinct ``key_col`` per group — the
+    MERGEABLE pre-aggregate of the hypertable-rollup pattern. At 100 TB
+    you materialize these per hour/partition once (each sketch is ~2^lg_k
+    bytes regardless of cardinality) and answer any coarser distinct-count
+    rollup by merging sketches, never rescanning raw data."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+            F.col(group_col),
+        )
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sketch"))
+    )
+
+
+def rollup_distinct_from_sketches(hourly, group_col: str = "event_type"):
+    """Merge hourly sketches to daily distinct-count estimates — a pure
+    sketch union (tiny shuffle of fixed-size binaries), no raw-data
+    access. The estimate is deterministic for given input (datasketches
+    HLL is deterministic), so the output is test-stable."""
+    from pyspark.sql import functions as F
+
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), F.col(group_col)
+        )
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "day",
+            group_col,
+            F.hll_sketch_estimate("merged").alias("approx_distinct"),
+        )
+        .orderBy("day", group_col)
+    )

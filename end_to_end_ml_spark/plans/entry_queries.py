@@ -2359,3 +2359,17 @@ ORDER BY doc_id, frame_idx
 """
 
 REGISTRY["mm2_frame_sample"] = (mm2_frame_sample, MM2_FRAMES_SQL)
+
+
+def ts4_sketch_rollup(spark, sf_dir):
+    """Mergeable HLL distinct-user rollup (hourly sketches → daily merge).
+    Rows-only: DuckDB cannot replicate Apache DataSketches HLL binaries;
+    the mergeability + accuracy invariants are pytest-verified
+    (tests/test_timeseries.py)."""
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    return TS.rollup_distinct_from_sketches(TS.hourly_distinct_sketches(ev, "user_id"))
+
+
+REGISTRY["ts4_sketch_rollup"] = (ts4_sketch_rollup, None)  # sketch binaries: no SQL oracle

@@ -55,3 +55,39 @@ def test_hourly_downsample_counts(spark):
            TS.hourly_downsample(ev, "user_id", "ts", "value").collect()}
     assert out[(1, "2024-01-01 00:00:00")] == (2, 4.0)
     assert out[(2, "2024-01-01 05:00:00")] == (1, 7.0)
+
+
+def test_sketch_rollup_merge_equals_direct_and_tracks_exact(spark):
+    """Hypertable-rollup invariant: daily distinct estimated from MERGED
+    hourly sketches must equal the estimate from a direct daily sketch
+    (lossless mergeability), and both must track the exact distinct count
+    within HLL error (~2% at lg_k=12)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_ml_spark.operators import timeseries as TS
+    from end_to_end_ml_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    hourly = TS.hourly_distinct_sketches(ev, "user_id")
+    merged = {
+        (r["day"], r["event_type"]): r["approx_distinct"]
+        for r in TS.rollup_distinct_from_sketches(hourly).collect()
+    }
+    direct = {
+        (r["day"], r["event_type"]): r["est"]
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    exact = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct  # merge-of-hourlies == direct daily sketch
+    assert len(merged) == len(exact) > 0
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
