@@ -2373,3 +2373,89 @@ def ts4_sketch_rollup(spark, sf_dir):
 
 
 REGISTRY["ts4_sketch_rollup"] = (ts4_sketch_rollup, None)  # sketch binaries: no SQL oracle
+
+
+Q8_SQL = """
+WITH cust_region AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+),
+supp_nation AS (
+  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'BRAZIL'
+                 THEN CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))
+                 ELSE CAST(0 AS DECIMAL(20,4)) END) AS DECIMAL(27,4)) AS DOUBLE)
+       / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(27,4)) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supp_nation ON l_suppkey = s_suppkey
+WHERE o_custkey IN (SELECT c_custkey FROM cust_region)
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+Q15_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(27,4)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+REGISTRY["q8_market_share"] = (R.q8_market_share, Q8_SQL)
+REGISTRY["q15_top_supplier"] = (R.q15_top_supplier, Q15_SQL)
+
+
+def fn_window_suite(spark, sf_dir):
+    """Window-function breadth row: lag/lead, first/nth value with explicit
+    ROWS frames, dense_rank and cume_dist — all over one per-customer
+    window (single shuffle on o_custkey, PK-total-ordered so every value
+    is engine-deterministic; pure row selections, no float arithmetic)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first("o_totalprice").over(w_rows).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(w_rows).alias("second_price"),
+            F.dense_rank().over(w).alias("seq"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+FN_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+       nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
+       CAST(dense_rank() OVER w AS INT) AS seq,
+       cume_dist() OVER w AS cdist
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+REGISTRY["fn_window_suite"] = (fn_window_suite, FN_WINDOW_SQL)

@@ -477,3 +477,84 @@ def q22_idle_balances(spark, sf_dir: str, since: str = "1998-01-01") -> DataFram
         )
         .orderBy("c_nationkey")
     )
+
+
+def q8_market_share(
+    spark, sf_dir: str, nation: str = "BRAZIL", region: str = "AMERICA"
+) -> DataFrame:
+    """TPC-H Q8-style: one supplier nation's share of a region's order
+    revenue per year. Share = conditional-sum / sum in ONE aggregation
+    pass; both numerator and denominator are exact decimal sums, so the
+    final division is a single engine-stable float op.
+
+    Plan: lineitem joins orders (shuffle, both grow with SF), everything
+    else — customer's nation→region chain and supplier's nation — is a
+    broadcast dim. The nation-match flag is computed BEFORE aggregation,
+    so no second pass and no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cust_region = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == nation, rev).otherwise(F.lit(0).cast(DEC)))
+                .cast("decimal(27,4)")
+                .cast("double")
+                / F.sum(rev).cast("decimal(27,4)").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q15_top_supplier(spark, sf_dir: str, quarter_start: str = "1996-01-01") -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum revenue in a quarter —
+    keep-all tie semantics via an exact-decimal equality against the max
+    (floats would make the tie engine-dependent; decimals make it exact).
+
+    Plan: one filtered pass over lineitem pre-aggregates per supplier
+    (map-side combine), the 1-row max broadcasts back, and the supplier
+    dim broadcast-joins for names — the fact table is never scanned
+    twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = F.lit(quarter_start).cast("timestamp")
+    hi = F.add_months(F.lit(quarter_start).cast("date"), 3).cast("timestamp")
+    rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    per_supp = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("decimal(27,4)").alias("__rev"))
+    )
+    mx = per_supp.agg(F.max("__rev").alias("__mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

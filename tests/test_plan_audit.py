@@ -46,6 +46,9 @@ RELATIONAL = [
     "q22_idle_balances",
     "x5_repetition_scores",
     "d9_decontaminate",
+    "q8_market_share",
+    "q15_top_supplier",
+    "fn_window_suite",
 ]
 
 # queries whose filters should reach the parquet reader
