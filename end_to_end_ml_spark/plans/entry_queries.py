@@ -2459,3 +2459,84 @@ ORDER BY o_custkey, o_orderkey
 """
 
 REGISTRY["fn_window_suite"] = (fn_window_suite, FN_WINDOW_SQL)
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM cost
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY' AND p_size >= 25
+  AND supply_cost = (SELECT min(c2.supply_cost) FROM cost c2
+                     WHERE c2.l_partkey = cost.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+                     * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DECIMAL(27,4)) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DECIMAL(27,4)) AS v
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(v AS DOUBLE) AS value
+FROM per_part
+WHERE v * 10000 > (SELECT CAST(sum(v) AS DECIMAL(38,4)) FROM per_part) * 20
+ORDER BY value DESC, l_partkey
+"""
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_size <= 25
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_returnflag = 'R' AND n_name = 'NATION_3' AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 50
+"""
+
+REGISTRY["q2_min_cost_supplier"] = (R.q2_min_cost_supplier, Q2_SQL)
+REGISTRY["q9_product_profit"] = (R.q9_product_profit, Q9_SQL)
+REGISTRY["q11_important_parts"] = (R.q11_important_parts, Q11_SQL)
+REGISTRY["q16_supplier_counts"] = (R.q16_supplier_counts, Q16_SQL)
+REGISTRY["q21_sole_failing_supplier"] = (R.q21_sole_failing_supplier, Q21_SQL)

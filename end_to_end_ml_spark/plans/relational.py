@@ -558,3 +558,201 @@ def q15_top_supplier(spark, sf_dir: str, quarter_start: str = "1996-01-01") -> D
         )
         .orderBy("s_suppkey")
     )
+
+
+def q2_min_cost_supplier(
+    spark, sf_dir: str, p_type: str = "ECONOMY", min_size: int = 25, k: int = 100
+) -> DataFrame:
+    """TPC-H Q2-style correlated-min subquery: for each qualifying part,
+    the supplier(s) offering the minimum observed price (min
+    l_extendedprice stands in for ps_supplycost — the synthetic schema
+    has no partsupp table; lineitem is the part↔supplier relation).
+    Reference parity: the classic "WHERE cost = (SELECT min(cost) ...
+    correlated on partkey)" shape, decorrelated by hand into a per-key
+    min + equi-join — exactly what Catalyst does to the SQL form.
+
+    Exactness: the kept metric is a bare ``min`` over doubles (order
+    independent, no float accumulation), so the min-equality tie
+    semantics are engine-identical: EVERY supplier at the per-part min
+    survives, both here and in the DuckDB oracle.
+
+    Plan at scale: two groupBy passes over (partkey, suppkey) — the
+    second reuses the first's shuffle partitioning (partkey is a prefix
+    of the first's keys, Catalyst plans no second exchange of the big
+    side). part and supplier⋈nation are broadcast dims. ORDER BY is
+    total (acctbal desc, then PKs) so LIMIT is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == p_type) & (F.col("p_size") >= min_size)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    min_cost = cost.groupBy("l_partkey").agg(
+        F.min("supply_cost").alias("__min_cost")
+    ).withColumnRenamed("l_partkey", "__mk")
+    sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    return (
+        cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("__mk"))
+            & (F.col("supply_cost") == F.col("__min_cost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def q9_product_profit(spark, sf_dir: str, name_like: str = "bolt") -> DataFrame:
+    """TPC-H Q9-style product-profit rollup: revenue on parts whose name
+    contains a token, by supplier nation and order year. The synthetic
+    schema has no ps_supplycost, so profit = discounted revenue (the
+    5-way join shape — lineitem ⋈ orders ⋈ part ⋈ supplier ⋈ nation —
+    is the point, not the cost subtraction).
+
+    Plan at scale: lineitem⋈orders is the only fact-fact shuffle (on
+    orderkey); part (substring-filtered — pushed to the scan) and
+    supplier⋈nation broadcast. Group keys (nation, year) are tiny, so
+    partial aggregation collapses the map side before the final
+    exchange. Decimal sums keep the oracle hash exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains(name_like))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    amount = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(sn.select("s_suppkey", "n_name")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("decimal(27,4)").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q11_important_parts(
+    spark, sf_dir: str, nation: str = "NATION_3", fraction: float = 0.002
+) -> DataFrame:
+    """TPC-H Q11-style scalar-subquery HAVING: parts whose traded value
+    through one nation's suppliers exceeds ``fraction`` of that nation's
+    total — the "HAVING sum(v) > (SELECT sum(v) * f FROM ...)" shape.
+
+    Exactness: the threshold comparison is cleared of division AND of
+    float multiplication — ``value * 10000 > total * (f * 10000)`` stays
+    in decimal × integer arithmetic, so the boundary rows are
+    engine-identical (a float threshold would make ties flap).
+
+    Plan at scale: ONE filtered pass over lineitem pre-aggregates per
+    partkey; the grand total derives from re-aggregating that SMALL
+    per-part frame (not a second fact scan) and broadcasts back as a
+    1-row cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    nsupp = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    value = F.col("l_extendedprice").cast(DEC)
+    per_part = (
+        li.join(F.broadcast(nsupp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).cast("decimal(27,4)").alias("__value"))
+    )
+    total = per_part.agg(F.sum("__value").cast("decimal(38,4)").alias("__total"))
+    scaled = int(round(fraction * 10000))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") * 10000 > F.col("__total") * scaled)
+        .select("l_partkey", F.col("__value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+def q16_supplier_counts(
+    spark, sf_dir: str, excl_brand: str = "Brand#9", max_size: int = 25
+) -> DataFrame:
+    """TPC-H Q16-style NOT-IN + COUNT DISTINCT: distinct supplier count
+    per (brand, type, size) bucket, excluding one brand and blacklisted
+    suppliers (negative balance stands in for the 'Customer Complaints'
+    comment filter). The NOT IN becomes a LEFT ANTI join — never a
+    per-row subquery scan. lineitem is the part↔supplier relation.
+
+    Plan at scale: the blacklist is a tiny broadcast anti-join applied
+    BEFORE the expensive distinct; (part,supp) pairs dedupe in the same
+    shuffle that feeds the count-distinct re-key; part attrs broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != excl_brand) & (F.col("p_size") <= max_size)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .distinct()
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q21_sole_failing_supplier(
+    spark, sf_dir: str, nation: str = "NATION_3", k: int = 50
+) -> DataFrame:
+    """TPC-H Q21-style double-correlated EXISTS / NOT EXISTS self-join:
+    suppliers in one nation who were the ONLY supplier with returned
+    ('R') lines on a finished multi-supplier order — EXISTS(other
+    supplier on the order) AND NOT EXISTS(other supplier who also
+    returned). The schema has no commit/receipt dates, so returnflag
+    plays the "kept waiting" role; the plan shape (semi-join + anti-join
+    against the same fact table on the same key) is the point.
+
+    Plan at scale: both the EXISTS and NOT-EXISTS sides shuffle on
+    l_orderkey — the SAME key as the probe side, so AQE coalesces into
+    co-partitioned sort-merge joins with the non-equi suppkey<>suppkey
+    residual as a post-join filter. The nation's supplier set and orders
+    status filter reduce the probe side before any self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    nsupp = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(nsupp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )
