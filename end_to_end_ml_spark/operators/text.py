@@ -223,3 +223,65 @@ def stratified_corpus_sample(
         )
     cutoff = cutoff.otherwise(F.lit("00")) if cutoff is not None else F.lit("00")
     return df.filter(F.substring(key, 1, 2) < cutoff)
+
+
+# --- PII scrubbing ----------------------------------------------------------
+# Regex dialect note: these patterns are restricted to the intersection of
+# Java regex (Spark JVM expressions) and RE2 (DuckDB oracle): character
+# classes, bounded repeats, \b/\d — no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mask emails / phone numbers / IPv4 addresses with typed placeholder
+    tokens and report per-type match counts — the standard pre-training
+    redaction pass (cf. the PII rules in public corpus pipelines such as
+    BigScience ROOTS / Dolma).
+
+    Order matters: the IP pattern must run before phone-like digit runs
+    could be re-introduced, and counts are taken on the ORIGINAL text so a
+    masked email's '[EMAIL]' never shadows an overlapping pattern. All
+    JVM-side ``regexp_replace``/``regexp_count`` expressions — one narrow
+    whole-stage-codegen pass, fuses with the scan at 100 TB."""
+    t = F.col(text_col)
+    clean = t
+    counts = []
+    for kind, (pat, token) in PII_PATTERNS.items():
+        counts.append(F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{kind}"))
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~/%-]*)?"
+DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per URL occurrence in each document (regexp_extract_all +
+    explode) with its registrable domain — the corpus-provenance /
+    blocklist-filtering primitive. Explode is a narrow op: no shuffle;
+    downstream domain aggregation shuffles only (domain, count) pairs."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    return (
+        df.select(F.col(id_col), F.explode(urls).alias("url"))
+        .withColumn("domain", F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1))
+    )
+
+
+def domain_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document and occurrence counts per domain — the blocklist /
+    provenance-audit rollup (partial aggregation collapses per-domain
+    counts map-side; the reduce shuffle carries only distinct domains)."""
+    return (
+        extract_urls(df, id_col, text_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_urls").desc(), "domain")
+    )

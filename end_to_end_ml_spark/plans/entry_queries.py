@@ -2540,3 +2540,110 @@ REGISTRY["q9_product_profit"] = (R.q9_product_profit, Q9_SQL)
 REGISTRY["q11_important_parts"] = (R.q11_important_parts, Q11_SQL)
 REGISTRY["q16_supplier_counts"] = (R.q16_supplier_counts, Q16_SQL)
 REGISTRY["q21_sole_failing_supplier"] = (R.q21_sole_failing_supplier, Q21_SQL)
+
+
+def _augment_pii(docs):
+    """Deterministically graft synthetic PII onto the word-soup corpus (the
+    testdata has none) — the SAME arithmetic expression runs on both engines,
+    so the scrub operator is exercised against known-positive rows."""
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" call 555-010-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".17")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def x6_pii_scrub(spark, sf_dir):
+    """PII redaction pass: mask emails/phones/IPv4s, count each per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pii_scrub(_augment_pii(docs), "doc_id", "text2").orderBy("doc_id")
+
+
+X6_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END AS text2
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(text2,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean_text
+FROM aug
+ORDER BY doc_id
+"""
+
+
+def _augment_urls(docs):
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (did % 10).cast("string"),
+                    F.lit(".example.org/p/"),
+                    did.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 6 == 0,
+                F.concat(F.lit(" https://cdn.example.net/img"), did.cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def x7_domain_counts(spark, sf_dir):
+    """URL provenance rollup: extract every URL, count occurrences and
+    distinct docs per domain (blocklist-audit primitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.domain_counts(_augment_urls(docs), "doc_id", "text2")
+
+
+X7_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 4 = 0 THEN ' see https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0 THEN ' https://cdn.example.net/img' || CAST(doc_id AS VARCHAR) ELSE '' END AS text2
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+         regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text2, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~/%-]*)?')) AS u
+        FROM aug)
+)
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM urls GROUP BY domain
+ORDER BY n_urls DESC, domain
+"""
+
+REGISTRY["x6_pii_scrub"] = (x6_pii_scrub, X6_SQL)
+REGISTRY["x7_domain_counts"] = (x7_domain_counts, X7_SQL)

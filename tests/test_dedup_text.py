@@ -257,3 +257,50 @@ def test_stratified_corpus_sample_deterministic_and_banded(spark):
     # unknown bands are dropped, not silently kept
     extra = spark.createDataFrame([(999, "mystery")], ["doc_id", "band"])
     assert text.stratified_corpus_sample(extra, "doc_id", "band", cutoffs).count() == 0
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.com now"),
+            (2, "call 555-123-4567 or 555-999-0000"),
+            (3, "server at 192.168.1.200 is up"),
+            (4, "clean text with no pii at all"),
+            (5, "a@b.io and 10.0.0.1 and 111-222-3333"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.pii_scrub(df, "doc_id", "text").collect()}
+    assert rows[1]["n_email"] == 1 and "[EMAIL]" in rows[1]["clean_text"]
+    assert "bob.smith" not in rows[1]["clean_text"]
+    assert rows[2]["n_phone"] == 2 and rows[2]["clean_text"].count("[PHONE]") == 2
+    assert rows[3]["n_ip"] == 1 and "[IP]" in rows[3]["clean_text"]
+    assert rows[4]["n_email"] == rows[4]["n_phone"] == rows[4]["n_ip"] == 0
+    assert rows[4]["clean_text"] == "clean text with no pii at all"
+    r5 = rows[5]
+    assert (r5["n_email"], r5["n_phone"], r5["n_ip"]) == (1, 1, 1)
+    # masking runs JVM-side: no Python evaluation in the plan
+    plan = (
+        text.pii_scrub(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_extract_urls_and_domain_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "read https://a.example.org/x and http://b.example.net"),
+            (2, "again https://a.example.org/y/z"),
+            (3, "no links here"),
+        ],
+        ["doc_id", "text"],
+    )
+    urls = text.extract_urls(df, "doc_id", "text").collect()
+    assert {(r["url"], r["domain"]) for r in urls} == {
+        ("https://a.example.org/x", "a.example.org"),
+        ("http://b.example.net", "b.example.net"),
+        ("https://a.example.org/y/z", "a.example.org"),
+    }
+    counts = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in text.domain_counts(df, "doc_id", "text").collect()}
+    assert counts == {"a.example.org": (2, 2), "b.example.net": (1, 1)}

@@ -49,6 +49,13 @@ RELATIONAL = [
     "q8_market_share",
     "q15_top_supplier",
     "fn_window_suite",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q21_sole_failing_supplier",
+    "x6_pii_scrub",
+    "x7_domain_counts",
 ]
 
 # queries whose filters should reach the parquet reader
@@ -56,6 +63,9 @@ PUSHDOWN_PROBES = {
     "q1_pricing_summary": "LessThanOrEqual(l_shipdate",
     "q6_forecast_revenue": "IsNotNull(l_quantity)",
     "q10_returned_items": "EqualTo(l_returnflag,R)",
+    "q2_min_cost_supplier": "EqualTo(p_type,ECONOMY)",
+    "q9_product_profit": "StringContains(p_name,bolt)",
+    "q21_sole_failing_supplier": "EqualTo(l_returnflag,R)",
 }
 
 
