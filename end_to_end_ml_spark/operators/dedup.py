@@ -330,7 +330,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
     Input is ``_spread`` first: the explode + 16-lane partial aggregation
     is CPU-bound per row, and a single small parquet file would otherwise
-    pin the whole stage to one core."""
+    pin the whole stage to one core.
+
+    Construction note: the packed-sum aggregates and the 64-term
+    fingerprint reassembly are built as SQL ``expr`` STRINGS, not stacked
+    Column operators. The expression tree is ~2000 nodes; building it one
+    ``Column`` method at a time costs ~2000 Py4J round-trips of driver
+    latency PER CALL (measured: 1.7 s → 0.78 s at sf0.1 for the identical
+    plan). One string parse happens JVM-side; the optimized plan, codegen,
+    and results are bit-identical."""
     df = _spread(df)
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -344,29 +352,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     # no carries), then the lane mask keeps exactly those 4 positions.
     # 4 expression nodes per word instead of ~15 — 4× smaller codegen, which
     # cuts both JIT warm-up and steady-state cost of the hot aggregate.
-    spread = F.lit((1 << 0) | (1 << 15) | (1 << 30) | (1 << 45))
-    lane_mask = F.lit(0x0001000100010001)
+    spread = (1 << 0) | (1 << 15) | (1 << 30) | (1 << 45)
+    lane_mask = 0x0001000100010001
     packed = [
-        F.sum(
-            (
-                F.shiftright(F.col("h"), w * 4).bitwiseAND(F.lit(0xF)) * spread
-            ).bitwiseAND(lane_mask)
-        ).alias(f"w{w}")
+        F.expr(f"sum(((shiftright(h, {w * 4}) & 15) * {spread}L) & {lane_mask}L)").alias(f"w{w}")
         for w in range(n_words)
     ]
     bit_sums = toks.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_tok"), *packed
     )
-    fp = None
+    # bit i of the fingerprint: 2*count_i > n_tok, shifted into place.
+    # Disjoint bit positions: + == OR == XOR.
+    terms = []
     for i in range(bits):
         w, l = i // 4, i % 4
-        cnt = F.shiftright(F.col(f"w{w}"), 16 * l).bitwiseAND(F.lit(0xFFFF))
-        bit = F.when(cnt * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        terms.append(
+            f"shiftleft(cast((shiftright(w{w}, {16 * l}) & 65535) * 2 > n_tok as bigint), {i})"
         )
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
-    return bit_sums.select("id", fp.alias("simhash"))
+    return bit_sums.selectExpr("id", "(" + " + ".join(terms) + ") as simhash")
 
 
 def sum_fold_longs(cols):
