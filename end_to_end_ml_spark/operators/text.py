@@ -285,3 +285,59 @@ def domain_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .orderBy(F.col("n_urls").desc(), "domain")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 16
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS rolling-hash scheme): hash every char k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum. Any two
+    documents sharing a substring of length >= w + k - 1 share at least one
+    fingerprint, so an equi-join on (fp) finds copied passages without
+    all-pairs comparison — the same bucket-join scale shape as MinHash-LSH
+    but with positional (substring) rather than set (shingle) semantics.
+
+    Engine-portable hashing: k-gram hash = first 16 hex chars of md5 —
+    identical strings in Spark and DuckDB, and lexicographic ``min`` over
+    them is engine-identical (xxhash64 would be faster but exists only in
+    Spark). One row-local pass: transform/sequence/slice/array_min
+    expressions, no explode until the final fingerprint set, no shuffle.
+    Docs shorter than w + k - 1 chars have no complete window and are
+    filtered out (explicit contract, identical on both engines).
+
+    Output: one row per distinct (doc, fingerprint)."""
+    t = F.col(text_col)
+    m = F.length(t) - (k - 1)  # k-gram count
+    kgrams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 16),
+    )
+    with_kg = df.filter(F.length(t) >= k + w - 1).select(
+        F.col(id_col), kgrams.alias("__kg")
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__kg")) - (w - 1)),
+        lambda j: F.array_min(F.slice(F.col("__kg"), j, w)),
+    )
+    return with_kg.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def winnow_match_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 16
+) -> DataFrame:
+    """Candidate copied-passage pairs: docs sharing >= 1 winnowed
+    fingerprint, with the shared-fingerprint count as match strength.
+    Bucket equi-join on fp — candidates shuffle, never N^2."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .orderBy(F.col("shared_fps").desc(), "id_a", "id_b")
+    )

@@ -2647,3 +2647,28 @@ ORDER BY n_urls DESC, domain
 
 REGISTRY["x6_pii_scrub"] = (x6_pii_scrub, X6_SQL)
 REGISTRY["x7_domain_counts"] = (x7_domain_counts, X7_SQL)
+
+
+def x8_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash (winnowing/MOSS) fingerprints per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, "doc_id", "text").orderBy("doc_id", "fp")
+
+
+X8_SQL = r"""
+WITH kg AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - 8 + 2),
+                        i -> substr(md5(substr(text, CAST(i AS INT), 8)), 1, 16)) AS kgrams
+  FROM documents
+  WHERE length(text) >= 23
+)
+SELECT doc_id,
+       unnest(list_distinct(
+         list_transform(range(1, len(kgrams) - 16 + 2),
+                        j -> list_min(list_slice(kgrams, j, j + 15))))) AS fp
+FROM kg
+ORDER BY doc_id, fp
+"""
+
+REGISTRY["x8_winnow_fingerprints"] = (x8_winnow_fingerprints, X8_SQL)

@@ -58,17 +58,33 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     )
 
 
+# (session id, sf_dir, table) -> scan DataFrame. A DataFrame is an immutable
+# lazy plan, so handing the same object to every caller is safe; re-resolving
+# the scan per call costs a driver round of file-listing + footer/schema RPCs
+# (~50-100 ms — 20-40% of a sub-second query's wall time at bench scale).
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (parquet). Catalyst pushes filters/projections into
     the scan, so callers should chain ``.select``/``.filter`` lazily.
 
     The ``events.ts`` column is normalized to TIMESTAMP regardless of how
     the parquet TIMESTAMP(NANOS) physical type surfaces in this Spark
-    version (see :func:`normalize_event_ts`)."""
+    version (see :func:`normalize_event_ts`).
+
+    The resolved scan is memoized per (session, dir, table): repeated
+    queries over the same table reuse one analyzed relation instead of
+    re-listing files and re-reading footers on the driver each call."""
+    key = (id(spark), sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)
+    _SCAN_CACHE[key] = df
     return df
 
 

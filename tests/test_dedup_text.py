@@ -304,3 +304,31 @@ def test_extract_urls_and_domain_counts(spark):
     }
     counts = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in text.domain_counts(df, "doc_id", "text").collect()}
     assert counts == {"a.example.org": (2, 2), "b.example.net": (1, 1)}
+
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    share at least one fingerprint; unrelated docs (distinct char sets)
+    share none. Fingerprints are partitioning-independent."""
+    passage = "the quick brown fox jumps over the lazy dog repeatedly"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words before " + passage + " and trailing content here"),
+            (2, "совершенно другой префикс " + passage),
+            (3, "zzzz qqqq vvvv kkkk xxxx wwww yyyy jjjj ffff gggg hhhh nnnn"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in text.winnow_match_pairs(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # determinism under different physical partitioning
+    a = sorted(map(tuple, text.winnow_fingerprints(df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, text.winnow_fingerprints(df.repartition(5), "doc_id", "text").collect()))
+    assert a == b
+    # short docs (no complete window) are excluded, not half-fingerprinted
+    short = spark.createDataFrame([(9, "tiny text")], ["doc_id", "text"])
+    assert text.winnow_fingerprints(short, "doc_id", "text").count() == 0
