@@ -150,3 +150,47 @@ def rollup_distinct_from_sketches(hourly, group_col: str = "event_type"):
         )
         .orderBy("day", group_col)
     )
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact N-day rolling distinct-user counts (one row per calendar day
+    present in the data): for each day d, |distinct users active in
+    (d - N, d]|.
+
+    Windowed ``COUNT(DISTINCT)`` doesn't exist as a Spark window function
+    (and a naive per-day self-join is O(days × data)). The distributed
+    shape instead: dedup to (user, day) pairs — tiny vs raw events — then
+    EXPLODE each pair into the ≤ N windows it contributes to and count
+    distinct users per window end-day. Data expansion is bounded by N on
+    the deduped pairs, both shuffles key on high-cardinality columns, and
+    at 100 TB the N-day sketch alternative is hourly_distinct_sketches +
+    rollup (same module) when approximate counts suffice.
+
+    Window ends with no events on the end day itself are excluded (each
+    emitted day is a real activity day — matches the DuckDB oracle's
+    per-present-day correlated count)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    pairs = events.select(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).distinct()
+    days_present = pairs.select("d").distinct()
+    exploded = pairs.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("win_end"),
+    )
+    return (
+        exploded.join(
+            days_present.withColumnRenamed("d", "win_end"), "win_end", "left_semi"
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("u").alias("n_users"))
+        .select(F.col("win_end").alias("day"), "n_users")
+        .orderBy("day")
+    )

@@ -2672,3 +2672,27 @@ ORDER BY doc_id, fp
 """
 
 REGISTRY["x8_winnow_fingerprints"] = (x8_winnow_fingerprints, X8_SQL)
+
+
+def ts5_rolling_distinct_users(spark, sf_dir):
+    """Exact 7-day rolling distinct users per active day."""
+    from ..operators import timeseries as TS
+
+    events = load_table(spark, sf_dir, "events")
+    return TS.rolling_distinct_users(events, "ts", "user_id", window_days=7)
+
+
+TS5_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT days.d AS day,
+       (SELECT count(DISTINCT p.u) FROM pairs p
+        WHERE p.d >= days.d - 6 AND p.d <= days.d) AS n_users
+FROM days
+ORDER BY day
+"""
+
+REGISTRY["ts5_rolling_distinct_users"] = (ts5_rolling_distinct_users, TS5_SQL)

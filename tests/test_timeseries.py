@@ -91,3 +91,27 @@ def test_sketch_rollup_merge_equals_direct_and_tracks_exact(spark):
     assert len(merged) == len(exact) > 0
     for k, est in merged.items():
         assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_rolling_distinct_users_exact_window(spark):
+    """Hand-checked 7-day rolling distinct: overlapping users collapse,
+    window excludes day-7-old activity, only active days emit rows."""
+    from datetime import datetime
+
+    from end_to_end_ml_spark.operators.timeseries import rolling_distinct_users
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 5)),
+        ("b", datetime(2024, 1, 1, 6)),
+        ("a", datetime(2024, 1, 3, 7)),   # same user again → still distinct-1
+        ("c", datetime(2024, 1, 8, 9)),   # day 8: a,b (day1) fall out of (1..8]? no: 8-6=2 → only day>=2 → a(day3), c
+        ("d", datetime(2024, 1, 20, 1)),  # isolated day
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {str(r["day"]): r["n_users"] for r in rolling_distinct_users(df).collect()}
+    assert out == {
+        "2024-01-01": 2,  # a, b
+        "2024-01-03": 2,  # a, b (day 1 within 7-day window), a deduped
+        "2024-01-08": 2,  # a (day 3), c — day-1 activity aged out
+        "2024-01-20": 1,  # d alone
+    }
