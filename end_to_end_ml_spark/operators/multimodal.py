@@ -148,3 +148,36 @@ def sample_frames_stride(
         F.col("frame_idx"),
         F.md5(frame).alias("frame_md5"),
     ).orderBy(id_col, "frame_idx")
+
+
+def resize_payloads(
+    df: DataFrame, id_col: str, payload_col: str, stride: int = 4
+) -> DataFrame:
+    """Resize/thumbnail stage plumbing: each payload is decimated by keeping
+    every ``stride``-th byte (the deterministic stand-in for pixel-domain
+    resampling — a real implementation decodes, resizes, re-encodes inside
+    the same batch function; see module docstring). Output records the
+    in/out sizes and the md5 of the resized payload.
+
+    The distributed shape is the real thing: Arrow-batched ``mapInPandas``
+    over a binary column — payloads stream through executor memory one
+    batch at a time, no shuffle, no driver involvement; batch memory is
+    bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    import hashlib
+
+    out_schema = f"{id_col} long, in_bytes long, out_bytes long, out_md5 string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf[payload_col]]
+            resized = [p[::stride] for p in payloads]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "in_bytes": [len(p) for p in payloads],
+                    "out_bytes": [len(r) for r in resized],
+                    "out_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -2696,3 +2696,32 @@ ORDER BY day
 """
 
 REGISTRY["ts5_rolling_distinct_users"] = (ts5_rolling_distinct_users, TS5_SQL)
+
+
+def mm3_resize_payloads(spark, sf_dir):
+    """Binary resize/decimation stage over synthetic payloads (mapInPandas).
+
+    Oracle trick: the test payloads are UTF-8 of pure-ASCII text, so byte
+    stride == character stride and DuckDB can reproduce the decimation
+    with substr/range over the text column."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary_payload(docs, "text")
+    return multimodal.resize_payloads(with_payload, "doc_id", "payload").orderBy("doc_id")
+
+
+MM3_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS in_bytes,
+       CAST(length(strided) AS BIGINT) AS out_bytes,
+       md5(strided) AS out_md5
+FROM (
+  SELECT doc_id, text,
+         array_to_string(
+           list_transform(range(1, length(text) + 1, 4),
+                          i -> substr(text, CAST(i AS INT), 1)), '') AS strided
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+REGISTRY["mm3_resize_payloads"] = (mm3_resize_payloads, MM3_SQL)

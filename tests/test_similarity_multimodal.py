@@ -233,3 +233,25 @@ def test_sample_frames_stride_shape_and_determinism(spark):
         payloads.repartition(5), "doc_id", "payload", frame_size=64, every=4
     ).collect()
     assert [(r["doc_id"], r["frame_idx"], r["frame_md5"]) for r in re_got] == got
+
+
+def test_resize_payloads_stride_semantics(spark):
+    import hashlib
+
+    from end_to_end_ml_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_payloads,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_payloads(
+            attach_binary_payload(df, "text"), "doc_id", "payload", stride=4
+        ).collect()
+    }
+    assert out[1]["in_bytes"] == 10 and out[1]["out_bytes"] == 3  # a,e,i
+    assert out[1]["out_md5"] == hashlib.md5(b"aei").hexdigest()
+    assert out[2]["out_bytes"] == 1 and out[2]["out_md5"] == hashlib.md5(b"x").hexdigest()
