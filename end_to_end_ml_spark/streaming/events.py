@@ -256,3 +256,50 @@ def interval_join(
     ).select(
         "l_id", "r_id", F.col("l_user").alias("user_id"), "l_ts", "r_ts"
     )
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The Spark 4 ``transformWithStateInPandas`` form of
+    :func:`stateful_user_totals` — same per-user running totals, written
+    against the arbitrary-stateful-processor API that supersedes
+    ``applyInPandasWithState`` (typed value state on a handle, explicit
+    init/close lifecycle, composable timers). Requires the RocksDB state
+    store provider, and a working ``protobuf`` python package for the
+    state-server protocol (absent from this container — the test
+    import-gates on it; the operator itself is environment-independent).
+
+    Scale shape is unchanged: one tiny state row per user key in the
+    executor-local RocksDB store, Arrow-batched input, only keys present
+    in a micro-batch are touched."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -209,3 +209,52 @@ def test_interval_join_matches_batch(spark, stream, batch):
     }
     assert expected  # non-vacuous on this data
     assert got == expected
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas processor must produce the
+    same final per-user totals as the batch aggregate (and as the legacy
+    applyInPandasWithState operator it supersedes). Needs the RocksDB
+    state store provider, and the state-server protocol needs a working
+    ``protobuf`` python package — absent from this container, so the test
+    skips there (same import-gating policy as the boosting libs)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState requires the protobuf package")
+
+    import pyspark.sql.functions as F
+
+    from end_to_end_ml_spark.sources import load_table
+    from end_to_end_ml_spark.streaming import events as SE
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sf_dir = "/root/testdata/sf0.001"
+        stream = SE.read_event_stream(spark, sf_dir)
+        SE.run_to_memory(
+            SE.stateful_user_totals_tws(stream), "t_tws", output_mode="update"
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.table("t_tws").collect()
+        }
+        batch = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv")
+        )
+        expected = {r["user_id"]: (r["n"], r["tv"]) for r in batch.collect()}
+        assert set(got) == set(expected)
+        for uid, (n, tv) in expected.items():
+            assert got[uid][0] == n
+            assert abs(got[uid][1] - tv) < 1e-6
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
