@@ -2725,3 +2725,114 @@ ORDER BY doc_id
 """
 
 REGISTRY["mm3_resize_payloads"] = (mm3_resize_payloads, MM3_SQL)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def agg_pivot_event_matrix(spark, sf_dir):
+    """Pivot: per-user-bucket event-type count matrix. The explicit values
+    list matters at scale — ``pivot(col)`` without values runs an extra
+    distinct-scan job to discover columns AND risks an unbounded-width
+    schema; pinning the vocabulary keeps it one pass, and the oracle is
+    plain portable CASE-sum SQL."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("bucket", (F.col("user_id") % 10).cast("int"))
+        .groupBy("bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("bucket")
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT CAST(user_id % 10 AS INT) AS bucket,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
+def fn_unpivot_order_metrics(spark, sf_dir):
+    """Unpivot/melt: wide numeric columns → long (key, metric, value) rows
+    (``DataFrame.unpivot``, the Spark 3.4+ built-in — a narrow generator
+    expression, no shuffle). Oracle: the portable UNION ALL form."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    )
+
+
+FN_UNPIVOT_SQL = """
+SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value
+FROM orders WHERE o_orderkey % 100 = 0
+UNION ALL
+SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+FROM orders WHERE o_orderkey % 100 = 0
+ORDER BY o_orderkey, metric
+"""
+
+REGISTRY["agg_pivot_event_matrix"] = (agg_pivot_event_matrix, AGG_PIVOT_SQL)
+REGISTRY["fn_unpivot_order_metrics"] = (fn_unpivot_order_metrics, FN_UNPIVOT_SQL)
+
+
+def fn_udtf_word_rows(spark, sf_dir):
+    """Python UDTF (lateral table function) — API-surface demo on a small
+    slice; the hot-path equivalent is the JVM explode in operators/text."""
+    from ..functions.udx import WordCounts
+
+    spark.udtf.register("word_counts", WordCounts)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.word, w.n
+        FROM __docs d, LATERAL word_counts(d.text) w
+        WHERE d.doc_id < 50
+        """
+    ).orderBy("doc_id", "word")
+
+
+FN_UDTF_SQL = """
+SELECT doc_id, w AS word, CAST(count(*) AS INT) AS n FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE doc_id < 50
+)
+GROUP BY doc_id, w
+ORDER BY doc_id, w
+"""
+
+
+def fn_grouped_agg_wmean(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (custom UDAF escape hatch) — exact
+    milli-quantized mean per event type."""
+    from ..functions.udx import milli_exact_mean
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(milli_exact_mean("value").alias("mean_value"))
+        .orderBy("event_type")
+    )
+
+
+FN_GAGG_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+         / (1000.0 * count(*)) AS mean_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+REGISTRY["fn_udtf_word_rows"] = (fn_udtf_word_rows, FN_UDTF_SQL)
+REGISTRY["fn_grouped_agg_wmean"] = (fn_grouped_agg_wmean, FN_GAGG_SQL)
