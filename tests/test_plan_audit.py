@@ -56,6 +56,10 @@ RELATIONAL = [
     "q21_sole_failing_supplier",
     "x6_pii_scrub",
     "x7_domain_counts",
+    "x8_winnow_fingerprints",
+    "ts5_rolling_distinct_users",
+    "agg_pivot_event_matrix",
+    "fn_unpivot_order_metrics",
 ]
 
 # queries whose filters should reach the parquet reader
