@@ -2836,3 +2836,128 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 REGISTRY["fn_udtf_word_rows"] = (fn_udtf_word_rows, FN_UDTF_SQL)
 REGISTRY["fn_grouped_agg_wmean"] = (fn_grouped_agg_wmean, FN_GAGG_SQL)
+
+
+def pipe3_pretrain_corpus(spark, sf_dir):
+    """Flagship LLM pre-training data pipeline — the full hygiene chain as
+    ONE declarative plan: PII-bearing ingest → exact dedup (normalized
+    fingerprint, keep-min-id) → quality gates → benchmark decontamination
+    (8-gram overlap vs the held-out probe slice, LEFT ANTI) → PII scrub →
+    quality-band stratified sampling. Catalyst fuses the narrow stages
+    (quality/scrub/band/sample are all scan-side expressions); shuffles:
+    fingerprint groupBy, the corpus-gram groupBy under the broadcast
+    contamination join, and the output joins on doc_id.
+
+    Output per surviving doc: band, word count, PII found+masked count,
+    md5 of the scrubbed text (evidence the masking ran ahead of the
+    emit)."""
+    docs = _augment_pii(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text2"
+    )
+    probes = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    keep_fp = (
+        text.fingerprint(corpus, "doc_id", "text2")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = text.quality_scores(corpus, "doc_id", "text2")
+    contaminated = text.ngram_contamination(
+        corpus, probes, "doc_id", "text2", n=8
+    ).select("doc_id")
+    scrub = text.pii_scrub(corpus, "doc_id", "text2")
+    base = (
+        corpus.select("doc_id")
+        .join(keep_fp, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(q, "doc_id")
+        .join(scrub, "doc_id")
+        .filter(
+            (F.col("n_words") >= 5)
+            & (F.col("punct_ratio") <= 0.2)
+            & (F.col("alpha_ratio") >= 0.5)
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("n_words") >= 40, F.lit("long"))
+            .when(F.col("n_words") >= 20, F.lit("mid"))
+            .otherwise(F.lit("short"))
+            .alias("band"),
+            "n_words",
+            (F.col("n_email") + F.col("n_phone") + F.col("n_ip")).alias("n_pii"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+    )
+    return text.stratified_corpus_sample(
+        base, "doc_id", "band", {"long": "g0", "mid": "80", "short": "20"}
+    ).orderBy("doc_id")
+
+
+PIPE3_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END AS text2
+  FROM documents
+),
+corpus AS (SELECT * FROM aug WHERE doc_id % 7 <> 0),
+keep_fp AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(lower(regexp_replace(trim(text2), '\s+', ' ', 'g'))) AS fp FROM corpus)
+  GROUP BY fp
+),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text2), '\s+') AS t FROM aug),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 8, 0) + 2),
+           i -> array_to_string(t[i:i+7], ' ')))) AS g
+  FROM toks
+),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM grams c JOIN (SELECT doc_id AS probe_id, g FROM grams WHERE doc_id % 7 = 0) p
+    ON c.g = p.g AND c.doc_id <> p.probe_id
+  WHERE c.doc_id % 7 <> 0
+),
+q AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text2), '\s+')) AS n_words,
+         (length(text2) - length(regexp_replace(text2, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text2) AS punct_ratio,
+         length(regexp_replace(text2, '[^A-Za-z]', '', 'g')) * 1.0 / length(text2) AS alpha_ratio
+  FROM corpus
+),
+scrub AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      + CAST(len(regexp_extract_all(text2, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
+      + CAST(len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_pii,
+    md5(regexp_replace(regexp_replace(regexp_replace(text2,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS clean_md5
+  FROM corpus
+),
+base AS (
+  SELECT c.doc_id,
+         CASE WHEN q.n_words >= 40 THEN 'long'
+              WHEN q.n_words >= 20 THEN 'mid'
+              ELSE 'short' END AS band,
+         CAST(q.n_words AS BIGINT) AS n_words, scrub.n_pii, scrub.clean_md5
+  FROM corpus c
+  JOIN keep_fp ON keep_fp.doc_id = c.doc_id
+  JOIN q ON q.doc_id = c.doc_id
+  JOIN scrub ON scrub.doc_id = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND q.n_words >= 5 AND q.punct_ratio <= 0.2 AND q.alpha_ratio >= 0.5
+)
+SELECT * FROM base
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || band), 1, 2) <
+      CASE band WHEN 'long' THEN 'g0' WHEN 'mid' THEN '80' ELSE '20' END
+ORDER BY doc_id
+"""
+
+REGISTRY["pipe3_pretrain_corpus"] = (pipe3_pretrain_corpus, PIPE3_SQL)

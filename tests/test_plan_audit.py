@@ -60,6 +60,7 @@ RELATIONAL = [
     "ts5_rolling_distinct_users",
     "agg_pivot_event_matrix",
     "fn_unpivot_order_metrics",
+    "pipe3_pretrain_corpus",
 ]
 
 # queries whose filters should reach the parquet reader
