@@ -2961,3 +2961,87 @@ ORDER BY doc_id
 """
 
 REGISTRY["pipe3_pretrain_corpus"] = (pipe3_pretrain_corpus, PIPE3_SQL)
+
+
+def ev1_funnel_conversion(spark, sf_dir):
+    """Funnel analysis: per user, earliest signup → earliest subsequent
+    purchase; conversion counts per funnel stage. One groupBy pass
+    computes both stage timestamps with conditional MIN aggregates (no
+    self-join, no window): the standard product-analytics funnel at
+    events scale."""
+    events = load_table(spark, sf_dir, "events")
+    stages = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchase_ts"
+        ),
+    )
+    return stages.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("signup_ts").alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("purchase_ts") > F.col("signup_ts"), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_converted"),
+    )
+
+
+EV1_SQL = """
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(signup_ts) AS n_signed_up,
+       CAST(sum(CASE WHEN purchase_ts > signup_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM stages
+"""
+
+
+def ev2_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted by distinct activity in each subsequent week offset. Two
+    shuffles total — (user, week) dedup reusing one partitioning, then
+    the cohort rollup on tiny keys."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    user_weeks = events.select(
+        F.col("user_id").alias("u"), week.alias("w")
+    ).distinct()
+    cohorts = user_weeks.groupBy("u").agg(F.min("w").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "u")
+        .groupBy(
+            "cohort_week",
+            F.datediff(F.col("w"), F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("u").alias("n_users"))
+        .filter(F.col("week_offset") % 7 == 0)
+        .select(
+            "cohort_week",
+            (F.col("week_offset") / 7).cast("int").alias("week_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EV2_SQL = """
+WITH user_weeks AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+),
+cohorts AS (SELECT u, min(w) AS cohort_week FROM user_weeks GROUP BY u)
+SELECT c.cohort_week,
+       CAST((uw.w - c.cohort_week) / 7 AS INT) AS week_offset,
+       count(DISTINCT uw.u) AS n_users
+FROM user_weeks uw JOIN cohorts c ON uw.u = c.u
+GROUP BY c.cohort_week, (uw.w - c.cohort_week) / 7
+ORDER BY cohort_week, week_offset
+"""
+
+REGISTRY["ev1_funnel_conversion"] = (ev1_funnel_conversion, EV1_SQL)
+REGISTRY["ev2_retention_cohorts"] = (ev2_retention_cohorts, EV2_SQL)
