@@ -1,0 +1,92 @@
+"""plans/lint.py — the plan linter must catch deliberately-hazardous plans
+and pass every flagship registry query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.plans.entry_queries import REGISTRY
+from end_to_end_ml_spark.plans.lint import audit_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flags_cartesian_product(spark):
+    # sides above the broadcast threshold → true CartesianProduct. (A
+    # broadcast-small side becomes a conditioned BroadcastNestedLoopJoin,
+    # which the engine itself uses for 1-row scalar broadcasts — allowed.)
+    a = spark.range(5_000_000)
+    b = spark.range(5_000_000).withColumnRenamed("id", "id2")
+    hazards = audit_plan(a.crossJoin(b).filter("id + id2 > 5"))
+    assert any(h.startswith("cartesian-product") for h in hazards), hazards
+
+
+def test_flags_python_row_udf(spark):
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda x: x + 1, "bigint")
+    hazards = audit_plan(spark.range(100).select(slow("id").alias("y")))
+    assert any(h.startswith("python-row-udf") for h in hazards), hazards
+
+
+def test_flags_global_window_over_raw_input(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    ranked = df.withColumn("r", F.rank().over(Window.orderBy("v")))
+    hazards = audit_plan(ranked)
+    assert any(h.startswith("global-window") for h in hazards), hazards
+
+
+def test_accepts_global_window_over_aggregate(spark):
+    agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    ranked = agg.withColumn("r", F.rank().over(Window.orderBy("count")))
+    assert audit_plan(ranked) == []
+
+
+def test_flags_midplan_global_sort(spark):
+    # Catalyst's EliminateSorts removes orderings nothing consumes, so a
+    # surviving mid-plan global sort needs an order-sensitive consumer
+    # (mapInPandas) between the sort and the aggregation.
+    def ident(it):
+        yield from it
+
+    df = (
+        spark.range(1000)
+        .withColumn("v", F.col("id") * 2)
+        .orderBy("v")
+        .mapInPandas(ident, "id long, v long")
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+    )
+    hazards = audit_plan(df)
+    assert any(h.startswith("global-sort-mid-plan") for h in hazards), hazards
+
+
+def test_accepts_final_sort_and_topk(spark):
+    assert audit_plan(spark.range(1000).orderBy(F.col("id").desc())) == []
+    assert audit_plan(spark.range(1000).orderBy(F.col("id").desc()).limit(5)) == []
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_supplier_volume",
+        "q9_product_profit",
+        "q21_sole_failing_supplier",
+        "w1_top_parts",
+        "s3_pit_join",
+        "a6_roc_auc",
+        "a13_lift_gains",
+        "d1_exact_dup_groups",
+        "pipe1_clean_corpus",
+        "pipe3_pretrain_corpus",
+        "ts5_rolling_distinct_users",
+        "x8_winnow_fingerprints",
+    ],
+)
+def test_flagship_queries_are_clean(spark, name):
+    df = REGISTRY[name][0](spark, SF)
+    assert audit_plan(df) == [], name
