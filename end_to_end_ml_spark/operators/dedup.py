@@ -258,6 +258,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     seed: int = 42,
     estimator_margin: float = 0.15,
+    sort_result: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: banding generates candidates, the MinHash
     estimator (fraction of agreeing signature components, unbiased for
@@ -271,7 +272,13 @@ def minhash_dedup_pairs(
     costs O(num_hashes) per pair vs O(|shingle set|) for exact Jaccard; the
     margin (~2.5σ of the binomial estimator at n=64) keeps false prunes
     rare. Signatures persist across the two uses (candidates + estimator) —
-    at 100 TB they are ~1000× smaller than the text."""
+    at 100 TB they are ~1000× smaller than the text.
+
+    ``sort_result=False`` skips the final presentation ``orderBy`` — pass
+    it when the pairs feed another operator (connected components): the
+    repo's own plan linter caught the sorted form surviving as a mid-plan
+    GLOBAL sort re-executed inside every pointer-jumping iteration (the
+    persist boundary blocks Catalyst's EliminateSorts)."""
     assert num_hashes % bands == 0
     sig = _spread(df).select(
         F.col(id_col).alias("id"),
@@ -302,13 +309,13 @@ def minhash_dedup_pairs(
     sh = _spread(df).select(
         F.col(id_col).alias("id"), hashed_shingles(text_col, shingle_size).alias("sh")
     )
-    return (
+    verified = (
         est.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    return verified.orderBy("id_a", "id_b") if sort_result else verified
 
 
 # ---------------------------------------------------------------------------

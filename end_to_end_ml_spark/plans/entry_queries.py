@@ -1042,7 +1042,7 @@ def d7_near_dup_groups(spark, sf_dir):
     (doc_id, group_id = min member). The deletion-list primitive."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", threshold=0.6, shingle_size=5
+        docs, "doc_id", "text", threshold=0.6, shingle_size=5, sort_result=False
     )
     return dedup.connected_components(pairs).orderBy("id").select(
         F.col("id").alias("doc_id"), "group_id"
@@ -1071,7 +1071,7 @@ def d8_canonical_docs(spark, sf_dir):
     """Keeper per near-dup group: longest text, ties to smallest doc id."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", threshold=0.6, shingle_size=5
+        docs, "doc_id", "text", threshold=0.6, shingle_size=5, sort_result=False
     )
     groups = dedup.connected_components(pairs)
     return dedup.canonical_per_group(docs, groups, "doc_id", "text").orderBy(

@@ -90,3 +90,14 @@ def test_accepts_final_sort_and_topk(spark):
 def test_flagship_queries_are_clean(spark, name):
     df = REGISTRY[name][0](spark, SF)
     assert audit_plan(df) == [], name
+
+
+def test_entire_registry_is_lint_clean(spark):
+    """Every registry query's physical plan passes the scale linter —
+    the CI gate form (`assert not audit_plan(df)`)."""
+    dirty = {}
+    for name, (fn, _) in REGISTRY.items():
+        hazards = audit_plan(fn(spark, SF))
+        if hazards:
+            dirty[name] = hazards
+    assert dirty == {}, dirty
