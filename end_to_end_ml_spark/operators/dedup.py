@@ -199,10 +199,26 @@ def minhash_signature(shingle_col, num_hashes: int = 64, seed: int = 42):
     )
 
 
-def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_candidates(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Banding over a (id, sig) frame: docs sharing any band hash are
     candidates. One explode (b rows/doc) + one equi-join on the band key —
-    no cross-join. Output: distinct (id_a, id_b), id_a < id_b."""
+    no cross-join. Output: distinct (id_a, id_b), id_a < id_b.
+
+    ``max_bucket_size`` is the hot-bucket guard for adversarial corpora: a
+    document duplicated millions of times puts every copy in the same
+    bucket and the self-join of that ONE bucket is quadratic. Production
+    LSH dedup (e.g. the BigCode/near-dedup pipelines) drops buckets above
+    a size cap — members that near-duplicate each other still meet in
+    their other, less-degenerate bands, and byte-identical floods belong
+    to the cheaper exact_dedup pass that should run first. Default None
+    (no cap) keeps candidate generation exhaustive for oracle checks; the
+    cap costs one extra count-per-bucket aggregation reusing the same
+    shuffle key."""
     r = num_hashes // bands
     banded = sig.select(
         "id",
@@ -218,6 +234,14 @@ def _band_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, on=["band", "bucket"], how="left_semi")
     left = banded.select("band", "bucket", F.col("id").alias("id_a"))
     right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     return (
@@ -236,6 +260,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding (see _band_candidates)."""
     assert num_hashes % bands == 0
@@ -245,7 +270,7 @@ def minhash_lsh_candidates(
             "sig"
         ),
     )
-    return _band_candidates(sig, num_hashes, bands)
+    return _band_candidates(sig, num_hashes, bands, max_bucket_size)
 
 
 def minhash_dedup_pairs(

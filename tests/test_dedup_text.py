@@ -332,3 +332,24 @@ def test_winnowing_shared_passage_guarantee(spark):
     # short docs (no complete window) are excluded, not half-fingerprinted
     short = spark.createDataFrame([(9, "tiny text")], ["doc_id", "text"])
     assert text.winnow_fingerprints(short, "doc_id", "text").count() == 0
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """max_bucket_size drops degenerate buckets: a flood of identical docs
+    (all signatures equal → every band bucket holds the whole flood) is
+    excluded, while ordinary near-dup pairs still surface."""
+    flood = [(i, "identical flood document text " * 3) for i in range(50)]
+    pair = [
+        (100, "a genuinely unique document about sparks and rivers flowing"),
+        (101, "a genuinely unique document about sparks and rivers flowin"),
+    ]
+    df = spark.createDataFrame(flood + pair, ["doc_id", "text"])
+    capped = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", max_bucket_size=10
+    ).collect()
+    ids = {r["id_a"] for r in capped} | {r["id_b"] for r in capped}
+    assert (100, 101) in {(r["id_a"], r["id_b"]) for r in capped}
+    assert all(i >= 100 for i in ids)  # the flood generated no candidates
+    # uncapped: the flood dominates candidate generation
+    full = dedup.minhash_lsh_candidates(df, "doc_id", "text").count()
+    assert full > len(capped)
