@@ -3045,3 +3045,39 @@ ORDER BY cohort_week, week_offset
 
 REGISTRY["ev1_funnel_conversion"] = (ev1_funnel_conversion, EV1_SQL)
 REGISTRY["ev2_retention_cohorts"] = (ev2_retention_cohorts, EV2_SQL)
+
+
+def fn_range_frame_rolling_sum(spark, sf_dir):
+    """RANGE-frame window: per event, the user's rolling 1-hour event count
+    and exact decimal value sum (``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW``) — the time-based frame the ROWS-frame suites can't
+    express. One shuffle on user_id; frame bounds are resolved per row by
+    the sort order, no self-join. Decimal sum keeps the oracle exact under
+    any within-frame order."""
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("user_id") % 10 == 3).createOrReplaceTempView("__ev_rf")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS n_1h,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        FROM __ev_rf
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id
+        """
+    )
+
+
+FN_RANGE_FRAME_SQL = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WHERE user_id % 10 = 3
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
+
+REGISTRY["fn_range_frame_rolling_sum"] = (fn_range_frame_rolling_sum, FN_RANGE_FRAME_SQL)

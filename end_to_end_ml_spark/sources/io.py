@@ -120,6 +120,17 @@ def ingest_json_records(spark: SparkSession, records, schema) -> DataFrame:
     return spark.createDataFrame(records, schema=schema)
 
 
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (secondary columnar format — Spark bundles the reader/writer;
+    same predicate-pushdown + column-pruning behavior as parquet, verified
+    by the round-trip test). Useful when a downstream consumer is
+    Hive/ORC-native."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """CSV sink (reference S6: Optuna trials log, study_logger.py:43-50).
     Tiny driver-adjacent tables (trial logs, metric frames) — still written

@@ -157,3 +157,26 @@ def test_load_table_memoizes_per_session_and_dir(spark):
     assert d is not a
     # the cached frame is still a plain lazy scan — fresh queries compose
     assert a.filter("o_orderkey = 1").count() <= 1
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink parity: values survive the round trip and filters
+    reach the ORC scan (PushedFilters), same as the parquet path."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_ml_spark.sources.io import load_table, write_orc
+
+    df = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(df, path)
+    back = spark.read.orc(path)
+    assert back.count() == df.count()
+    assert sorted(back.columns) == sorted(df.columns)
+    a = df.agg(F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("s")).collect()
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("s")).collect()
+    assert a == b
+    plan = (
+        back.filter(F.col("o_orderkey") == 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EqualTo(o_orderkey,5)" in plan, plan
