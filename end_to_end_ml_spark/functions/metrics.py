@@ -576,3 +576,55 @@ def ece_bins_multiclass(
         )
         .orderBy("bin")
     )
+
+
+def drift_bins(
+    ref: "DataFrame",
+    cur: "DataFrame",
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+):
+    """Feature-drift comparison table (the PSI/KS input): histogram a
+    reference and a current population on SHARED fixed bin edges and emit
+    per-bin counts plus exact micro-proportions (ppm, integer-divided) —
+    everything integer, so the result is engine-exact and oracle-checkable
+    (the PSI scalar itself needs ln(); compute it driver-side from these
+    counts when a float summary is acceptable).
+
+    Bin index = clamp(floor((x - lo) / (hi - lo) * n_bins), 0, n_bins - 1)
+    — the float expression is evaluated in the same IEEE op order on any
+    engine, so bin assignment is identical. One aggregation per side (tiny
+    n_bins-row outputs), then a full outer join on bin: at 100 TB each
+    side is a single partial-agg scan, no shuffle of raw rows."""
+    from pyspark.sql import functions as F
+
+    def binned(df, name):
+        b = F.floor(
+            (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)
+        )
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+        return df.groupBy(b.alias("bin")).agg(F.count(F.lit(1)).alias(name))
+
+    r = binned(ref, "n_ref")
+    c = binned(cur, "n_cur")
+    joined = r.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.expr("CAST(n_ref * 1000000 DIV __tr AS BIGINT)").alias("ref_ppm"),
+            F.expr("CAST(n_cur * 1000000 DIV __tc AS BIGINT)").alias("cur_ppm"),
+        )
+        .orderBy("bin")
+    )

@@ -3081,3 +3081,35 @@ ORDER BY user_id, ts, event_id
 """
 
 REGISTRY["fn_range_frame_rolling_sum"] = (fn_range_frame_rolling_sum, FN_RANGE_FRAME_SQL)
+
+
+def a15_drift_bins(spark, sf_dir):
+    """Feature-drift histogram: order totalprice distribution, pre-1998
+    (reference) vs 1998+ (current), shared fixed bins, exact ppm."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    cur = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    return M.drift_bins(ref, cur, "o_totalprice", lo=0.0, hi=500000.0, n_bins=10)
+
+
+A15_SQL = """
+WITH binned AS (
+  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 500000.0 * 10), 0), 9) AS INT) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+r AS (SELECT bin, count(*) AS n_ref FROM binned WHERE is_ref = 1 GROUP BY bin),
+c AS (SELECT bin, count(*) AS n_cur FROM binned WHERE is_ref = 0 GROUP BY bin),
+j AS (
+  SELECT COALESCE(r.bin, c.bin) AS bin,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM r FULL OUTER JOIN c ON r.bin = c.bin
+)
+SELECT bin, n_ref, n_cur,
+       CAST(n_ref * 1000000 // (SELECT sum(n_ref) FROM j) AS BIGINT) AS ref_ppm,
+       CAST(n_cur * 1000000 // (SELECT sum(n_cur) FROM j) AS BIGINT) AS cur_ppm
+FROM j
+ORDER BY bin
+"""
+
+REGISTRY["a15_drift_bins"] = (a15_drift_bins, A15_SQL)

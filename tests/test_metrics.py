@@ -229,3 +229,21 @@ def test_lift_gains_score_precision_bounds_and_matches(spark):
     e = {r["decile"]: r["pos"] for r in M.lift_gains(df, "y", "s", "pk").collect()}
     assert sum(q.values()) == sum(e.values())
     assert all(abs(q[d] - e[d]) <= 5 for d in e)
+
+
+def test_drift_bins_clamps_and_exact_ppm(spark):
+    from end_to_end_ml_spark.functions.metrics import drift_bins
+
+    ref = spark.createDataFrame([(float(v),) for v in [-5, 0, 1, 5, 9, 100]], ["x"])
+    cur = spark.createDataFrame([(float(v),) for v in [2, 2, 2, 50]], ["x"])
+    out = {r["bin"]: r for r in drift_bins(ref, cur, "x", 0.0, 10.0, 5).collect()}
+    # -5 clamps into bin 0; 100 clamps into bin 4
+    assert out[0]["n_ref"] == 3  # -5, 0, 1
+    assert out[4]["n_ref"] == 2  # 9, 100
+    assert out[1]["n_cur"] == 3  # three 2.0s
+    assert out[4]["n_cur"] == 1  # 50 clamped
+    # exact integer ppm: floor(3 * 1e6 / 6), floor(3 * 1e6 / 4)
+    assert out[0]["ref_ppm"] == 500000
+    assert out[1]["cur_ppm"] == 750000
+    # bins with no rows on one side report zero, not null
+    assert out[2]["n_ref"] == 1 and out[2]["n_cur"] == 0
