@@ -678,6 +678,8 @@ def connected_components(
             .limit(1)
             .count()
         )
+        if it == 0:
+            labels.unpersist()  # the seed cache; rounds are checkpointed
         labels = new_labels
         if changed == 0:
             converged = True
