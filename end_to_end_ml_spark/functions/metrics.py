@@ -628,3 +628,47 @@ def drift_bins(
         )
         .orderBy("bin")
     )
+
+
+def ks_stat_exact(
+    ref: "DataFrame",
+    cur: "DataFrame",
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 100,
+):
+    """Binned Kolmogorov–Smirnov drift statistic, EXACTLY: over the shared
+    fixed-bin CDFs, KS = max |F_ref(b) - F_cur(b)|. Floats would make the
+    max engine-dependent at ties, so the comparison is cleared of
+    division: the output is the integer numerator ``max |cum_ref·N_cur -
+    cum_cur·N_ref|`` with both denominators, and KS = ks_num / (n_ref_total
+    · n_cur_total) is one final driver-side division. Same two partial-agg
+    scans as :func:`drift_bins` plus a cumulative window over n_bins rows
+    (bounded input — aggregation sits below it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bins = drift_bins(ref, cur, value_col, lo, hi, n_bins)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = bins.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    return (
+        bins.select(
+            "bin",
+            F.sum("n_ref").over(w).alias("cum_ref"),
+            F.sum("n_cur").over(w).alias("cum_cur"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_ref") * F.col("__tc")
+                    - F.col("cum_cur") * F.col("__tr")
+                )
+            ).alias("ks_num"),
+            F.first("__tr").alias("n_ref_total"),
+            F.first("__tc").alias("n_cur_total"),
+        )
+    )

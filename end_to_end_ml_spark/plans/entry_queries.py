@@ -3113,3 +3113,40 @@ ORDER BY bin
 """
 
 REGISTRY["a15_drift_bins"] = (a15_drift_bins, A15_SQL)
+
+
+def a16_ks_drift(spark, sf_dir):
+    """Exact binned KS drift statistic (integer numerator + denominators)
+    for order totalprice, pre-1998 vs 1998+."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    cur = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    return M.ks_stat_exact(ref, cur, "o_totalprice", lo=0.0, hi=500000.0, n_bins=100)
+
+
+A16_SQL = """
+WITH binned AS (
+  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 500000.0 * 100), 0), 99) AS INT) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+counts AS (
+  SELECT bin,
+         CAST(sum(is_ref) AS BIGINT) AS n_ref,
+         CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+cum AS (
+  SELECT bin,
+         sum(n_ref) OVER (ORDER BY bin) AS cum_ref,
+         sum(n_cur) OVER (ORDER BY bin) AS cum_cur
+  FROM counts
+)
+SELECT max(abs(cum_ref * (SELECT sum(n_cur) FROM counts)
+              - cum_cur * (SELECT sum(n_ref) FROM counts))) AS ks_num,
+       (SELECT CAST(sum(n_ref) AS BIGINT) FROM counts) AS n_ref_total,
+       (SELECT CAST(sum(n_cur) AS BIGINT) FROM counts) AS n_cur_total
+FROM cum
+"""
+
+REGISTRY["a16_ks_drift"] = (a16_ks_drift, A16_SQL)
