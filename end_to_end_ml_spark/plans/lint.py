@@ -91,6 +91,8 @@ def audit_plan(df: DataFrame) -> list[str]:
         elif name == "Sort" and ", true, " in head:
             under_limit = any(a in _LIMIT_NODES for a in ancestors)
             is_final = all(a in _TRANSPARENT_ABOVE_SORT for a in ancestors)
-            if not (under_limit or is_final):
+            # a global sort of an aggregate's output is bounded input —
+            # e.g. the ordering Sort under a cumulative window over bins
+            if not (under_limit or is_final or _window_input_bounded(node)):
                 hazards.append(f"global-sort-mid-plan: {head}")
     return hazards
