@@ -180,3 +180,20 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EqualTo(o_orderkey,5)" in plan, plan
+
+
+def test_write_parquet_observed_single_pass_stats(spark, tmp_path):
+    """The observed sink's stats must equal a direct recount — without the
+    recount scan (Observation piggybacks on the write tasks)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_ml_spark.sources.io import write_parquet_observed
+
+    df = spark.range(1000).select(
+        "id", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v")
+    )
+    stats = write_parquet_observed(df, str(tmp_path / "obs"), count_null_cols=["v"])
+    assert stats["n_rows"] == 1000
+    assert stats["null_v"] == 100
+    back = spark.read.parquet(str(tmp_path / "obs"))
+    assert back.count() == 1000
