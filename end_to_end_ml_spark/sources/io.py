@@ -228,6 +228,13 @@ def write_parquet_observed(
     At 100 TB that saves a full re-read; the observed aggregates piggyback
     on the write tasks and merge on the driver.
 
+    Known Spark 4.1 caveat: Observation leaves the owning SESSION's
+    ObservationManager reachable from later closure serialization —
+    subsequent MLlib fits in the same session can fail with
+    NotSerializableException. Call this from a dedicated child session
+    (``spark.newSession()`` — shares the SparkContext) when the pipeline
+    continues with closure-serializing work afterwards.
+
     Returns {"n_rows": ..., "null_<col>": ... } for each requested col."""
     from pyspark.sql import Observation
 

@@ -184,11 +184,18 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
 
 def test_write_parquet_observed_single_pass_stats(spark, tmp_path):
     """The observed sink's stats must equal a direct recount — without the
-    recount scan (Observation piggybacks on the write tasks)."""
+    recount scan (Observation piggybacks on the write tasks).
+
+    Runs in a child session (`newSession`): Spark 4.1's Observation leaves
+    the owning session's ObservationManager captured in later closure
+    serialization (NotSerializableException in unrelated MLlib fits) — a
+    session-state leak the operator's docstring warns about; the shared
+    SparkContext is unaffected."""
     from pyspark.sql import functions as F
 
     from end_to_end_ml_spark.sources.io import write_parquet_observed
 
+    spark = spark.newSession()
     df = spark.range(1000).select(
         "id", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v")
     )
