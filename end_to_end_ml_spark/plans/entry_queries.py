@@ -3150,3 +3150,60 @@ FROM cum
 """
 
 REGISTRY["a16_ks_drift"] = (a16_ks_drift, A16_SQL)
+
+
+def set4_multiset_ops(spark, sf_dir):
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    duplicate multiplicity, unlike the distinct-set forms in set1-set3
+    (Spark: exceptAll/intersectAll, planned as hash aggregations over
+    (row, count) with count arithmetic — no row explosion). Probe: per-
+    customer order-priority bags from two halves of the order history."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey", "o_orderpriority")
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey", "o_orderpriority")
+    surplus = early.exceptAll(late)
+    common = early.intersectAll(late)
+    return (
+        surplus.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_surplus"))
+        .join(
+            common.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_common")
+            ),
+            "o_orderpriority",
+            "full_outer",
+        )
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_surplus", F.lit(0)).alias("n_surplus"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SET4_SQL = """
+WITH early AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+late AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+),
+surplus AS (SELECT * FROM early EXCEPT ALL SELECT * FROM late),
+common  AS (SELECT * FROM early INTERSECT ALL SELECT * FROM late),
+s AS (SELECT o_orderpriority, count(*) AS n_surplus FROM surplus GROUP BY 1),
+c AS (SELECT o_orderpriority, count(*) AS n_common FROM common GROUP BY 1)
+SELECT COALESCE(s.o_orderpriority, c.o_orderpriority) AS o_orderpriority,
+       COALESCE(n_surplus, 0) AS n_surplus,
+       COALESCE(n_common, 0) AS n_common
+FROM s FULL OUTER JOIN c ON s.o_orderpriority = c.o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+REGISTRY["set4_multiset_ops"] = (set4_multiset_ops, SET4_SQL)
