@@ -44,6 +44,18 @@ HEADLINE = [
     "d4_simhash_pairs",
 ]
 
+# Round-5 additions: the heavy operators whose regressions were previously
+# invisible to the bench (d7 went 140 s -> ~8 s in r4 and was never
+# measured). They run fewer reps (still min-of-N) because a single execution
+# is seconds, not milliseconds; their sum is reported inside the same total,
+# and "r4_comparable_total" preserves the old 18-query sum for
+# round-over-round comparison.
+HEAVY = [
+    "q9_product_profit",
+    "pipe3_pretrain_corpus",
+    "d7_near_dup_groups",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -76,14 +88,16 @@ def main() -> None:
     # failure is itself a defect.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name, reps in [(n, 5) for n in HEADLINE] + [(n, 2) for n in HEAVY]:
         try:
             fn = REGISTRY[name][0]
             best = float("inf")
             # min of 5: the heavy generated aggregates (d4's 16-lane packed
             # sums) need 2-3 executions before C2 JIT reaches steady state;
             # min-of-3 was still measuring compilation on the big plans.
-            for _ in range(5):
+            # (HEAVY queries run min-of-2: one execution is seconds, and the
+            # second rep already reflects warmed codegen.)
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 force(fn(spark, SF_DIR))
                 best = min(best, time.perf_counter() - t0)
@@ -106,6 +120,10 @@ def main() -> None:
         "cpus": CPUS,
         "completed": len(timings),
         "failed": len(errors),
+        # sum over the pre-round-5 18-query set, for r1-r4 comparability
+        "r4_comparable_total": round(
+            sum(v for k, v in timings.items() if k in HEADLINE), 3
+        ),
     }
     if errors:
         out["errors"] = errors

@@ -645,7 +645,13 @@ def ks_stat_exact(
     cum_cur·N_ref|`` with both denominators, and KS = ks_num / (n_ref_total
     · n_cur_total) is one final driver-side division. Same two partial-agg
     scans as :func:`drift_bins` plus a cumulative window over n_bins rows
-    (bounded input — aggregation sits below it)."""
+    (bounded input — aggregation sits below it).
+
+    The cross-multiply runs in DECIMAL(38,0): cum·N products exceed BIGINT
+    once each side passes ~3e9 rows (product > 2^63) — the normal regime at
+    100 TB — where int64 would throw under ANSI mode or silently wrap
+    without it. decimal(38,0) holds exact products to ~1e19·1e19 row
+    counts; the numerator is returned as decimal."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -654,19 +660,20 @@ def ks_stat_exact(
     tot = bins.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )
+    dec = "decimal(38,0)"
     return (
         bins.select(
             "bin",
-            F.sum("n_ref").over(w).alias("cum_ref"),
-            F.sum("n_cur").over(w).alias("cum_cur"),
+            F.sum("n_ref").over(w).cast(dec).alias("cum_ref"),
+            F.sum("n_cur").over(w).cast(dec).alias("cum_cur"),
         )
         .crossJoin(F.broadcast(tot))
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum_ref") * F.col("__tc")
-                    - F.col("cum_cur") * F.col("__tr")
-                )
+                    F.col("cum_ref") * F.col("__tc").cast(dec)
+                    - F.col("cum_cur") * F.col("__tr").cast(dec)
+                ).cast(dec)
             ).alias("ks_num"),
             F.first("__tr").alias("n_ref_total"),
             F.first("__tc").alias("n_cur_total"),

@@ -33,6 +33,19 @@ def milli_exact_mean(v: pd.Series) -> float:
     """Grouped-agg pandas UDF: mean over values quantized to exact
     milli-units (int64 sum — engine- and order-exact, unlike a float sum,
     so the result is DuckDB-oracle-checkable). Arrow hands the whole group
-    as one Series; state never crosses batches."""
-    iv = (v * 1000).round().astype("int64")
+    as one Series; state never crosses batches.
+
+    Quantization is HALF AWAY FROM ZERO via copysign(floor(|v|*1000+0.5)),
+    matching SQL round() (DuckDB, Spark bround excluded) — pandas
+    ``Series.round()`` is banker's (half-to-even) and diverges on exact .5
+    milli boundaries (e.g. 0.0625 → 62.5). Nulls are dropped before the
+    cast (astype('int64') raises on NaN); the denominator counts only
+    non-null values, same as SQL aggregates."""
+    import numpy as np
+
+    vv = v.dropna()
+    if len(vv) == 0:
+        return float("nan")
+    a = vv.to_numpy(dtype="float64") * 1000.0
+    iv = np.copysign(np.floor(np.abs(a) + 0.5), a).astype("int64")
     return float(iv.sum()) / (1000.0 * len(iv))

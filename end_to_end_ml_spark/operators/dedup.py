@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _persist(df: DataFrame) -> DataFrame:
+    """``persist()`` guarded on the CacheManager: with memoized scans
+    (sources.io._SCAN_CACHE) a repeated operator call rebuilds an IDENTICAL
+    logical plan, and a bare ``persist()`` on it triggers ``WARN
+    CacheManager: Asked to cache already cached data`` — worse, in a
+    long-lived session a later ``unpersist()`` from one call site would
+    evict the sibling's live cache. ``df.storageLevel`` consults the
+    session CacheManager by plan, so this is a true already-cached test,
+    not an object-identity test."""
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        return df
+    return df.persist()
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input arrives in
     fewer partitions (e.g. one small parquet file). The hash/shingle operators
@@ -311,7 +325,7 @@ def minhash_dedup_pairs(
             "sig"
         ),
     )
-    sig.persist()
+    sig = _persist(sig)
     cands = _band_candidates(sig, num_hashes, bands)
     est = (
         cands.join(
@@ -424,7 +438,7 @@ def simhash_near_pairs(
     hit ReusedExchange). The cached frame is one (id, fingerprint) long
     per document — tiny at any scale (same pattern as the MinHash path's
     ``sig.persist()``)."""
-    fps = simhash(df, id_col, text_col).persist()
+    fps = _persist(simhash(df, id_col, text_col))
     chunked = fps.select(
         "id",
         "simhash",
@@ -632,14 +646,14 @@ def connected_components(
     silently returning partial labels would split real dup-groups and is a
     wrong answer, not a degraded one."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    sym = edges.unionByName(
+    sym = _persist(edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()  # every round joins sym: without the persist each iteration
+    ))  # every round joins sym: without the persist each iteration
     # re-executes the ENTIRE upstream pair-generation pipeline (signatures,
     # banding, verification) — measured 140 s → 11 s for d7 at sf0.1
-    labels = (
+    labels = _persist(
         sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).persist()
+    )
     converged = False
     for it in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["id"]).select(

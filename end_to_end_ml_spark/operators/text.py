@@ -242,9 +242,12 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     redaction pass (cf. the PII rules in public corpus pipelines such as
     BigScience ROOTS / Dolma).
 
-    Order matters: the IP pattern must run before phone-like digit runs
-    could be re-introduced, and counts are taken on the ORIGINAL text so a
-    masked email's '[EMAIL]' never shadows an overlapping pattern. All
+    Replacements chain in PII_PATTERNS order (email → phone → ip; the
+    oracle chains its replaces identically, so the order is part of the
+    contract). Order only matters where replacements could overlap — a
+    placeholder token inserted by an earlier rule must not feed a later
+    pattern — while the per-type counts are immune by construction: they
+    are taken on the ORIGINAL text, not the partially-masked one. All
     JVM-side ``regexp_replace``/``regexp_count`` expressions — one narrow
     whole-stage-codegen pass, fuses with the scan at 100 TB."""
     t = F.col(text_col)

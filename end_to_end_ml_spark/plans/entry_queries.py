@@ -2844,7 +2844,7 @@ def fn_grouped_agg_wmean(spark, sf_dir):
 FN_GAGG_SQL = """
 SELECT event_type,
        CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
-         / (1000.0 * count(*)) AS mean_value
+         / (1000.0 * count(value)) AS mean_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -3131,11 +3131,20 @@ REGISTRY["a15_drift_bins"] = (a15_drift_bins, A15_SQL)
 
 def a16_ks_drift(spark, sf_dir):
     """Exact binned KS drift statistic (integer numerator + denominators)
-    for order totalprice, pre-1998 vs 1998+."""
+    for order totalprice, pre-1998 vs 1998+. The operator carries the
+    numerator as decimal(38,0) (overflow-safe past ~3e9 rows/side); this
+    presentation row casts it to BIGINT for engine-comparable hashing —
+    safe at any scale the driver runs, and a deliberate presentation-only
+    bound."""
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     cur = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
-    return M.ks_stat_exact(ref, cur, "o_totalprice", lo=0.0, hi=500000.0, n_bins=100)
+    ks = M.ks_stat_exact(ref, cur, "o_totalprice", lo=0.0, hi=500000.0, n_bins=100)
+    return ks.select(
+        F.col("ks_num").cast("bigint").alias("ks_num"),
+        "n_ref_total",
+        "n_cur_total",
+    )
 
 
 A16_SQL = """

@@ -50,22 +50,84 @@ def _walk(node, ancestors):
         yield from _walk(ch.apply(i), nxt)
 
 
+# Nodes that preserve (or reduce) the row stream between an aggregate and
+# the window/sort above it. The bounded-input walk may ONLY pass through
+# these: crossing a join, union, or generator would let a tiny aggregated
+# dim side "bless" an unbounded fact side (hugeFact ⋈ tinyAggregatedDim
+# must NOT count as bounded).
+_ROW_PRESERVING_PREFIXES = (
+    "WholeStageCodegen",
+    "InputAdapter",
+    "ColumnarToRow",
+    "Project",
+    "Filter",
+    "Sort",
+    "Exchange",
+    "ShuffleExchange",
+    "BroadcastExchange",
+    "BroadcastQueryStage",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "ReusedExchange",
+    "ReusedQueryStage",
+    "AdaptiveSparkPlan",
+    "ResultQueryStage",
+    "Coalesce",
+    "Window",  # a window neither adds nor drops rows
+    "RunningWindowFunction",
+)
+
+
 def _window_input_bounded(node) -> bool:
     """A global Window is acceptable when its input is provably bounded:
     an aggregation below it (distinct scores, deciles), or a
     WindowGroupLimit (Spark's rank-limit pushdown — each upstream
-    partition forwards only rows that can still make the top-k)."""
+    partition forwards only rows that can still make the top-k).
+
+    The walk descends ONLY through row-preserving nodes (project / filter /
+    exchange / sort / window): an Aggregate sitting behind a join or union
+    bounds the stream only if EVERY input of that join/union is itself
+    bounded — fact.join(aggregatedDim) is still fact-sized, and the old
+    any-descendant walk wrongly accepted it, while aggA.join(aggB) (e.g.
+    the drift-bins full-outer of two bin-count aggregates) is genuinely
+    bounded (output ≤ product of bounded inputs). Generators (explode) and
+    scans stop the walk as unbounded."""
     ch = node.children()
-    for i in range(ch.size()):
-        for d, _ in _walk(ch.apply(i), []):
-            n = d.nodeName()
-            if "Aggregate" in n or n.startswith("WindowGroupLimit"):
-                return True
-    return False
+
+    def bounded(n) -> bool:
+        name = n.nodeName()
+        if "Aggregate" in name or name.startswith("WindowGroupLimit"):
+            return True
+        short = name.split(" (")[0]
+        cc = n.children()
+        if short.startswith(_ROW_PRESERVING_PREFIXES):
+            # single-input relays; reuse wrappers with several children
+            # require every input bounded
+            return cc.size() > 0 and all(
+                bounded(cc.apply(i)) for i in range(cc.size())
+            )
+        if "Join" in short or short.startswith("Union"):
+            return cc.size() > 0 and all(
+                bounded(cc.apply(i)) for i in range(cc.size())
+            )
+        return False  # generate/scan/other: stop — unbounded
+
+    return any(bounded(ch.apply(i)) for i in range(ch.size()))
 
 
-def audit_plan(df: DataFrame) -> list[str]:
-    """Return human-readable hazard strings (empty = the plan is clean)."""
+INFO_BOUNDED_WINDOW = "info:accepted-bounded-window"
+
+
+def audit_plan(df: DataFrame, include_info: bool = False) -> list[str]:
+    """Return human-readable hazard strings (empty = the plan is clean).
+
+    With ``include_info=True`` the list also carries non-hazard
+    ``info:accepted-bounded-window:`` entries for every global Window/Sort
+    the linter ACCEPTED because its input is aggregate-bounded — these are
+    the plans that emit Spark's ``WindowExec: No Partition Defined``
+    warning at runtime; the tag lets logs/PLANS.md distinguish them from
+    true scale-killers without changing the CI gate (default excludes
+    them)."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -75,6 +137,7 @@ def audit_plan(df: DataFrame) -> list[str]:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
     hazards: list[str] = []
+    infos: list[str] = []
     for node, ancestors in _walk(root, []):
         name = node.nodeName().split(" (")[0]
         head = node.toString().splitlines()[0].strip()[:140]
@@ -88,6 +151,8 @@ def audit_plan(df: DataFrame) -> list[str]:
                     "global-window: unpartitioned Window over unbounded "
                     f"input — {head}"
                 )
+            else:
+                infos.append(f"{INFO_BOUNDED_WINDOW}: {head}")
         elif name == "Sort" and ", true, " in head:
             under_limit = any(a in _LIMIT_NODES for a in ancestors)
             is_final = all(a in _TRANSPARENT_ABOVE_SORT for a in ancestors)
@@ -95,4 +160,4 @@ def audit_plan(df: DataFrame) -> list[str]:
             # e.g. the ordering Sort under a cumulative window over bins
             if not (under_limit or is_final or _window_input_bounded(node)):
                 hazards.append(f"global-sort-mid-plan: {head}")
-    return hazards
+    return hazards + infos if include_info else hazards

@@ -62,7 +62,34 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 # lazy plan, so handing the same object to every caller is safe; re-resolving
 # the scan per call costs a driver round of file-listing + footer/schema RPCs
 # (~50-100 ms — 20-40% of a sub-second query's wall time at bench scale).
+#
+# ASSUMPTION: the table directories are immutable while cached — the
+# memoized relation pins its file listing at first resolution. Every sink
+# in this module calls invalidate_scan_cache(path) so a write back into a
+# cached directory drops the stale entries; out-of-band rewrites need a
+# manual invalidate_scan_cache() call.
 _SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def invalidate_scan_cache(path: str | None = None) -> int:
+    """Drop memoized scans. With ``path``, drop only entries whose resolved
+    table file/dir overlaps that path (either is a prefix of the other);
+    without, clear everything. Returns the number of entries dropped —
+    callers writing into a scanned directory get stale-read protection,
+    and long-lived sessions get an unbounded-growth escape hatch."""
+    if path is None:
+        n = len(_SCAN_CACHE)
+        _SCAN_CACHE.clear()
+        return n
+    norm = os.path.abspath(path)
+    doomed = []
+    for key in _SCAN_CACHE:
+        table_path = os.path.abspath(os.path.join(key[1], f"{key[2]}.parquet"))
+        if table_path.startswith(norm) or norm.startswith(table_path):
+            doomed.append(key)
+    for key in doomed:
+        del _SCAN_CACHE[key]
+    return len(doomed)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -109,6 +136,7 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    invalidate_scan_cache(path)
 
 
 def ingest_json_records(spark: SparkSession, records, schema) -> DataFrame:
@@ -129,6 +157,7 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+    invalidate_scan_cache(path)
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
@@ -136,6 +165,7 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     Tiny driver-adjacent tables (trial logs, metric frames) — still written
     through the distributed writer so the same call works at any size."""
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+    invalidate_scan_cache(path)
 
 
 def export_online_store(
@@ -168,6 +198,7 @@ def export_online_store(
         .partitionBy("__bucket")
         .parquet(path)
     )
+    invalidate_scan_cache(path)
     return latest
 
 
@@ -249,4 +280,5 @@ def write_parquet_observed(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    invalidate_scan_cache(path)
     return obs.get

@@ -44,6 +44,44 @@ def test_accepts_global_window_over_aggregate(spark):
     assert audit_plan(ranked) == []
 
 
+def test_flags_global_window_behind_fact_join(spark):
+    """The bounded-input walk must stop at a join whose OTHER side is the
+    unbounded fact: hugeFact ⋈ tinyAggregatedDim is still fact-sized, so a
+    global window over the join output is a hazard (the old any-descendant
+    walk let the dim-side Aggregate bless it — a CI-gate hole)."""
+    fact = spark.range(100_000).withColumn("k", F.col("id") % 7)
+    dim = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    joined = fact.join(dim, "k")
+    ranked = joined.withColumn("r", F.rank().over(Window.orderBy("id")))
+    hazards = audit_plan(ranked)
+    assert any(h.startswith("global-window") for h in hazards), hazards
+
+
+def test_accepts_global_window_over_join_of_aggregates(spark):
+    """aggA ⋈ aggB is bounded (output ≤ product of two aggregate outputs) —
+    the drift_bins/ks_stat shape must stay accepted, and with include_info
+    the accepted window carries the info tag so logs can distinguish it
+    from a real scale-killer."""
+    from end_to_end_ml_spark.plans.lint import INFO_BOUNDED_WINDOW
+
+    a = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    b = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.sum("id").alias("s"))
+    )
+    joined = a.join(b, "k", "full_outer")
+    cum = joined.withColumn(
+        "c",
+        F.sum("count").over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert audit_plan(cum) == []
+    tagged = audit_plan(cum, include_info=True)
+    assert any(h.startswith(INFO_BOUNDED_WINDOW) for h in tagged), tagged
+
+
 def test_flags_midplan_global_sort(spark):
     # Catalyst's EliminateSorts removes orderings nothing consumes, so a
     # surviving mid-plan global sort needs an order-sensitive consumer

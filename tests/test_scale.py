@@ -204,3 +204,69 @@ def test_write_parquet_observed_single_pass_stats(spark, tmp_path):
     assert stats["null_v"] == 100
     back = spark.read.parquet(str(tmp_path / "obs"))
     assert back.count() == 1000
+
+
+def test_guarded_persist_skips_already_cached_plan(spark):
+    """dedup._persist must not re-persist a plan the CacheManager already
+    holds — with memoized scans a repeated operator call rebuilds an
+    IDENTICAL logical plan, and a bare persist() there logs `Asked to
+    cache already cached data` and risks sibling-cache eviction."""
+    from pyspark.storagelevel import StorageLevel
+
+    from end_to_end_ml_spark.operators.dedup import _persist
+
+    a = spark.range(1234).withColumn("v", F.col("id") % 5)
+    try:
+        _persist(a).count()  # materialize the cache
+        # a SEPARATE DataFrame object with the identical logical plan:
+        # storageLevel consults the CacheManager by plan, not by object
+        b = spark.range(1234).withColumn("v", F.col("id") % 5)
+        assert b.storageLevel != StorageLevel.NONE
+        assert _persist(b) is b  # guard short-circuits: no second persist
+    finally:
+        a.unpersist()
+    fresh = spark.range(4321).withColumn("v", F.col("id") % 5)
+    try:
+        assert fresh.storageLevel == StorageLevel.NONE
+        assert _persist(fresh) is not fresh or fresh.storageLevel != StorageLevel.NONE
+    finally:
+        fresh.unpersist()
+
+
+def test_dedup_operators_do_not_stack_cache_entries(spark):
+    """Calling a fingerprint-persisting operator twice over the memoized
+    scan leaves ONE cache entry per persisted intermediate, not two — the
+    bench-tail `CacheManager` warning regression guard."""
+    from end_to_end_ml_spark.operators import dedup
+    from end_to_end_ml_spark.sources.io import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    try:
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text").count()
+        first = jcm.numCachedEntries() if hasattr(jcm, "numCachedEntries") else None
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text").count()
+        if first is not None:
+            assert jcm.numCachedEntries() == first
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_scan_cache_invalidated_on_write(spark, tmp_path):
+    """A sink writing into a memoized table directory must drop the stale
+    scan entries: the cached relation pins its file listing, so without
+    invalidation later reads return the OLD files."""
+    from end_to_end_ml_spark.sources import io as sio
+
+    d = str(tmp_path)
+    sio.write_parquet(spark.range(10).withColumn("v", F.lit(1)), f"{d}/tbl.parquet")
+    first = sio.load_table(spark, d, "tbl")
+    assert first.count() == 10
+    assert sio.load_table(spark, d, "tbl") is first  # memoized
+    # rewrite through the engine's own sink → cache entry must drop
+    sio.write_parquet(spark.range(25).withColumn("v", F.lit(2)), f"{d}/tbl.parquet")
+    second = sio.load_table(spark, d, "tbl")
+    assert second is not first
+    assert second.count() == 25
+    assert sio.invalidate_scan_cache(f"{d}/tbl.parquet") == 1  # drops what we re-cached
