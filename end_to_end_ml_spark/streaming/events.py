@@ -176,6 +176,99 @@ def stateful_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful operator
+    (``applyInPandasWithState``) — the hand-rolled equivalent of
+    ``F.session_window`` (see :func:`session_aggregates`), kept as the
+    template for session semantics the built-in can't express (e.g. a
+    per-session distinct count or an early-exit rule folded into state).
+
+    State per user: the one OPEN session (start, last event ts, n, value
+    sum). Each micro-batch folds its rows in event-time order: a row within
+    ``gap_minutes`` of the last event extends the session; a later row
+    closes it (the closed session is emitted) and opens a new one. An
+    EventTimeTimeout set to last_ts+gap flushes the open session once the
+    watermark passes it, so state stays bounded exactly like the built-in's.
+
+    Scale shape: state is ONE tuple per active user, hash-partitioned by
+    user across executors; each batch moves only its own rows (Arrow
+    batches, no per-row Python)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def to_us(series):
+        # Arrow hands ts as datetime64[ns] (session-TZ naive, UTC here):
+        # int64 view is nanoseconds since epoch
+        return series.astype("int64") // 1000
+
+    def update(key, pdfs, state):
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, tv = state.get
+                out.append((key[0], start, last, n, tv))
+                state.remove()
+            return iter(
+                [
+                    pd.DataFrame(
+                        out,
+                        columns=[
+                            "user_id",
+                            "start_us",
+                            "end_us",
+                            "n_events",
+                            "total_value",
+                        ],
+                    )
+                ]
+            )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = to_us(rows["ts"])
+        cur = state.get if state.exists else None  # (start, last, n, tv)
+        for t, v in zip(ts_us.tolist(), rows["value"].tolist()):
+            if cur is None:
+                cur = (t, t, 1, float(v))
+            elif t - cur[1] > gap_us:
+                out.append((key[0], *cur))
+                cur = (t, t, 1, float(v))
+            else:
+                cur = (cur[0], t, cur[2] + 1, cur[3] + float(v))
+        state.update(cur)
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # ms epoch
+        return iter(
+            [
+                pd.DataFrame(
+                    out,
+                    columns=["user_id", "start_us", "end_us", "n_events", "total_value"],
+                )
+            ]
+        )
+
+    raw = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, start_us long, end_us long, n_events long, total_value double",
+            "start long, last long, n long, tv double",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return raw.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
     """Stream-static join: enrich the event stream with a (batch) dimension
     table. Spark plans the static side as a broadcast against each

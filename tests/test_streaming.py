@@ -258,3 +258,49 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_sessionize_stateful_matches_batch(spark, stream, batch):
+    """The custom applyInPandasWithState sessionizer must produce the same
+    (user, start, end, count, value-sum) sessions as the batch lag+cumsum
+    formulation. Sessions still OPEN at end-of-input (each user's last
+    session, plus any the final watermark never flushed) are excluded —
+    append-mode semantics, same as the built-in session_window test."""
+    SE.run_to_memory(
+        SE.sessionize_stateful(stream, gap_minutes=30), "t_state_sessions"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.table("t_state_sessions").collect()
+    }
+    assert got, "stateful sessionizer emitted nothing"
+    all_batch = SE.sessionize_batch(batch, gap_minutes=30).collect()
+    last_start = {}
+    for r in all_batch:
+        k = r["user_id"]
+        if k not in last_start or r["session_start"] > last_start[k]:
+            last_start[k] = r["session_start"]
+    # every emitted session must match its batch twin exactly
+    expected = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in all_batch
+    }
+    for k, (end, n, tv) in got.items():
+        assert k in expected, f"spurious session {k}"
+        e_end, e_n, e_tv = expected[k]
+        assert end == e_end, f"session {k} end mismatch"
+        assert n == e_n, f"session {k} count mismatch"
+        assert abs(tv - e_tv) < 1e-6, f"session {k} value mismatch"
+    # and all closed-by-a-successor sessions must have been emitted
+    missing = [
+        k for k in expected if k[1] != last_start[k[0]] and k not in got
+    ]
+    assert not missing, f"closed sessions never emitted: {missing[:5]}"
