@@ -1,0 +1,83 @@
+"""CDC merge / upsert (SCD-1 "latest wins") as a pure DataFrame plan.
+
+The reference materializes feature snapshots by overwriting whole datasets
+(src/feature/generate_initial_data.py sink paths); at 100 TB the idiomatic
+form is an incremental MERGE: a base snapshot (one row per key) plus a
+change stream (many rows per key, possibly tombstones) → the next snapshot.
+Spark has no MERGE INTO without a table format (Delta/Iceberg), but the
+relational core is engine-native and oracle-checkable:
+
+1. reduce changes to latest-per-key (window over the key — distributed,
+   no global sort; ties broken by a PK column for determinism);
+2. FULL OUTER join base ⋈ latest-changes on the key (one co-partitioned
+   shuffle; AQE handles skewed keys);
+3. coalesce change-over-base per column; drop keys whose latest change is
+   a tombstone.
+
+Scale: both sides shuffle on the merge key once; if the change batch is
+small (the common incremental case) Spark broadcasts it and the snapshot
+never moves. Writing the result back through ``write_parquet`` (or a
+bucketed table on the key) makes the next merge co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Newest change row per key (row_number over the key window)."""
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delete_predicate: Column | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge ``changes`` into ``base`` (both carrying the same schema):
+    update-on-match, insert-on-new, delete when the key's LATEST change
+    satisfies ``delete_predicate`` (evaluated on the change row — a
+    tombstone marker). Returns the next snapshot, one row per key.
+
+    The per-column rule is plain coalesce(change, base): a change row wins
+    wherever present, untouched base rows pass through."""
+    keys = list(key_cols)
+    value_cols = [c for c in base.columns if c not in keys]
+    latest = latest_changes(changes, keys, ts_col, tiebreak_cols)
+    if delete_predicate is not None:
+        latest = latest.withColumn("__tombstone", delete_predicate)
+    else:
+        latest = latest.withColumn("__tombstone", F.lit(False))
+    b = base.select(*keys, *[F.col(c).alias(f"__b_{c}") for c in value_cols])
+    c = latest.select(
+        *keys,
+        "__tombstone",
+        *[F.col(col).alias(f"__c_{col}") for col in value_cols],
+    )
+    merged = b.join(c, on=keys, how="full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"__c_{col}"), F.col(f"__b_{col}")).alias(col)
+        for col in value_cols
+    ]
+    return (
+        merged.filter(~F.coalesce(F.col("__tombstone"), F.lit(False)))
+        .select(*keys, *out_cols)
+    )

@@ -3370,3 +3370,140 @@ REGISTRY = {
     name: REGISTRY[name]
     for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
 }
+
+
+# --- round-5: CDC merge, table profiler, shard export ----------------------
+
+
+def s10_merge_upsert(spark, sf_dir):
+    """SCD-1 CDC merge (operators/merge.py): base snapshot = latest event
+    per user before 2024-01-04; changes = events from that day on;
+    tombstone = latest change is an 'error' event. Next snapshot has one
+    row per surviving user with change-over-base values. One key-window
+    per side + one co-partitioned full-outer join — the incremental
+    alternative to rewriting a 100 TB snapshot."""
+    from ..operators import merge as mg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cutoff = F.lit("2024-01-04").cast("timestamp")
+    pre = ev.filter(F.col("ts") < cutoff)
+    base = mg.latest_changes(pre, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    changes = ev.filter(F.col("ts") >= cutoff)
+    snap = mg.merge_upsert(
+        base,
+        changes,
+        ["user_id"],
+        "ts",
+        delete_predicate=F.col("event_type") == "error",
+        tiebreak_cols=["event_id"],
+    )
+    return snap.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").cast("double").alias("value"),
+    ).orderBy("user_id")
+
+
+S10_MERGE_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, value FROM events
+),
+base AS (
+  SELECT user_id, ts, event_id, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts < TIMESTAMP '2024-01-04'
+  ) WHERE rn = 1
+),
+latest_chg AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         (event_type = 'error') AS tombstone FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts >= TIMESTAMP '2024-01-04'
+  ) WHERE rn = 1
+)
+SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+       COALESCE(c.event_id, b.event_id) AS event_id,
+       COALESCE(c.event_type, b.event_type) AS event_type,
+       CAST(CAST(COALESCE(c.value, b.value) AS DECIMAL(18,6)) AS DOUBLE) AS value
+FROM base b FULL OUTER JOIN latest_chg c ON b.user_id = c.user_id
+WHERE NOT COALESCE(c.tombstone, FALSE)
+ORDER BY user_id
+"""
+
+REGISTRY["s10_merge_upsert"] = (s10_merge_upsert, S10_MERGE_SQL)
+
+
+def prof1_column_profile(spark, sf_dir):
+    """One-pass column profiler over orders: count/nulls/exact distinct/
+    min/max per column from a single aggregate (multi-DISTINCT via Spark's
+    Expand), exploded to one row per column."""
+    orders = load_table(spark, sf_dir, "orders")
+    return prep.column_profile(
+        orders, ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"]
+    )
+
+
+PROF1_SQL = """
+SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT o_custkey) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_value,
+       CAST(max(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*),
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderdate),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+ORDER BY "column"
+"""
+
+REGISTRY["prof1_column_profile"] = (prof1_column_profile, PROF1_SQL)
+
+
+def pipe4_shard_stats(spark, sf_dir):
+    """Deterministic training-shard assignment (md5 hex-nibble — the
+    engine-independent shard key export_training_shards partitions by):
+    per-shard doc count, char volume, id range. Verifies shard membership
+    is reproducible cross-engine — stable shard membership is what lets a
+    resumed training job re-read identical batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard", io.deterministic_shard("doc_id", 1))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+PIPE4_SHARD_SQL = """
+SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents GROUP BY shard ORDER BY shard
+"""
+
+REGISTRY["pipe4_shard_stats"] = (pipe4_shard_stats, PIPE4_SHARD_SQL)

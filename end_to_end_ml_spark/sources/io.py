@@ -282,3 +282,41 @@ def write_parquet_observed(
     writer.parquet(path)
     invalidate_scan_cache(path)
     return obs.get
+
+
+def deterministic_shard(col, n_hex: int = 1):
+    """Stable, engine-independent shard key for a row id: the first
+    ``n_hex`` hex chars of md5(id) — 16^n_hex shards, uniform for any id
+    distribution, reproducible across engines/runs (unlike
+    hash()/xxhash64, whose values are engine-specific — same idiom as the
+    deterministic sampler, operators/split.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, n_hex)
+
+
+def export_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_hex: int = 1,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Training-data export: assign every row a deterministic shard and
+    write parquet partitioned by shard, rows sorted within each shard —
+    the final step of a pre-training corpus pipeline (reader frameworks
+    want stable shard membership + stable within-shard order so a resumed
+    job sees identical batches).
+
+    Scale: one shuffle (repartition on shard) + in-partition sort; 16^n_hex
+    output directories each written by its own tasks. Returns the sharded
+    frame (shard column included) for stats/verification."""
+    sharded = df.withColumn("shard", deterministic_shard(id_col, n_hex))
+    (
+        sharded.repartition(16**n_hex, "shard")
+        .sortWithinPartitions("shard", *(sort_cols or [id_col]))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    invalidate_scan_cache(path)
+    return sharded

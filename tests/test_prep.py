@@ -99,3 +99,89 @@ def test_validate_request_schema():
     bad = validate_request_schema(expected, {"BMI": 1, "Extra": 5})
     assert bad["missing"] == ["Age", "Smoker"]
     assert bad["unexpected"] == ["Extra"]
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    """SCD-1 merge: change wins on match, new keys insert, tombstoned keys
+    drop, untouched base rows pass through."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_ml_spark.operators import merge as mg
+
+    base = spark.createDataFrame(
+        [(1, 10, "a", 1.0), (2, 11, "b", 2.0), (3, 12, "c", 3.0)],
+        "k long, ts long, kind string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 20, "b2", 2.5),   # update
+            (2, 15, "old", 9.9),  # stale change: newer one must win
+            (4, 21, "d", 4.0),    # insert
+            (3, 22, "DEL", 0.0),  # tombstone
+        ],
+        "k long, ts long, kind string, v double",
+    )
+    out = mg.merge_upsert(
+        base, changes, ["k"], "ts", delete_predicate=F.col("kind") == "DEL"
+    )
+    rows = {r["k"]: (r["ts"], r["kind"], r["v"]) for r in out.collect()}
+    assert rows == {
+        1: (10, "a", 1.0),    # untouched base
+        2: (20, "b2", 2.5),   # latest change won
+        4: (21, "d", 4.0),    # inserted
+    }
+
+
+def test_merge_upsert_tiebreak_deterministic(spark):
+    from end_to_end_ml_spark.operators import merge as mg
+
+    changes = spark.createDataFrame(
+        [(1, 5, 100, "x"), (1, 5, 200, "y")], "k long, ts long, pk long, kind string"
+    )
+    base = spark.createDataFrame([(1, 0, 0, "base")], "k long, ts long, pk long, kind string")
+    out = mg.merge_upsert(base, changes, ["k"], "ts", tiebreak_cols=["pk"])
+    assert out.collect()[0]["kind"] == "y"  # higher pk wins the ts tie
+
+
+def test_column_profile_counts_nulls_distinct(spark):
+    from end_to_end_ml_spark.operators.prep import column_profile
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 2), ("b", None)], "s string, n int"
+    )
+    prof = {r["column"]: r for r in column_profile(df).collect()}
+    assert prof["s"]["n_rows"] == 4
+    assert prof["s"]["n_null"] == 1
+    assert prof["s"]["n_distinct"] == 2  # NULL not counted
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+    assert prof["n"]["n_null"] == 1
+    assert prof["n"]["min_value"] == "1" and prof["n"]["max_value"] == "2"
+
+
+def test_export_training_shards_stable_and_sorted(spark, tmp_path):
+    """Shard membership must be reproducible (pure function of the id) and
+    each shard directory internally sorted by the sort key."""
+    from end_to_end_ml_spark.sources import io as sio
+    from end_to_end_ml_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "shards")
+    sharded = sio.export_training_shards(docs, "doc_id", path, n_hex=1)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # membership is deterministic: re-deriving the shard from doc_id agrees
+    rederived = back.withColumn(
+        "shard2", sio.deterministic_shard("doc_id", 1)
+    ).filter("shard != shard2")
+    assert rederived.count() == 0
+    # sorted within each shard file
+    import pandas as pd
+
+    for r in back.select("shard").distinct().collect():
+        pdf = (
+            back.filter(back["shard"] == r["shard"]).select("doc_id").toPandas()
+        )
+        ids = pdf["doc_id"].tolist()
+        # file read order == write order within the shard's files
+        assert ids == sorted(ids)
+    assert sharded.select("shard").distinct().count() <= 16
