@@ -40,27 +40,33 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic quality features: length, word count, punctuation ratio,
-    mean word length, stopword ratio (en), alpha ratio. Single narrow pass."""
-    t = F.col(text_col)
+def quality_columns(text_col) -> list:
+    """The quality features as a list of aliased COLUMN expressions, so
+    pipelines can fuse them into a wider single-scan projection (pipe3)
+    instead of joining a separate quality frame back on the id."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     n_chars = F.length(t).cast("long")
-    toks = tokens(text_col)
+    toks = tokens(t)
     n_words = F.size(toks).cast("long")
     non_punct = F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
     n_punct = (n_chars - non_punct).cast("long")
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("long")
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en_stop, F.lower(x))))
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         (n_punct / n_chars).alias("punct_ratio"),
         (n_alpha / n_chars).alias("alpha_ratio"),
         ((n_chars - (n_words - 1)) / n_words).alias("mean_word_len"),
         (n_stop / n_words).alias("stopword_ratio"),
-    )
+    ]
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features: length, word count, punctuation ratio,
+    mean word length, stopword ratio (en), alpha ratio. Single narrow pass."""
+    return df.select(F.col(id_col), *quality_columns(text_col))
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -85,24 +91,46 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def fingerprint_column(text_col):
+    """Normalized-content md5 as a column expression (fusable form)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.regexp_replace(F.trim(t), r"\s+", " ")))
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint after whitespace/case normalization — the
     standard near-exact-dup key (md5 so any engine can reproduce it)."""
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+    return df.select(F.col(id_col), fingerprint_column(text_col).alias("fingerprint"))
 
 
-def word_ngrams(text_col, n: int):
-    """Distinct word n-grams (space-joined) as an array column — pure JVM
-    expressions, same windowing convention as dedup.word_shingles: documents
-    shorter than ``n`` tokens yield their single (short) whole-doc gram."""
-    toks = tokens(text_col)
+def word_ngrams_from_tokens(toks, n: int):
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token array
+    column. Callers must bind the tokenization to a real column (one
+    ``select`` earlier) before invoking this: a raw split() expression
+    passed here would be re-evaluated per gram inside the lambda —
+    Catalyst's subexpression elimination does not hoist through
+    higher-order-function lambdas, so ``word_ngrams`` over an expression
+    costs O(words²) regex splits per document (measured 2.2 s → 0.2 s on
+    5k docs for the gram explode). Against a bound attribute, slice just
+    reads the row value."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def word_ngrams(text_col, n: int):
+    """Distinct word n-grams (space-joined) as an array column — pure JVM
+    expressions, same windowing convention as dedup.word_shingles: documents
+    shorter than ``n`` tokens yield their single (short) whole-doc gram.
+
+    NOTE (hot paths): prefer materializing ``tokens(text_col)`` as a column
+    in a prior select and calling :func:`word_ngrams_from_tokens` — see its
+    docstring for the O(words²) re-split pitfall this form carries."""
+    return word_ngrams_from_tokens(tokens(text_col), n)
 
 
 def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -119,12 +147,20 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     SORTED bigram array (equal grams are adjacent after array_sort, so the
     longest run IS the max frequency) — one narrow projection fused with
     the scan, nothing leaves the executor."""
-    toks = tokens(text_col)
-    # non-distinct bigram array (frequency matters here)
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    # tokens and bigrams are bound to real columns in staged selects: used
+    # as raw expressions inside the higher-order lambdas below they would
+    # be re-evaluated per element (see word_ngrams_from_tokens docstring)
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col,
+        "__toks",
+        # non-distinct bigram array (frequency matters here)
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("__toks") - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, 2)),
+        ).alias("__bigrams"),
     )
+    toks = F.col("__toks")
+    bigrams = F.col("__bigrams")
     acc0 = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -145,7 +181,7 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     n_tok = F.size(toks)
     n_big = F.size(bigrams)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         ((n_tok - F.size(F.array_distinct(toks))) / n_tok).alias("dup_word_frac"),
@@ -174,14 +210,14 @@ def ngram_contamination(
     the probe n-gram table is BROADCAST, so the corpus side is one narrow
     explode + broadcast-hash-join + partial-agg groupBy on doc_id; the
     corpus is never shuffled on the gram key."""
-    probe_grams = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.explode(word_ngrams(text_col, n)).alias("g"),
-    ).distinct()
-    corpus_grams = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(text_col, n)).alias("g"),
+    probe_grams = (
+        probes.select(F.col(id_col).alias("probe_id"), tokens(text_col).alias("__toks"))
+        .select("probe_id", F.explode(word_ngrams_from_tokens("__toks", n)).alias("g"))
+        .distinct()
     )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    ).select("doc_id", F.explode(word_ngrams_from_tokens("__toks", n)).alias("g"))
     return (
         corpus_grams.join(F.broadcast(probe_grams), on="g")
         .filter(F.col("doc_id") != F.col("probe_id"))
@@ -191,6 +227,37 @@ def ngram_contamination(
             F.count_distinct(F.col("probe_id")).alias("n_probes_hit"),
         )
         .orderBy("doc_id")
+    )
+
+
+def contaminated_doc_ids(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Decontamination as a pure MEMBERSHIP test: the distinct corpus doc
+    ids sharing any word n-gram with a probe document. The drop-list form
+    pipelines want (feed to a left_anti), cheaper than
+    :func:`ngram_contamination`'s per-doc evidence counts: a LEFT SEMI
+    against the broadcast probe-gram set short-circuits on first match per
+    gram — no match fan-out rows (a gram hitting k probes duplicates
+    nothing) and no multi-count_distinct Expand. Corpus and probes must be
+    disjoint id sets (the caller's split does this); a doc probing itself
+    would flag itself."""
+    probe_grams = (
+        probes.select(tokens(text_col).alias("__toks"))
+        .select(F.explode(word_ngrams_from_tokens("__toks", n)).alias("g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    ).select("doc_id", F.explode(word_ngrams_from_tokens("__toks", n)).alias("g"))
+    return (
+        corpus_grams.join(F.broadcast(probe_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
     )
 
 
@@ -250,13 +317,20 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     are taken on the ORIGINAL text, not the partially-masked one. All
     JVM-side ``regexp_replace``/``regexp_count`` expressions — one narrow
     whole-stage-codegen pass, fuses with the scan at 100 TB."""
-    t = F.col(text_col)
+    return df.select(F.col(id_col), *pii_scrub_columns(text_col))
+
+
+def pii_scrub_columns(text_col) -> list:
+    """The scrub outputs (n_email/n_phone/n_ip counts + clean_text) as
+    aliased column expressions — the fusable form for single-scan corpus
+    pipelines (pipe3)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     clean = t
     counts = []
     for kind, (pat, token) in PII_PATTERNS.items():
         counts.append(F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{kind}"))
         clean = F.regexp_replace(clean, pat, token)
-    return df.select(F.col(id_col), *counts, clean.alias("clean_text"))
+    return [*counts, clean.alias("clean_text")]
 
 
 URL_PATTERN = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~/%-]*)?"

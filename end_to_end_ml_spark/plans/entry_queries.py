@@ -2870,23 +2870,37 @@ def pipe3_pretrain_corpus(spark, sf_dir):
     )
     probes = docs.filter(F.col("doc_id") % 7 == 0)
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
-    keep_fp = (
-        text.fingerprint(corpus, "doc_id", "text2")
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # ONE fused scan computes fingerprint + quality + scrub (all narrow
+    # row-wise expressions — the former per-branch frames cost 3 extra
+    # corpus scans and 2 doc_id shuffle joins); clean_text reduces to its
+    # md5 immediately so the fingerprint shuffle moves only narrow columns.
+    enriched = corpus.select(
+        "doc_id",
+        text.fingerprint_column("text2").alias("fingerprint"),
+        *text.quality_columns("text2"),
+        *text.pii_scrub_columns("text2"),
+    ).select(
+        "doc_id",
+        "fingerprint",
+        "n_words",
+        "punct_ratio",
+        "alpha_ratio",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ip")).alias("n_pii"),
+        F.md5("clean_text").alias("clean_md5"),
     )
-    q = text.quality_scores(corpus, "doc_id", "text2")
-    contaminated = text.ngram_contamination(
-        corpus, probes, "doc_id", "text2", n=8
-    ).select("doc_id")
-    scrub = text.pii_scrub(corpus, "doc_id", "text2")
+    # exact dedup keep-min-id: one shuffle on fingerprint (window), no
+    # join back
+    w_fp = Window.partitionBy("fingerprint")
+    keep = (
+        enriched.withColumn("__keeper", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("__keeper"))
+        .drop("__keeper")
+    )
+    # decontamination drop-list is benchmark-sized → broadcast LEFT ANTI:
+    # the corpus side never shuffles for it
+    contaminated = text.contaminated_doc_ids(corpus, probes, "doc_id", "text2", n=8)
     base = (
-        corpus.select("doc_id")
-        .join(keep_fp, "doc_id", "left_semi")
-        .join(contaminated, "doc_id", "left_anti")
-        .join(q, "doc_id")
-        .join(scrub, "doc_id")
+        keep.join(F.broadcast(contaminated), "doc_id", "left_anti")
         .filter(
             (F.col("n_words") >= 5)
             & (F.col("punct_ratio") <= 0.2)
@@ -2899,8 +2913,8 @@ def pipe3_pretrain_corpus(spark, sf_dir):
             .otherwise(F.lit("short"))
             .alias("band"),
             "n_words",
-            (F.col("n_email") + F.col("n_phone") + F.col("n_ip")).alias("n_pii"),
-            F.md5("clean_text").alias("clean_md5"),
+            "n_pii",
+            "clean_md5",
         )
     )
     return text.stratified_corpus_sample(
