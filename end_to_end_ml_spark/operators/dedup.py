@@ -651,31 +651,45 @@ def connected_components(
     ))  # every round joins sym: without the persist each iteration
     # re-executes the ENTIRE upstream pair-generation pipeline (signatures,
     # banding, verification) — measured 140 s → 11 s for d7 at sf0.1
-    labels = _persist(
-        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    #
+    # Seeding FUSED with the first propagation round: sym is symmetric, so
+    # every node appears as `b`, and least(a, b) folds the self-label in —
+    # labels0 = min(self, neighbors) from ONE groupBy instead of a distinct
+    # + a full propagation round (two shuffles saved off the critical path).
+    labels = (
+        sym.select(F.col("b").alias("id"), F.least("a", "b").alias("label"))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=True)
     )
     converged = False
-    for it in range(max_iter):
+    for _ in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("label").alias("label")
         )
-        new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
+        # The previous label rides through the same aggregate (tagged union)
+        # so convergence is a cheap filter on the materialized round — the
+        # old per-round probe join (new⋈old on id) was a whole extra
+        # shuffle that AQE couldn't elide.
+        tagged = labels.select(
+            "id", "label", F.lit(True).alias("__old")
+        ).unionByName(prop.withColumn("__old", F.lit(False)))
+        agg = tagged.groupBy("id").agg(
+            F.min("label").alias("label"),
+            F.min(F.when(F.col("__old"), F.col("label"))).alias("__prev"),
         )
         # pointer jumping: label(id) := label(label(id)). Valid because
         # label(x) <= x always (min-propagation from self-label), so the
         # jump only ever lowers labels toward the component min.
-        lab_of_lab = new_labels.select(
+        lab_of_lab = agg.select(
             F.col("id").alias("__lid"), F.col("label").alias("__llabel")
         )
-        new_labels = (
-            new_labels.join(
-                lab_of_lab, new_labels["label"] == lab_of_lab["__lid"], "left"
-            )
-            .select(
-                "id",
-                F.coalesce(F.col("__llabel"), F.col("label")).alias("label"),
-            )
+        new_labels = agg.join(
+            lab_of_lab, agg["label"] == lab_of_lab["__lid"], "left"
+        ).select(
+            "id",
+            F.coalesce(F.col("__llabel"), F.col("label")).alias("label"),
+            "__prev",
         )
         # eager localCheckpoint: fully materializes this round's labels AND
         # truncates lineage in one step. Without it each round re-executed
@@ -686,15 +700,9 @@ def connected_components(
         # through the full MinHash chain (d7: 140 s → ~15 s at sf0.1).
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("__prev")).limit(1).count()
         )
-        if it == 0:
-            labels.unpersist()  # the seed cache; rounds are checkpointed
-        labels = new_labels
+        labels = new_labels.drop("__prev")
         if changed == 0:
             converged = True
             break
