@@ -418,3 +418,112 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .orderBy(F.col("shared_fps").desc(), "id_a", "id_b")
     )
+
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, size: int = 32, overlap: int = 8
+) -> DataFrame:
+    """Token-window chunking with overlap — the context-window prep step for
+    embedding / retrieval pipelines: each document becomes ceil((n - size) /
+    stride) + 1 chunks of ``size`` whitespace tokens, consecutive chunks
+    sharing ``overlap`` tokens (stride = size - overlap); docs with <= size
+    tokens yield one whole-doc chunk. Row-local transform/slice over a
+    PRE-MATERIALIZED token array (see word_ngrams_from_tokens for why the
+    split must be bound to a column before entering a lambda) followed by one
+    explode — a narrow op that fuses with the scan; chunk fan-out is the only
+    row growth and it is bounded by n/stride per doc.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text), chunk_id 0-based in
+    document order. Reference analogue: the reference has no chunker; this
+    is part of the training-data surface beyond it (brief §extras)."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    n_chunks = (
+        F.when(n <= size, F.lit(1))
+        .otherwise(F.ceil((n - size) / F.lit(float(stride))) + 1)
+        .cast("int")
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.slice(F.col("__toks"), i * stride + 1, size).alias("toks"),
+            ),
+        )
+    )
+    return staged.select(F.col(id_col), chunk.alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.toks").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "c.toks").alias("chunk_text"),
+    )
+
+
+def vocabulary(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 200
+) -> DataFrame:
+    """Corpus vocabulary head: the top_k lowercased whitespace tokens by
+    term frequency, with document frequency. The tokenizer-training /
+    corpus-audit primitive (WIMBD-style "what's in my big data" counts).
+
+    Scale shape: explode is narrow; the groupBy partially aggregates
+    map-side so the shuffle carries one (token, tf, df-sketch) row per
+    distinct token per partition — token frequency follows Zipf's law, so
+    partial aggregation absorbs nearly all the volume; the final top-k is
+    a TakeOrdered (no global sort materialization)."""
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).select("__doc", F.lower(F.col("__tok")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("__doc").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(top_k)
+    )
+
+
+def token_rarity_scores(
+    df: DataFrame, id_col: str, text_col: str, rare_max_tf: int = 2
+) -> DataFrame:
+    """Per-document corpus-frequency statistics — the model-free stand-in
+    for LM-perplexity quality filtering: documents dominated by corpus-rare
+    tokens (typos, boilerplate IDs, non-language noise) score low exactly
+    where a KenLM-style filter would assign high perplexity.
+
+    Two passes over the exploded tokens: (1) corpus term frequencies,
+    (2) join tokens->tf and aggregate per doc. All-integer aggregates
+    (token count, tf sum, rare count) + single IEEE divisions, so the
+    result is engine-exact. The tf join shuffles on token (Zipf-skewed —
+    AQE skew-join splits the head tokens); per-doc agg shuffles on id.
+
+    Output: (id, n_tokens, tf_sum, mean_token_tf, rare_frac)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).select(id_col, F.lower(F.col("__tok")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__tf"))
+    return (
+        toks.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__tf").alias("tf_sum"),
+            F.sum(F.when(F.col("__tf") <= rare_max_tf, 1).otherwise(0)).alias(
+                "__n_rare"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "tf_sum",
+            (F.col("tf_sum") / F.col("n_tokens")).alias("mean_token_tf"),
+            (F.col("__n_rare") / F.col("n_tokens")).alias("rare_frac"),
+        )
+    )

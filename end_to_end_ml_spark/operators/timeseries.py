@@ -194,3 +194,49 @@ def rolling_distinct_users(
         .select(F.col("win_end").alias("day"), "n_users")
         .orderBy("day")
     )
+
+
+def change_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event log: collapse
+    each key's consecutive run of equal ``attr_col`` values (a gaps-and-
+    islands pass) into one validity interval row — (key, attr, valid_from,
+    valid_to, n_events, is_current), valid_to = next island's start, NULL
+    while current. The CDC-ingest building block that turns an append-only
+    change stream into the dimension table a point-in-time join consumes.
+
+    Two windows over the SAME (key, ts, tiebreak) ordering — the island
+    flag (lag compare), its running sum, and the island lead all reuse one
+    shuffle-and-sort on the key; n_events is an integer count. The
+    deterministic tie-break on equal timestamps is what makes island
+    boundaries engine-exact."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    flagged = df.select(key_col, attr_col, ts_col, tiebreak_col).withColumn(
+        "__new_island",
+        F.when(
+            F.lag(attr_col).over(w).isNull()
+            | (F.lag(attr_col).over(w) != F.col(attr_col)),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "__island", F.sum("__new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grouped = islands.groupBy(key_col, "__island").agg(
+        F.min(attr_col).alias(attr_col),  # constant within an island; min is order-free
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_isl = Window.partitionBy(key_col).orderBy("__island")
+    return (
+        grouped.withColumn("valid_to", F.lead("valid_from").over(w_isl))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            key_col, attr_col, "valid_from", "valid_to", "n_events", "is_current"
+        )
+    )

@@ -3521,3 +3521,187 @@ FROM documents GROUP BY shard ORDER BY shard
 """
 
 REGISTRY["pipe4_shard_stats"] = (pipe4_shard_stats, PIPE4_SHARD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: chunking, vocabulary, rarity scoring, sequence packing,
+# SCD2 change history. New queries land beyond the driver's 50-slot window
+# (house rule: rotate deliberately, not by insertion order).
+# ---------------------------------------------------------------------------
+
+
+def x9_chunk_documents(spark, sf_dir):
+    """Token-window chunking (size 32, overlap 8) — the retrieval/embedding
+    context-window prep. ~2.4 chunks/doc on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, "doc_id", "text", size=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+X9_CHUNK_SQL = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+c AS (SELECT doc_id, t,
+             CASE WHEN len(t) <= 32 THEN 1
+                  ELSE CAST(ceil((len(t) - 32) / 24.0) AS INT) + 1 END AS nc
+      FROM toks),
+e AS (SELECT doc_id, t, unnest(range(0, nc)) AS chunk_id FROM c)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(t[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
+def x10_vocabulary(spark, sf_dir):
+    """Corpus vocabulary head: top-200 tokens by term frequency with doc
+    frequency — tokenizer-training / WIMBD-style corpus audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocabulary(docs, "doc_id", "text", top_k=200)
+
+
+X10_VOCAB_SQL = r"""
+SELECT lower(tok) AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents)
+GROUP BY token ORDER BY tf DESC, token LIMIT 200
+"""
+
+
+def x11_token_rarity(spark, sf_dir):
+    """Per-doc corpus-frequency stats (mean token tf, rare-token fraction) —
+    the model-free perplexity-filter stand-in. All-integer aggregates +
+    single IEEE divisions: engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_rarity_scores(docs, "doc_id", "text", rare_max_tf=2).orderBy(
+        "doc_id"
+    )
+
+
+X11_RARITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lower(tok) AS token
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents)
+),
+v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token)
+SELECT doc_id, count(*) AS n_tokens, sum(tf) AS tf_sum,
+       CAST(sum(tf) AS DOUBLE) / count(*) AS mean_token_tf,
+       CAST(sum(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
+FROM tok JOIN v USING (token)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _docs_with_token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(text.tokens("text")).cast("long").alias("n_tokens")
+    )
+
+
+def pack1_sequence_packing(spark, sf_dir):
+    """Greedy sequence packing (budget 256 tokens, 8 deterministic shards):
+    per-doc (shard, bin_id) assignment. applyInPandas per shard; the DuckDB
+    oracle replays the identical greedy scan as a recursive CTE."""
+    from ..operators import pack
+
+    staged = _docs_with_token_counts(spark, sf_dir)
+    return pack.pack_greedy(staged, "doc_id", "n_tokens", budget=256, n_shards=8).orderBy(
+        "shard", "doc_id"
+    )
+
+
+PACK1_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+ord AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks
+),
+acc AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN a.fill + o.n_tokens > 256 THEN a.bin_id + 1 ELSE a.bin_id END,
+         CASE WHEN a.fill + o.n_tokens > 256 THEN o.n_tokens ELSE a.fill + o.n_tokens END
+  FROM acc a JOIN ord o ON o.shard = a.shard AND o.rn = a.rn + 1
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM acc ORDER BY shard, doc_id
+"""
+
+
+def pack2_bin_summary(spark, sf_dir):
+    """Packing-efficiency audit: per-bin doc count, token total, fill ppm."""
+    from ..operators import pack
+
+    staged = _docs_with_token_counts(spark, sf_dir)
+    packed = pack.pack_greedy(staged, "doc_id", "n_tokens", budget=256, n_shards=8)
+    return pack.pack_bin_summary(packed, budget=256).orderBy("shard", "bin_id")
+
+
+PACK2_SQL = (
+    "WITH packed AS ("
+    + PACK1_SQL.replace("ORDER BY shard, doc_id", "")
+    + """)
+SELECT shard, bin_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       CAST(floor(sum(n_tokens) * 1000000 / 256) AS BIGINT) AS fill_ppm
+FROM packed GROUP BY shard, bin_id ORDER BY shard, bin_id
+"""
+)
+
+
+def ev3_scd2_history(spark, sf_dir):
+    """Type-2 SCD change history: collapse each user's consecutive runs of
+    equal event_type (gaps-and-islands) into validity intervals — the
+    CDC-to-dimension builder a point-in-time join consumes."""
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    return TS.change_history(ev, "user_id", "event_type", "ts", "event_id").orderBy(
+        "user_id", "valid_from"
+    )
+
+
+EV3_SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_island
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+g AS (
+  SELECT user_id, island, min(event_type) AS event_type, min(ts) AS valid_from,
+         count(*) AS n_events
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER wi AS valid_to,
+       n_events,
+       (lead(valid_from) OVER wi IS NULL) AS is_current
+FROM g
+WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+ORDER BY user_id, valid_from
+"""
+
+
+REGISTRY.update(
+    {
+        "x9_chunk_documents": (x9_chunk_documents, X9_CHUNK_SQL),
+        "x10_vocabulary": (x10_vocabulary, X10_VOCAB_SQL),
+        "x11_token_rarity": (x11_token_rarity, X11_RARITY_SQL),
+        "pack1_sequence_packing": (pack1_sequence_packing, PACK1_SQL),
+        "pack2_bin_summary": (pack2_bin_summary, PACK2_SQL),
+        "ev3_scd2_history": (ev3_scd2_history, EV3_SCD2_SQL),
+    }
+)

@@ -1,0 +1,177 @@
+"""Round-5 operators: token-window chunking, vocabulary, rarity scoring,
+greedy sequence packing, SCD2 change history."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.operators import pack, text
+from end_to_end_ml_spark.operators.timeseries import change_history
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestChunkDocuments:
+    def test_short_doc_single_chunk(self, spark):
+        out = text.chunk_documents(
+            _docs(spark, [(1, "a b c")]), "doc_id", "text", size=4, overlap=1
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["chunk_id"] == 0
+        assert out[0]["chunk_text"] == "a b c"
+        assert out[0]["n_chunk_tokens"] == 3
+
+    def test_overlap_and_coverage(self, spark):
+        words = [f"w{i}" for i in range(10)]
+        out = (
+            text.chunk_documents(
+                _docs(spark, [(1, " ".join(words))]), "doc_id", "text", size=4, overlap=2
+            )
+            .orderBy("chunk_id")
+            .collect()
+        )
+        chunks = [r["chunk_text"].split(" ") for r in out]
+        # stride 2: chunks start at 0,2,4,6 -> 4 chunks, last is w6..w9
+        assert [c[0] for c in chunks] == ["w0", "w2", "w4", "w6"]
+        # consecutive chunks share `overlap` tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-2:] == b[:2]
+        # every token covered, in order
+        seen = []
+        for c in chunks:
+            for w in c:
+                if not seen or seen[-1] != w:
+                    if w not in seen:
+                        seen.append(w)
+        assert seen == words
+
+    def test_exact_boundary_no_empty_chunk(self, spark):
+        # n == size + stride -> exactly 2 chunks, no empty third
+        words = [f"w{i}" for i in range(6)]
+        out = text.chunk_documents(
+            _docs(spark, [(1, " ".join(words))]), "doc_id", "text", size=4, overlap=2
+        ).collect()
+        assert len(out) == 2
+        assert all(r["n_chunk_tokens"] > 0 for r in out)
+
+    def test_overlap_ge_size_raises(self, spark):
+        with pytest.raises(ValueError):
+            text.chunk_documents(_docs(spark, [(1, "a")]), "doc_id", "text", size=4, overlap=4)
+
+
+class TestVocabularyRarity:
+    def test_vocabulary_counts(self, spark):
+        df = _docs(spark, [(1, "The the cat"), (2, "the dog")])
+        out = {r["token"]: r for r in text.vocabulary(df, "doc_id", "text").collect()}
+        assert out["the"]["tf"] == 3
+        assert out["the"]["df"] == 2
+        assert out["cat"]["tf"] == 1 and out["cat"]["df"] == 1
+
+    def test_top_k_orders_by_tf_then_token(self, spark):
+        df = _docs(spark, [(1, "b b a a c")])
+        out = text.vocabulary(df, "doc_id", "text", top_k=2).collect()
+        assert [r["token"] for r in out] == ["a", "b"]
+
+    def test_rarity_scores(self, spark):
+        df = _docs(spark, [(1, "x x x y"), (2, "x z")])
+        out = {
+            r["doc_id"]: r
+            for r in text.token_rarity_scores(
+                df, "doc_id", "text", rare_max_tf=1
+            ).collect()
+        }
+        # corpus tf: x=4, y=1, z=1
+        assert out[1]["n_tokens"] == 4
+        assert out[1]["tf_sum"] == 4 * 3 + 1
+        assert out[1]["rare_frac"] == 0.25
+        assert out[2]["tf_sum"] == 5
+        assert out[2]["rare_frac"] == 0.5
+
+
+class TestPackGreedy:
+    def _packed(self, spark, counts, budget, n_shards=1):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)], ["doc_id", "n_tokens"]
+        )
+        return (
+            pack.pack_greedy(df, "doc_id", "n_tokens", budget=budget, n_shards=n_shards)
+            .orderBy("doc_id")
+            .collect()
+        )
+
+    def test_greedy_reset_on_overflow(self, spark):
+        rows = self._packed(spark, [100, 100, 100, 60, 200], budget=256)
+        assert [r["bin_id"] for r in rows] == [0, 0, 1, 1, 2]
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        rows = self._packed(spark, [300, 10, 10], budget=256)
+        assert [r["bin_id"] for r in rows] == [0, 1, 1]
+
+    def test_bins_never_exceed_budget_unless_single_doc(self, spark):
+        import random
+
+        rng = random.Random(7)
+        counts = [rng.randint(10, 300) for _ in range(200)]
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(counts)], ["doc_id", "n_tokens"]
+        )
+        packed = pack.pack_greedy(df, "doc_id", "n_tokens", budget=256, n_shards=4)
+        summary = pack.pack_bin_summary(packed, budget=256).collect()
+        for r in summary:
+            assert r["n_tokens"] <= 256 or r["n_docs"] == 1
+        # every doc assigned exactly once
+        assert sum(r["n_docs"] for r in summary) == 200
+
+    def test_shard_is_deterministic_mod(self, spark):
+        rows = self._packed(spark, [1, 1, 1, 1], budget=10, n_shards=2)
+        assert [r["shard"] for r in rows] == [0, 1, 0, 1]
+
+    def test_bad_budget_raises(self, spark):
+        df = spark.createDataFrame([(1, 1)], ["doc_id", "n_tokens"])
+        with pytest.raises(ValueError):
+            pack.pack_greedy(df, "doc_id", "n_tokens", budget=0)
+
+
+class TestChangeHistory:
+    def test_islands_and_validity(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, "a", t0, 1),
+            (1, "a", t0 + dt.timedelta(hours=1), 2),
+            (1, "b", t0 + dt.timedelta(hours=2), 3),
+            (1, "a", t0 + dt.timedelta(hours=3), 4),
+            (2, "c", t0, 5),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "attr", "ts", "event_id"])
+        out = (
+            change_history(df, "user_id", "attr", "ts", "event_id")
+            .orderBy("user_id", "valid_from")
+            .collect()
+        )
+        u1 = [r for r in out if r["user_id"] == 1]
+        assert [r["attr"] for r in u1] == ["a", "b", "a"]
+        assert [r["n_events"] for r in u1] == [2, 1, 1]
+        assert u1[0]["valid_to"] == u1[1]["valid_from"]
+        assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+        assert not u1[0]["is_current"]
+        u2 = [r for r in out if r["user_id"] == 2]
+        assert len(u2) == 1 and u2[0]["is_current"]
+
+    def test_equal_ts_tiebreak_by_event_id(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, "b", t0, 2), (1, "a", t0, 1)]
+        df = spark.createDataFrame(rows, ["user_id", "attr", "ts", "event_id"])
+        out = (
+            change_history(df, "user_id", "attr", "ts", "event_id")
+            .orderBy("valid_from", "attr")
+            .collect()
+        )
+        # event_id order: a (id 1) then b (id 2) -> two islands, a first
+        assert len(out) == 2
+        current = [r for r in out if r["is_current"]]
+        assert len(current) == 1 and current[0]["attr"] == "b"
