@@ -433,3 +433,100 @@ def ivf_topk(
         .drop("rn")
         .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
     )
+
+
+def _rp_signs(dim: int, n_out: int, seed: int = 13) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for random projection, derived from md5
+    so any engine (or the DuckDB oracle) can regenerate it: sign(j, i) =
+    +1 if the md5 hex of "seed|j|i" starts with an even nibble. Pure
+    Python on (dim × n_out) scalars — constants compiled into the plan."""
+    import hashlib
+
+    signs = []
+    for j in range(n_out):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def quantize_milli(x):
+    """Sign-aware half-away-from-zero milli quantization of a float column
+    element: floor(|x|·1000 + 0.5) with the sign restored. The house trick
+    that turns float vectors into exact integers so cross-engine arithmetic
+    (sums in any order) is bit-identical."""
+    d = x.cast("double")
+    mag = F.floor(F.abs(d) * 1000 + F.lit(0.5)).cast("long")
+    return F.when(d < 0, -mag).otherwise(mag)
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_out: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a ±1 (Achlioptas 2003)
+    sign matrix: out_j = Σ_i round_milli(v_i) · sign(j, i). The cheap
+    dimensionality reducer for embedding pipelines (distance-preserving up
+    to the JL bound) — and, because inputs are milli-quantized to integers
+    first, the projection is EXACT integer arithmetic: order-independent,
+    engine-identical, oracle-checkable.
+
+    One narrow projection — the quantized vector binds to a column once,
+    then n_out zip_with/aggregate folds read it; no shuffle, fuses with the
+    scan. Output columns p0..p{n_out-1} as BIGINT."""
+    signs = _rp_signs(dim, n_out, seed)
+    staged = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), quantize_milli).alias("__q"),
+    )
+    projections = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda x, y: x * y.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(n_out)
+    ]
+    return staged.select(F.col(id_col), *projections)
+
+
+def label_centroids_projected(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_out: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """Per-label centroid in the projected space: mean of each projected
+    coordinate — exact integer sums divided once in IEEE double, so the
+    result is engine-exact (the milli_exact_mean pattern applied to
+    vectors). The embedding-space class-separation audit."""
+    proj = random_projection(df, id_col, vec_col, n_out=n_out, dim=dim, seed=seed)
+    joined = proj.join(df.select(F.col(id_col), F.col(label_col)), on=id_col)
+    aggs = [F.count(F.lit(1)).alias("n_vecs")] + [
+        F.sum(f"p{j}").alias(f"__s{j}") for j in range(n_out)
+    ]
+    return (
+        joined.groupBy(label_col)
+        .agg(*aggs)
+        .select(
+            label_col,
+            "n_vecs",
+            *[
+                (F.col(f"__s{j}") / F.col("n_vecs")).alias(f"c{j}")
+                for j in range(n_out)
+            ],
+        )
+    )

@@ -239,3 +239,20 @@ def deterministic_sample(
         )
     )
     return df.filter(F.substring(key, 1, 2) < F.lit(fraction_hex2))
+
+
+def kfold_assign(df: DataFrame, pk_col: str, k: int = 5) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    first-32-bits-of-md5(pk) mod k, appended as a ``fold`` column. Like
+    :func:`deterministic_sample`, this is engine/partitioning/run
+    independent (a narrow projection — no shuffle, no rand()), so CV folds
+    are reproducible across retrains and replicable by any SQL engine
+    (``('0x' || substr(md5(pk), 1, 8))::BIGINT % k``). Mod bias over 2^32
+    values is O(k/2^32) — immaterial for any real k.
+
+    Folds are hash-uniform, not exactly-equal-sized; use
+    :func:`stratified_split_column` when exact per-class counts matter."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h32 = F.conv(F.substring(F.md5(F.col(pk_col).cast("string")), 1, 8), 16, 10)
+    return df.withColumn("fold", (h32.cast("long") % k).cast("int"))

@@ -3705,3 +3705,116 @@ REGISTRY.update(
         "ev3_scd2_history": (ev3_scd2_history, EV3_SCD2_SQL),
     }
 )
+
+
+def rj1_event_pairs(spark, sf_dir):
+    """Batch band join: all same-user event pairs within 3600 s, via
+    time-bucket candidate generation (operators/rangejoin.py) — the
+    open-source substitute for a range-join optimizer. The oracle is the
+    plain inequality join (DuckDB's IEJoin runs it exactly)."""
+    from ..operators.rangejoin import time_window_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_window_pairs(
+        ev, "user_id", "ts", "event_id", window_sec=3600
+    ).orderBy("user_id", "id_a", "id_b")
+
+
+RJ1_PAIRS_SQL = """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       a.ts AS ts_a, b.ts AS ts_b,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND floor(epoch(b.ts)) - floor(epoch(a.ts)) <= 3600
+ORDER BY a.user_id, id_a, id_b
+"""
+
+
+def t8_kfold_audit(spark, sf_dir):
+    """Deterministic k-fold CV assignment balance: fold × label counts over
+    the scored-events fixture. Folds from the first 32 md5 bits mod k —
+    reproducible on any engine/partitioning."""
+    assigned = split.kfold_assign(scored_events(spark, sf_dir), "event_id", k=5)
+    return (
+        assigned.groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("fold", "label")
+    )
+
+
+T8_KFOLD_SQL = """
+SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS INT) AS fold,
+       CASE WHEN event_id % 7 < 3 THEN 1 ELSE 0 END AS label,
+       count(*) AS n
+FROM events GROUP BY fold, label ORDER BY fold, label
+"""
+
+
+# sign matrix shared between the Spark plan and the oracle SQL — both sides
+# compile the SAME ±1 constants, so the projection is engine-identical
+_RP_SIGNS = similarity._rp_signs(64, 8, 13)
+
+_Q_MILLI_DUCK = (
+    "list_transform(embedding, x -> CASE WHEN CAST(x AS DOUBLE) < 0 "
+    "THEN -CAST(floor(abs(CAST(x AS DOUBLE)) * 1000 + 0.5) AS BIGINT) "
+    "ELSE CAST(floor(abs(CAST(x AS DOUBLE)) * 1000 + 0.5) AS BIGINT) END)"
+)
+
+
+def _rp_proj_sql(j: int) -> str:
+    arr = "[" + ",".join(str(s) for s in _RP_SIGNS[j]) + "]"
+    return (
+        f"CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * ({arr})[i])) "
+        f"AS BIGINT) AS p{j}"
+    )
+
+
+def emb1_random_projection(spark, sf_dir):
+    """JL random projection 64→8 dims with a ±1 sign matrix over
+    milli-quantized vectors — exact integer arithmetic, engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(
+        emb, "vec_id", "embedding", n_out=8, dim=64, seed=13
+    ).orderBy("vec_id")
+
+
+EMB1_PROJ_SQL = (
+    f"WITH qe AS (SELECT vec_id, {_Q_MILLI_DUCK} AS qv FROM embeddings)\n"
+    "SELECT vec_id, "
+    + ", ".join(_rp_proj_sql(j) for j in range(8))
+    + "\nFROM qe ORDER BY vec_id"
+)
+
+
+def emb2_label_centroids(spark, sf_dir):
+    """Per-label centroid in the projected space: exact integer sums, one
+    IEEE division — the embedding-space class-separation audit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids_projected(
+        emb, "vec_id", "embedding", "label", n_out=8, dim=64, seed=13
+    ).orderBy("label")
+
+
+EMB2_CENTROID_SQL = (
+    f"WITH qe AS (SELECT vec_id, {_Q_MILLI_DUCK} AS qv FROM embeddings),\n"
+    "p AS (SELECT vec_id, "
+    + ", ".join(_rp_proj_sql(j) for j in range(8))
+    + " FROM qe)\n"
+    "SELECT label, count(*) AS n_vecs, "
+    + ", ".join(
+        f"CAST(sum(p{j}) AS DOUBLE) / count(*) AS c{j}" for j in range(8)
+    )
+    + "\nFROM p JOIN embeddings USING (vec_id) GROUP BY label ORDER BY label"
+)
+
+
+REGISTRY.update(
+    {
+        "rj1_event_pairs": (rj1_event_pairs, RJ1_PAIRS_SQL),
+        "t8_kfold_audit": (t8_kfold_audit, T8_KFOLD_SQL),
+        "emb1_random_projection": (emb1_random_projection, EMB1_PROJ_SQL),
+        "emb2_label_centroids": (emb2_label_centroids, EMB2_CENTROID_SQL),
+    }
+)

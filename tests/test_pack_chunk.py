@@ -175,3 +175,130 @@ class TestChangeHistory:
         assert len(out) == 2
         current = [r for r in out if r["is_current"]]
         assert len(current) == 1 and current[0]["attr"] == "b"
+
+
+class TestTimeWindowPairs:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, ["user_id", "event_id", "ts"]).select(
+            "user_id", "event_id", F.col("ts").cast("timestamp")
+        )
+
+    def test_matches_naive(self, spark):
+        from end_to_end_ml_spark.operators.rangejoin import time_window_pairs
+        import datetime as dt
+        import random
+
+        rng = random.Random(3)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (rng.randint(1, 5), i, t0 + dt.timedelta(seconds=rng.randint(0, 5000)))
+            for i in range(120)
+        ]
+        w = 600
+        naive = set()
+        for u1, i1, t1 in rows:
+            for u2, i2, t2 in rows:
+                if u1 == u2 and (t2 > t1 or (t2 == t1 and i2 > i1)):
+                    if int(t2.timestamp()) - int(t1.timestamp()) <= w:
+                        naive.add((u1, i1, i2))
+        got = {
+            (r["user_id"], r["id_a"], r["id_b"])
+            for r in time_window_pairs(
+                self._df(spark, rows), "user_id", "ts", "event_id", w
+            ).collect()
+        }
+        assert got == naive
+
+    def test_cross_bin_boundary_pair_found_once(self, spark):
+        from end_to_end_ml_spark.operators.rangejoin import time_window_pairs
+        import datetime as dt
+
+        # epochs 599 and 601: different 600s-bins, gap 2 <= 600
+        rows = [
+            (1, 1, dt.datetime.fromtimestamp(599, dt.timezone.utc).replace(tzinfo=None)),
+            (1, 2, dt.datetime.fromtimestamp(601, dt.timezone.utc).replace(tzinfo=None)),
+        ]
+        out = time_window_pairs(
+            self._df(spark, rows), "user_id", "ts", "event_id", 600
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["gap_seconds"] == 2
+
+    def test_bad_window_raises(self, spark):
+        from end_to_end_ml_spark.operators.rangejoin import time_window_pairs
+
+        with pytest.raises(ValueError):
+            time_window_pairs(
+                self._df(spark, []), "user_id", "ts", "event_id", 0
+            )
+
+
+class TestKfold:
+    def test_fold_range_and_determinism(self, spark):
+        from end_to_end_ml_spark.operators.split import kfold_assign
+
+        df = spark.range(0, 500).select(F.col("id").alias("pk"))
+        a = {r["pk"]: r["fold"] for r in kfold_assign(df, "pk", k=5).collect()}
+        b = {r["pk"]: r["fold"] for r in kfold_assign(df, "pk", k=5).collect()}
+        assert a == b
+        assert set(a.values()) == {0, 1, 2, 3, 4}
+        # roughly balanced (hash-uniform): each fold within 3x of expectation
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert all(30 <= v <= 300 for v in c.values())
+
+    def test_k_lt_2_raises(self, spark):
+        from end_to_end_ml_spark.operators.split import kfold_assign
+
+        with pytest.raises(ValueError):
+            kfold_assign(spark.range(1), "id", k=1)
+
+
+class TestRandomProjection:
+    def test_projection_matches_python(self, spark):
+        from end_to_end_ml_spark.operators.similarity import (
+            _rp_signs,
+            random_projection,
+        )
+
+        dim, n_out = 6, 3
+        vec = [0.5, -0.25, 1.0, 0.0015, -0.0004, 2.0]
+        q = [500, -250, 1000, 2, 0, 2000]  # half-away milli quantization
+        signs = _rp_signs(dim, n_out, seed=13)
+        expected = [sum(qi * s for qi, s in zip(q, row)) for row in signs]
+        df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"]).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        out = random_projection(
+            df, "vec_id", "embedding", n_out=n_out, dim=dim, seed=13
+        ).collect()[0]
+        assert [out[f"p{j}"] for j in range(n_out)] == expected
+
+    def test_centroids_are_means(self, spark):
+        from end_to_end_ml_spark.operators.similarity import (
+            label_centroids_projected,
+            random_projection,
+        )
+
+        rows = [(i, [float(i)] * 4, i % 2) for i in range(6)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+        )
+        proj = {
+            r["vec_id"]: r
+            for r in random_projection(
+                df, "vec_id", "embedding", n_out=2, dim=4, seed=13
+            ).collect()
+        }
+        cents = {
+            r["label"]: r
+            for r in label_centroids_projected(
+                df, "vec_id", "embedding", "label", n_out=2, dim=4, seed=13
+            ).collect()
+        }
+        for lbl in (0, 1):
+            ids = [i for i in range(6) if i % 2 == lbl]
+            for j in range(2):
+                exp = sum(proj[i][f"p{j}"] for i in ids) / len(ids)
+                assert cents[lbl][f"c{j}"] == exp
