@@ -396,3 +396,87 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_upsert_snapshot(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    ts_col: str,
+    checkpoint_dir: str,
+    tiebreak_cols: list[str] | None = None,
+    query_name: str = "upsert_snapshot",
+):
+    """Streaming state table with EVENT-TIME last-writer-wins: every
+    micro-batch is merged into a parquet snapshot keeping, per key, the row
+    with the greatest (ts, tiebreak) — the continuously-maintained
+    online/feature table a CDC stream feeds. Event-time (not arrival-order)
+    wins, so the final snapshot is independent of how the source splits
+    into micro-batches or which file arrives first — late/out-of-order
+    changes can never clobber a newer state. (Arrival-order CDC semantics
+    — change always beats base — is operators/merge.merge_upsert; use it
+    in a foreachBatch only when the transport guarantees per-key order.)
+
+    Snapshots are VERSIONED (``path/v=<epoch>``): a batch writes the next
+    version from the previous one, never overwriting what it reads (an
+    in-place overwrite of a lazily-read input drops the data before the
+    new rows are computed). Epoch replays after a crash are idempotent —
+    the retried epoch rewrites its own version directory under the same
+    id, and ``read_latest_snapshot`` only ever sees the max version; the
+    union-with-base also makes replaying an already-applied batch a no-op.
+    On a table format (Delta/Iceberg) the same sink is MERGE INTO;
+    versioning here is what plain parquet needs for identical semantics.
+
+    Scale: the union + per-key window shuffles (snapshot + batch) on the
+    key once per epoch; writing the snapshot bucketed on the key would
+    make successive merges co-located. Synchronous: drains available
+    input, then stops."""
+    import os
+
+    from end_to_end_ml_spark.sources.io import latest_per_key
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = _snapshot_versions(path)
+        prior = [v for v in versions if v < epoch_id]
+        merged = batch_df
+        if prior:
+            base = spark.read.parquet(os.path.join(path, f"v={max(prior)}"))
+            merged = base.unionByName(batch_df)
+        snap = latest_per_key(
+            merged, key_cols, ts_col, tiebreak_cols=tiebreak_cols
+        )
+        snap.write.mode("overwrite").parquet(os.path.join(path, f"v={epoch_id}"))
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def _snapshot_versions(path: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def read_latest_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Read the newest version of a stream_upsert_snapshot state table."""
+    import os
+
+    versions = _snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot versions under {path}")
+    return spark.read.parquet(os.path.join(path, f"v={versions[-1]}"))

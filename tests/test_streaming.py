@@ -304,3 +304,43 @@ def test_sessionize_stateful_matches_batch(spark, stream, batch):
         k for k in expected if k[1] != last_start[k[0]] and k not in got
     ]
     assert not missing, f"closed sessions never emitted: {missing[:5]}"
+
+
+def test_stream_upsert_snapshot_matches_batch_latest(spark, batch, tmp_path):
+    """CDC upsert sink: stream the events table in 3 micro-batches keyed by
+    (user_id, event_type); the final snapshot must equal the batch
+    latest-per-key, and intermediate versions must exist (merge ran
+    incrementally, not once)."""
+    from end_to_end_ml_spark.sources.io import latest_per_key
+
+    src = str(tmp_path / "src")
+    # 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+    batch.repartition(3).write.parquet(src)
+    file_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    snap_path = str(tmp_path / "snap")
+    SE.stream_upsert_snapshot(
+        stream,
+        snap_path,
+        ["user_id", "event_type"],
+        "ts",
+        str(tmp_path / "ck"),
+        tiebreak_cols=["event_id"],
+    )
+    versions = SE._snapshot_versions(snap_path)
+    assert len(versions) >= 2, "expected multiple incremental merge epochs"
+    got = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in SE.read_latest_snapshot(spark, snap_path).collect()
+    }
+    expected = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in latest_per_key(
+            batch, ["user_id", "event_type"], "ts", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert got == expected
