@@ -56,6 +56,16 @@ HEAVY = [
     "d7_near_dup_groups",
 ]
 
+# Round-5 operator families: banded range join, greedy packing
+# (applyInPandas), corpus-frequency scoring (double shuffle), SCD2
+# gaps-and-islands. Counted in the total, not in r4_comparable_total.
+R5 = [
+    "rj1_event_pairs",
+    "pack1_sequence_packing",
+    "x11_token_rarity",
+    "ev3_scd2_history",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -88,7 +98,9 @@ def main() -> None:
     # failure is itself a defect.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, reps in [(n, 5) for n in HEADLINE] + [(n, 2) for n in HEAVY]:
+    for name, reps in (
+        [(n, 5) for n in HEADLINE] + [(n, 2) for n in HEAVY] + [(n, 3) for n in R5]
+    ):
         try:
             fn = REGISTRY[name][0]
             best = float("inf")

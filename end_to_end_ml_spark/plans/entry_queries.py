@@ -3291,99 +3291,6 @@ GROUP BY event_type ORDER BY event_type
 REGISTRY["s2_partitioned_roundtrip"] = (s2_partitioned_roundtrip, S2_ROUNDTRIP_SQL)
 
 
-# ---------------------------------------------------------------------------
-# Driver window (first 50 registry entries) — deliberate round-5 rotation.
-#
-# The driver's correctness snapshot covers the FIRST 50 entries only, so the
-# window is re-picked each round to (a) stay all-oracled, (b) span every
-# operator family, and (c) rotate in queries that have never had a driver
-# row. Round-5 swaps IN the round-4 flagships (pipe3, q9, q21, ev1/ev2,
-# a15/a16, x5, x8, ts5) and the new s2 sink round-trip; swapped OUT are
-# near-duplicate slots whose family stays covered (sim1b shares sim1's
-# oracle; d5 duplicates the d-family; f8 vs f4; a7/a9/a13 leave 5 metric
-# slots; q7, w5, p7, t7, s9 each have a same-family sibling still in). All
-# 120+ registry entries remain locally verified via tools/check_oracle.py.
-# ---------------------------------------------------------------------------
-
-DRIVER_WINDOW = [
-    # flagship relational
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_supplier_volume",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "q20_above_avg_orders",
-    "q21_sole_failing_supplier",
-    # windows
-    "w1_top_parts",
-    "w4_running_total",
-    # prep
-    "p3_p4_clean_documents",
-    "p5_dup_check",
-    "p6_latest_order_per_customer",
-    "p8_null_audit",
-    # splits / sampling
-    "t1_stratified_split",
-    "t2_time_split",
-    # sources / sinks
-    "s2_partitioned_roundtrip",
-    "s3_pit_join",
-    "s5_json_props",
-    # metrics
-    "a5_binary_metrics",
-    "a6_roc_auc",
-    "a8_auc_ovr_macro",
-    "a12_roc_curve",
-    "m8_threshold_sweep",
-    # drift
-    "a15_drift_bins",
-    "a16_ks_drift",
-    # multi-dimensional aggregates
-    "agg_cube",
-    "agg_percentiles",
-    # skew handling
-    "skew1_salted_join_agg",
-    "skew2_salted_collect",
-    # events / timeseries
-    "st_hourly_window",
-    "st_sessionize",
-    "ts2_gap_fill",
-    "ts3_time_weighted_avg",
-    "ts5_rolling_distinct_users",
-    "ev1_funnel_conversion",
-    "ev2_retention_cohorts",
-    # dedup (LLM-data-pipeline)
-    "d1_exact_dup_groups",
-    "d2_ngram_jaccard_pairs",
-    "d3_minhash_lsh_pairs",
-    "d7_near_dup_groups",
-    # text analysis
-    "x2_quality_scores",
-    "x3_language_id",
-    "x5_repetition_scores",
-    "x8_winnow_fingerprints",
-    # pipeline / multimodal
-    "pipe1_clean_corpus",
-    "pipe3_pretrain_corpus",
-    "mm1_payload_metadata",
-    # similarity search
-    "sim1_topk_bruteforce",
-    # feature engineering
-    "f4_infrequent_collapse",
-]
-
-assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
-assert len(set(DRIVER_WINDOW)) == 50, "driver window has duplicates"
-_missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
-assert not _missing, f"driver window names not in REGISTRY: {_missing}"
-_unoracled = [n for n in DRIVER_WINDOW if REGISTRY[n][1] is None]
-assert not _unoracled, f"driver window entries must all be oracled: {_unoracled}"
-
-REGISTRY = {
-    name: REGISTRY[name]
-    for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
-}
 
 
 # --- round-5: CDC merge, table profiler, shard export ----------------------
@@ -3818,3 +3725,102 @@ REGISTRY.update(
         "emb2_label_centroids": (emb2_label_centroids, EMB2_CENTROID_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver window (first 50 registry entries) — deliberate round-5 rotation.
+#
+# The driver's correctness snapshot covers the FIRST 50 entries only, so the
+# window is re-picked each round to (a) stay all-oracled, (b) span every
+# operator family, and (c) rotate in queries that have never had a driver
+# row. Round-5 swaps IN the round-4 flagships (pipe3, q9, q21, ev1/ev2,
+# a15/a16, x5, x8, ts5), the new s2 sink round-trip, and five round-5
+# family flagships (x9 chunking, pack1 greedy packing, ev3 SCD2 islands,
+# rj1 banded range join, emb1 integer-exact random projection); swapped
+# OUT are near-duplicate slots whose family stays covered (sim1b shares
+# sim1's oracle; d5/d2 duplicate the d-family; f8 vs f4; a5/a7/a9/a13
+# leave 4 metric slots; q7, w5, p7, t7, s9, ts2, x3, agg_percentiles each
+# have a same-family sibling still in). All 138 registry entries remain
+# locally verified via tools/check_oracle.py.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW = [
+    # flagship relational
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_supplier_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "q20_above_avg_orders",
+    "q21_sole_failing_supplier",
+    # windows
+    "w1_top_parts",
+    "w4_running_total",
+    # prep
+    "p3_p4_clean_documents",
+    "p5_dup_check",
+    "p6_latest_order_per_customer",
+    "p8_null_audit",
+    # splits / sampling
+    "t1_stratified_split",
+    "t2_time_split",
+    # sources / sinks
+    "s2_partitioned_roundtrip",
+    "s3_pit_join",
+    "s5_json_props",
+    # metrics
+    "a6_roc_auc",
+    "a8_auc_ovr_macro",
+    "a12_roc_curve",
+    "m8_threshold_sweep",
+    # drift
+    "a15_drift_bins",
+    "a16_ks_drift",
+    # multi-dimensional aggregates
+    "agg_cube",
+    # skew handling
+    "skew1_salted_join_agg",
+    "skew2_salted_collect",
+    # events / timeseries
+    "st_hourly_window",
+    "st_sessionize",
+    "ts3_time_weighted_avg",
+    "ts5_rolling_distinct_users",
+    "ev1_funnel_conversion",
+    "ev2_retention_cohorts",
+    "ev3_scd2_history",
+    # dedup (LLM-data-pipeline)
+    "d1_exact_dup_groups",
+    "d3_minhash_lsh_pairs",
+    "d7_near_dup_groups",
+    # text analysis
+    "x2_quality_scores",
+    "x5_repetition_scores",
+    "x8_winnow_fingerprints",
+    "x9_chunk_documents",
+    # pipeline / multimodal
+    "pipe1_clean_corpus",
+    "pipe3_pretrain_corpus",
+    "mm1_payload_metadata",
+    # similarity search
+    "sim1_topk_bruteforce",
+    # embeddings / packing / range join (round-5 families)
+    "emb1_random_projection",
+    "pack1_sequence_packing",
+    "rj1_event_pairs",
+    # feature engineering
+    "f4_infrequent_collapse",
+]
+
+assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
+assert len(set(DRIVER_WINDOW)) == 50, "driver window has duplicates"
+_missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+assert not _missing, f"driver window names not in REGISTRY: {_missing}"
+_unoracled = [n for n in DRIVER_WINDOW if REGISTRY[n][1] is None]
+assert not _unoracled, f"driver window entries must all be oracled: {_unoracled}"
+
+REGISTRY = {
+    name: REGISTRY[name]
+    for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
+}
