@@ -527,3 +527,41 @@ def token_rarity_scores(
             (F.col("__n_rare") / F.col("n_tokens")).alias("rare_frac"),
         )
     )
+
+
+def duplicated_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document duplication signal (the WIMBD / "deduplicating
+    training data" corpus measure): per document, the fraction of its
+    DISTINCT word n-grams that also occur in at least one other document.
+    High values flag boilerplate/templated docs that survive whole-doc
+    dedup — the between-docs complement of repetition_scores'
+    within-doc signals.
+
+    Shape: one gram explode (distinct per doc by construction), a groupBy
+    on the gram for corpus doc-counts (partial agg absorbs Zipf mass), a
+    join back on the gram (AQE skew-split handles head grams), and a
+    per-doc agg. All-integer counts + one IEEE division — engine-exact.
+
+    Output: (id, n_grams, n_dup_grams, dup_gram_frac)."""
+    grams = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
+        id_col, F.explode(word_ngrams_from_tokens("__toks", n)).alias("g")
+    )
+    gram_docs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__nd"))
+    return (
+        grams.join(gram_docs, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams") / F.col("n_grams")).alias("dup_gram_frac"),
+        )
+    )

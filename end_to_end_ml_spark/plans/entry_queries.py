@@ -3824,3 +3824,34 @@ REGISTRY = {
     name: REGISTRY[name]
     for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
 }
+
+
+def x12_dup_ngram_fraction(spark, sf_dir):
+    """Cross-document duplicated 8-gram fraction — the between-docs
+    boilerplate signal complementing x5's within-doc repetition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.duplicated_ngram_fraction(docs, "doc_id", "text", n=8).orderBy(
+        "doc_id"
+    )
+
+
+X12_DUP_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 8, 0) + 2),
+           i -> array_to_string(t[i:i+7], ' ')))) AS g
+  FROM toks
+),
+gd AS (SELECT g, count(*) AS nd FROM grams GROUP BY g)
+SELECT doc_id, count(*) AS n_grams,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_gram_frac
+FROM grams JOIN gd USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+REGISTRY["x12_dup_ngram_fraction"] = (x12_dup_ngram_fraction, X12_DUP_NGRAM_SQL)

@@ -302,3 +302,31 @@ class TestRandomProjection:
             for j in range(2):
                 exp = sum(proj[i][f"p{j}"] for i in ids) / len(ids)
                 assert cents[lbl][f"c{j}"] == exp
+
+
+class TestDupNgramFraction:
+    def test_shared_and_unique_grams(self, spark):
+        # docs 1 and 2 share their whole text (same 3-grams); doc 3 unique
+        df = _docs(
+            spark,
+            [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in text.duplicated_ngram_fraction(
+                df, "doc_id", "text", n=3
+            ).collect()
+        }
+        assert out[1]["n_grams"] == 2 and out[1]["dup_gram_frac"] == 1.0
+        assert out[2]["dup_gram_frac"] == 1.0
+        assert out[3]["n_dup_grams"] == 0 and out[3]["dup_gram_frac"] == 0.0
+
+    def test_short_doc_whole_gram(self, spark):
+        df = _docs(spark, [(1, "a b"), (2, "a b")])
+        out = {
+            r["doc_id"]: r
+            for r in text.duplicated_ngram_fraction(
+                df, "doc_id", "text", n=8
+            ).collect()
+        }
+        assert out[1]["n_grams"] == 1 and out[1]["dup_gram_frac"] == 1.0

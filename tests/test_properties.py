@@ -105,3 +105,46 @@ def test_jaccard_matches_set_algebra(spark, a, b):
     got = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0]["j"]
     expected = len(a & b) / len(a | b)
     assert got == expected
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(edges=edge_lists)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_match_union_find(spark, edges):
+    """Random graphs: distributed min-label CC == a pure-python union-find.
+    Guards the round structure (fused seed, folded convergence probe,
+    pointer jumping) against chain/star/clique topologies alike."""
+    from end_to_end_ml_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    nodes = sorted(parent)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(members) for members in comp.values() for n in members}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["group_id"] for r in connected_components(df).collect()}
+    assert got == expected
