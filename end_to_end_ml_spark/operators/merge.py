@@ -81,3 +81,76 @@ def merge_upsert(
         merged.filter(~F.coalesce(F.col("__tombstone"), F.lit(False)))
         .select(*keys, *out_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+# spec name -> (partial-agg builder over the raw column, snapshot merge rule)
+# Only ALGEBRAIC aggregates belong here: ones whose partials combine by a
+# closed-form rule. (Holistic aggregates — exact median, exact distinct —
+# need their full input or a mergeable sketch; see timeseries.py's HLL
+# rollup for the sketch form.)
+_AGG_SPECS = {
+    "count": (
+        lambda c: F.count(F.lit(1)),
+        lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    ),
+    "sum": (
+        lambda c: F.sum(c),
+        lambda a, b: F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
+            F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        ),
+    ),
+    "min": (lambda c: F.min(c), F.least),
+    "max": (lambda c: F.max(c), F.greatest),
+}
+
+
+def agg_snapshot(
+    df: DataFrame, key_cols: list[str], specs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Aggregate ``df`` into a mergeable snapshot: one row per key with one
+    column per ``specs`` entry {out_col: (agg, in_col)}, agg in
+    count/sum/min/max. The snapshot is the persisted state of an
+    incremental pipeline — see :func:`merge_agg_snapshots`."""
+    aggs = []
+    for out, (agg, col) in specs.items():
+        if agg not in _AGG_SPECS:
+            raise ValueError(f"unsupported agg {agg!r}; use {sorted(_AGG_SPECS)}")
+        aggs.append(_AGG_SPECS[agg][0](col).alias(out))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def merge_agg_snapshots(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    specs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge a delta's
+    :func:`agg_snapshot` into the base snapshot WITHOUT rescanning the
+    base's facts — count/sum add, min/max fold (least/greatest). At
+    100 TB this is the difference between touching a day of data and
+    touching three years of it: the base facts are never re-read, only
+    the (small) keyed snapshot joins the delta's.
+
+    FULL OUTER on the keys so new keys insert and untouched keys pass
+    through; the merge rules handle the one-sided-null rows. Exactly the
+    partial-aggregation algebra Spark itself uses map-side, lifted to
+    snapshot granularity (same reason the rules are restricted to
+    algebraic aggregates).
+
+    Both inputs must already be snapshots with identical ``specs``
+    columns; merging is associative, so daily→weekly→monthly rollups
+    compose."""
+    keys = list(key_cols)
+    b = base.select(*keys, *[F.col(c).alias(f"__b_{c}") for c in specs])
+    d = delta.select(*keys, *[F.col(c).alias(f"__d_{c}") for c in specs])
+    merged = b.join(d, on=keys, how="full_outer")
+    out = []
+    for name, (agg, _col) in specs.items():
+        rule = _AGG_SPECS[agg][1]
+        out.append(rule(F.col(f"__b_{name}"), F.col(f"__d_{name}")).alias(name))
+    return merged.select(*keys, *out)

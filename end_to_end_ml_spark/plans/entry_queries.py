@@ -3855,3 +3855,151 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 REGISTRY["x12_dup_ngram_fraction"] = (x12_dup_ngram_fraction, X12_DUP_NGRAM_SQL)
+
+
+def s13_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance: the events table split at
+    2024-01-15 into a base snapshot + a delta; the merged snapshot
+    (operators/merge.py agg_snapshot + merge_agg_snapshots — base facts
+    never re-read) must equal the one-shot full aggregate, which is the
+    DuckDB oracle. count/sum add, min/max fold; sum over event_id so the
+    merge algebra is exact-integer."""
+    from ..operators.merge import agg_snapshot, merge_agg_snapshots
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    specs = {
+        "n_events": ("count", "event_id"),
+        "sum_ids": ("sum", "event_id"),
+        "min_ts": ("min", "ts"),
+        "max_ts": ("max", "ts"),
+    }
+    base = agg_snapshot(ev.filter(F.col("ts") < cutoff), ["user_id"], specs)
+    delta = agg_snapshot(ev.filter(F.col("ts") >= cutoff), ["user_id"], specs)
+    return merge_agg_snapshots(base, delta, ["user_id"], specs).orderBy("user_id")
+
+
+S13_INCR_AGG_SQL = """
+SELECT user_id, count(*) AS n_events, sum(event_id) AS sum_ids,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+REGISTRY["s13_incremental_agg"] = (s13_incremental_agg, S13_INCR_AGG_SQL)
+
+
+def dq1_expectations(spark, sf_dir):
+    """One-pass declarative data-quality gate over orders (operators/
+    expect.py): volume, key uniqueness, price range, status domain,
+    null budget — k expectations, ONE scan."""
+    from ..operators.expect import Check
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        Check()
+        .row_count_min(100)
+        .unique_key("o_orderkey")
+        .null_frac_max("o_custkey", 0.0)
+        .value_min("o_totalprice", 0)
+        .value_max("o_totalprice", 1000000)
+        .accepted_values("o_orderstatus", ["F", "O", "P"])
+        .run(orders)
+    )
+
+
+DQ1_EXPECT_SQL = """
+SELECT 'row_count>=100' AS expectation, CAST(count(*) AS DOUBLE) AS measured,
+       count(*) >= 100 AS passed FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)', CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE),
+       count(*) - count(DISTINCT o_orderkey) = 0 FROM orders
+UNION ALL
+SELECT 'null_frac(o_custkey)<=0.0',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.0
+FROM orders
+UNION ALL
+SELECT 'min(o_totalprice)>=0', CAST(min(o_totalprice) AS DOUBLE),
+       min(o_totalprice) >= 0 FROM orders
+UNION ALL
+SELECT 'max(o_totalprice)<=1000000', CAST(max(o_totalprice) AS DOUBLE),
+       max(o_totalprice) <= 1000000 FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)',
+       CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') OR o_orderstatus IS NULL
+                THEN 0 ELSE 1 END) AS DOUBLE),
+       sum(CASE WHEN o_orderstatus IN ('F','O','P') OR o_orderstatus IS NULL
+           THEN 0 ELSE 1 END) = 0
+FROM orders
+"""
+
+REGISTRY["dq1_expectations"] = (dq1_expectations, DQ1_EXPECT_SQL)
+
+
+def ev4_top_session_paths(spark, sf_dir):
+    """Top session paths (sequence-mining lite): per session, the ordered
+    event_type path (first 10 events, '>'-joined); rank paths by session
+    count. Session tagging reuses the lag+cumsum shuffle; the path is an
+    array_sort(collect_list(struct(ts, event_id, type))) — struct order =
+    (ts, event_id), so the path string is engine-exact. Path agg shuffles
+    only (path, counts) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = (
+        F.when(gap.isNull(), 1)
+        .when(F.unix_micros(F.col("ts")) - gap > 30 * 60 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    tagged = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = tagged.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                10,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+EV4_PATHS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+), p AS (
+  SELECT user_id, session_seq,
+         array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 10), '>') AS path
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT path, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+REGISTRY["ev4_top_session_paths"] = (ev4_top_session_paths, EV4_PATHS_SQL)
