@@ -4003,3 +4003,61 @@ FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
 """
 
 REGISTRY["ev4_top_session_paths"] = (ev4_top_session_paths, EV4_PATHS_SQL)
+
+
+def ev5_daily_state_snapshot(spark, sf_dir):
+    """Temporal (versioned-dimension) enrichment: for each (user, day)
+    the event_type run in effect at the day boundary, read from the ev3
+    SCD2 history via the point-in-time as-of join — the dimension built
+    by change_history consumed the way a feature store consumes it.
+    Probe = distinct user-days; left as-of keeps pre-history days with a
+    NULL state."""
+    from ..operators import timeseries as TS
+    from ..operators.pit import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = TS.change_history(ev, "user_id", "event_type", "ts", "event_id")
+    probe = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    ).distinct()
+    return (
+        as_of_join(
+            probe,
+            hist.select("user_id", "valid_from", F.col("event_type").alias("state")),
+            keys=["user_id"],
+            entity_ts="day_ts",
+            feature_ts="valid_from",
+            feature_cols=["valid_from", "state"],
+        )
+        .select("user_id", "day_ts", "state", "valid_from")
+        .orderBy("user_id", "day_ts")
+    )
+
+
+EV5_SNAPSHOT_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_island
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+hist AS (
+  SELECT user_id, island, min(event_type) AS state, min(ts) AS valid_from
+  FROM isl GROUP BY user_id, island
+),
+probe AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts FROM events)
+SELECT p.user_id, p.day_ts, h.state, h.valid_from
+FROM probe p LEFT JOIN hist h
+  ON h.user_id = p.user_id AND h.valid_from <= p.day_ts
+QUALIFY row_number() OVER (PARTITION BY p.user_id, p.day_ts
+                           ORDER BY h.valid_from DESC, h.state DESC) = 1
+ORDER BY p.user_id, p.day_ts
+"""
+
+REGISTRY["ev5_daily_state_snapshot"] = (ev5_daily_state_snapshot, EV5_SNAPSHOT_SQL)

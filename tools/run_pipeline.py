@@ -37,6 +37,19 @@ def main() -> None:
 
     # ---- prep + split (reference: prep_data.py, split_data.py) ----
     df = order_training_frame(spark, sf_dir)
+
+    # data-quality gate before anything trains (one scan; raises on breach)
+    from end_to_end_ml_spark.operators.expect import Check, enforce
+
+    enforce(
+        Check()
+        .row_count_min(100)
+        .unique_key("o_orderkey")
+        .null_frac_max("label", 0.0)
+        .accepted_values("label", [0, 1])
+        .run(df)
+    )
+
     splits = split.train_valid_calib_test(df, "label", "o_orderkey")
     split.validate_disjoint(splits, ["o_orderkey"])
     train, valid = splits["train"], splits["validation"]
