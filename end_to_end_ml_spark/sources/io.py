@@ -320,3 +320,24 @@ def export_training_shards(
     )
     invalidate_scan_cache(path)
     return sharded
+
+
+def read_binary_files(
+    spark: SparkSession, directory: str, glob: str | None = None
+) -> DataFrame:
+    """Media-file ingestion via Spark's ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content BINARY) — the entry
+    point that feeds operators/multimodal.py (payload_metadata,
+    extract_features, resize_payloads). ``glob`` filters by pattern
+    (e.g. ``*.jpg``) at LISTING time, before any bytes are read.
+
+    Scale notes: the source parallelizes over files (one task per file
+    group); ``spark.sql.files.maxPartitionBytes`` does not split a single
+    binary (a file is one row), so shard huge media into per-object files
+    upstream. Driver-side listing of millions of objects is the real
+    bottleneck at 100 TB — point this at partitioned prefixes, not one
+    flat directory."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(directory)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from end_to_end_ml_spark.operators import multimodal, similarity
+from pyspark.sql import functions as F
 
 VECS = [
     (1, [1.0, 0.0, 0.0]),
@@ -255,3 +256,25 @@ def test_resize_payloads_stride_semantics(spark):
     assert out[1]["in_bytes"] == 10 and out[1]["out_bytes"] == 3  # a,e,i
     assert out[1]["out_md5"] == hashlib.md5(b"aei").hexdigest()
     assert out[2]["out_bytes"] == 1 and out[2]["out_md5"] == hashlib.md5(b"x").hexdigest()
+
+
+def test_read_binary_files_feeds_payload_metadata(spark, tmp_path):
+    """binaryFile source -> multimodal metadata: one row per file, glob
+    filters at listing time, magic bytes sniffed from real file content."""
+    from end_to_end_ml_spark.operators import multimodal
+    from end_to_end_ml_spark.sources.io import read_binary_files
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG\r\n\x1a\nrest-of-png")
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0JFIFdata")
+    (tmp_path / "notes.txt").write_bytes(b"ignore me")
+    files = read_binary_files(spark, str(tmp_path), glob="*.{png,jpg}")
+    assert files.count() == 2
+    meta = {
+        r["id"].rsplit("/", 1)[-1]: r
+        for r in multimodal.payload_metadata(
+            files.select(F.col("path").alias("id"), "content"), "id", "content"
+        ).collect()
+    }
+    assert meta["a.png"]["format"] == "png"
+    assert meta["b.jpg"]["format"] == "jpeg"
+    assert meta["a.png"]["n_bytes"] == len(b"\x89PNG\r\n\x1a\nrest-of-png")
