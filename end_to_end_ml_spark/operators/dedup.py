@@ -698,7 +698,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("label").alias("label")
         )
@@ -713,19 +713,28 @@ def connected_components(
             F.min("label").alias("label"),
             F.min(F.when(F.col("__old"), F.col("label"))).alias("__prev"),
         )
-        # pointer jumping: label(id) := label(label(id)). Valid because
-        # label(x) <= x always (min-propagation from self-label), so the
-        # jump only ever lowers labels toward the component min.
-        lab_of_lab = agg.select(
-            F.col("id").alias("__lid"), F.col("label").alias("__llabel")
-        )
-        new_labels = agg.join(
-            lab_of_lab, agg["label"] == lab_of_lab["__lid"], "left"
-        ).select(
-            "id",
-            F.coalesce(F.col("__llabel"), F.col("label")).alias("label"),
-            "__prev",
-        )
+        if it == 0:
+            # No pointer jump in round 1: the fused seed already applied a
+            # min-of-neighbors pass, so stars/cliques — the shape of real
+            # near-dup groups — are converged HERE and the jump join would
+            # be a wasted shuffle on the critical path. Chains start
+            # jumping from round 2; the O(log diameter) bound just shifts
+            # by one round.
+            new_labels = agg
+        else:
+            # pointer jumping: label(id) := label(label(id)). Valid because
+            # label(x) <= x always (min-propagation from self-label), so the
+            # jump only ever lowers labels toward the component min.
+            lab_of_lab = agg.select(
+                F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+            )
+            new_labels = agg.join(
+                lab_of_lab, agg["label"] == lab_of_lab["__lid"], "left"
+            ).select(
+                "id",
+                F.coalesce(F.col("__llabel"), F.col("label")).alias("label"),
+                "__prev",
+            )
         # eager localCheckpoint: fully materializes this round's labels AND
         # truncates lineage in one step. Without it each round re-executed
         # the entire upstream pair pipeline (lazy plans), and a lazy
