@@ -152,3 +152,22 @@ def test_balanced_weights_plan_has_no_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_driver_window_outputs_are_scalar_columns(spark):
+    """The driver's pandas canonicalizer cannot sort array/map/struct cells
+    (round-4 lesson: skew2_salted_collect err'd on an array<long> column
+    despite being correct). Every query in the 50-slot driver window must
+    therefore emit only atomic column types; complex payloads belong in
+    string/csv form (as skew2 now does) or beyond the window."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from end_to_end_ml_spark.plans.entry_queries import DRIVER_WINDOW
+
+    offenders = []
+    for name in DRIVER_WINDOW:
+        schema = REGISTRY[name][0](spark, SF).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders

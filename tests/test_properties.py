@@ -148,3 +148,70 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r["id"]: r["group_id"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+chunk_params = st.tuples(
+    st.integers(1, 60),   # n tokens
+    st.integers(2, 12),   # size
+    st.integers(0, 10),   # overlap (clamped below size)
+)
+
+
+@given(params=chunk_params)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_documents_cover_and_reconstruct(spark, params):
+    """Chunks tile the document: strides reconstruct the exact token
+    sequence, every chunk is non-empty and <= size, consecutive chunks
+    overlap by exactly `overlap` (except a short final chunk)."""
+    from end_to_end_ml_spark.operators.text import chunk_documents
+
+    n, size, overlap = params
+    overlap = min(overlap, size - 1)
+    stride = size - overlap
+    words = [f"w{i}" for i in range(n)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    out = sorted(
+        chunk_documents(df, "doc_id", "text", size=size, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    chunks = [r["chunk_text"].split(" ") for r in out]
+    assert all(0 < len(c) <= size for c in chunks)
+    # reconstruct: first chunk whole, then the non-overlapped tail of each
+    rebuilt = list(chunks[0])
+    for c in chunks[1:]:
+        rebuilt.extend(c[overlap:])
+    assert rebuilt == words
+    # chunk starts advance by exactly stride
+    for k, c in enumerate(chunks):
+        assert c[0] == words[k * stride]
+
+
+pack_params = st.lists(st.integers(1, 400), min_size=1, max_size=60)
+
+
+@given(counts=pack_params, budget=st.sampled_from([64, 256, 1000]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_greedy_matches_python_scan(spark, counts, budget):
+    """Distributed packing == the sequential greedy scan, per shard."""
+    from end_to_end_ml_spark.operators.pack import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], ["doc_id", "n_tokens"]
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_id"])
+        for r in pack_greedy(df, "doc_id", "n_tokens", budget=budget, n_shards=3).collect()
+    }
+    expected = {}
+    for shard in range(3):
+        fill, b = 0, 0
+        for i, c in enumerate(counts):
+            if i % 3 != shard:
+                continue
+            if fill > 0 and fill + c > budget:
+                b, fill = b + 1, 0
+            expected[i] = (shard, b)
+            fill += c
+    assert got == expected
