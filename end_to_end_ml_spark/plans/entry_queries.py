@@ -4061,3 +4061,55 @@ ORDER BY p.user_id, p.day_ts
 """
 
 REGISTRY["ev5_daily_state_snapshot"] = (ev5_daily_state_snapshot, EV5_SNAPSHOT_SQL)
+
+
+def fn_map_suite(spark, sf_dir):
+    """MAP-function parity: per-user (event_type -> count) built with
+    map_from_entries, transformed with transform_values, pruned with
+    map_filter, then exploded back to rows so the compare is scalar. The
+    relational oracle is the HAVING form of the same computation — the MAP
+    round-trip must be a semantic no-op. map_keys/element_at are exercised
+    via the n_types / click_count columns."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    doubled = mapped.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).alias("n_types"),
+        F.coalesce(F.element_at(F.col("m"), "click"), F.lit(0)).alias("click_count"),
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda k, v: v * 2),
+            lambda k, v: v >= 20,
+        ).alias("m2"),
+    )
+    return (
+        doubled.select(
+            "user_id", "n_types", "click_count", F.explode("m2").alias("event_type", "doubled")
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+FN_MAP_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+),
+u AS (
+  SELECT user_id, count(*) AS n_types,
+         coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0) AS click_count
+  FROM per_type GROUP BY user_id
+)
+SELECT p.user_id, CAST(u.n_types AS INTEGER) AS n_types, u.click_count,
+       p.event_type, p.n * 2 AS doubled
+FROM per_type p JOIN u USING (user_id)
+WHERE p.n * 2 >= 20
+ORDER BY p.user_id, p.event_type
+"""
+
+REGISTRY["fn_map_suite"] = (fn_map_suite, FN_MAP_SQL)
