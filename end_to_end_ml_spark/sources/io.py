@@ -341,3 +341,42 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(directory)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: ``mergeSchema`` unions the
+    footers of every file under ``path`` so batches written before a column
+    existed surface it as NULL instead of silently dropping it (Spark's
+    default takes ONE footer — a pre-evolution file picked first hides the
+    new column for the whole read). Footer merging scans metadata only; at
+    100 TB prefer a table format (Delta/Iceberg) or a pinned explicit
+    schema, and treat this as the migration-window read path."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a fragmented parquet dataset into
+    ~``target_file_mb`` files (the classic ingest-side fix — thousands of
+    KB-sized micro-batch outputs destroy scan parallelism bookkeeping and
+    driver listing time at scale). File count derives from the dataset's
+    ACTUAL on-disk bytes, not a row-count guess; coalesce (no shuffle)
+    because compaction must not pay a network pass just to concatenate.
+    Returns the number of files written."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -270,3 +270,37 @@ def test_scan_cache_invalidated_on_write(spark, tmp_path):
     assert second is not first
     assert second.count() == 25
     assert sio.invalidate_scan_cache(f"{d}/tbl.parquet") == 1  # drops what we re-cached
+
+
+def test_merge_schema_read_surfaces_evolved_columns(spark, tmp_path):
+    """Schema evolution: a column added in later batches must surface (as
+    NULL for old rows) — and reconcile_columns then pins the serving set."""
+    from end_to_end_ml_spark.operators.prep import reconcile_columns
+    from end_to_end_ml_spark.sources.io import read_parquet_evolved
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS a").write.parquet(p + "/batch=1")
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS a", "id * 3 AS b"
+    ).write.parquet(p + "/batch=2")
+    back = read_parquet_evolved(spark, p)
+    assert set(back.columns) >= {"id", "a", "b"}
+    assert back.count() == 20
+    assert back.filter(F.col("b").isNull()).count() == 10
+    pinned = reconcile_columns(back, ["id", "b", "missing_col"])
+    assert pinned.columns == ["id", "b"]
+
+
+def test_compact_small_files_reduces_file_count(spark, tmp_path):
+    from end_to_end_ml_spark.sources.io import compact_small_files
+    import os
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 20000).repartition(64).write.parquet(src)
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src >= 32
+    n = compact_small_files(spark, src, dst, target_file_mb=128)
+    n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n == 1 and n_dst == 1  # tiny dataset -> one target-size file
+    assert spark.read.parquet(dst).count() == 20000
