@@ -99,7 +99,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, reps in (
-        [(n, 5) for n in HEADLINE] + [(n, 2) for n in HEAVY] + [(n, 3) for n in R5]
+        [(n, 5) for n in HEADLINE] + [(n, 3) for n in HEAVY] + [(n, 3) for n in R5]
     ):
         try:
             fn = REGISTRY[name][0]
@@ -122,6 +122,12 @@ def main() -> None:
             # across 5 iterations x 18 queries and pressure the heap of
             # later queries
             spark.catalog.clearCache()
+            # clearCache only drops the SQL cache; localCheckpoint blocks
+            # (connected components materializes one per round per rep)
+            # are RDD-level persists freed by the async ContextCleaner on
+            # JVM GC — without a nudge they linger and the heap pressure
+            # showed up as 2-4x slowdowns in whatever queries ran last
+            spark._jvm.System.gc()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
