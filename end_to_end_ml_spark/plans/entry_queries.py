@@ -3955,18 +3955,23 @@ def ev4_top_session_paths(spark, sf_dir):
         "session_seq",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    paths = tagged.groupBy("user_id", "session_seq").agg(
+    # cap BEFORE collecting: row_number over the same (user, ts, event_id)
+    # sort limits every session to its first 10 events up front, so a
+    # pathological session (a bot with millions of events) contributes 10
+    # rows to the group, not millions — collect_list state is bounded by
+    # construction. The extra window reuses the existing shuffle+sort.
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    capped = tagged.withColumn("__rn", F.row_number().over(w_sess)).filter(
+        F.col("__rn") <= 10
+    )
+    paths = capped.groupBy("user_id", "session_seq").agg(
         F.concat_ws(
             ">",
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda s: s["event_type"],
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
                 ),
-                1,
-                10,
+                lambda s: s["event_type"],
             ),
         ).alias("path")
     )
