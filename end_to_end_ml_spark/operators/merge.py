@@ -154,3 +154,45 @@ def merge_agg_snapshots(
         rule = _AGG_SPECS[agg][1]
         out.append(rule(F.col(f"__b_{name}"), F.col(f"__d_{name}")).alias(name))
     return merged.select(*keys, *out)
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dataset-version diff: (key, change) with change ∈ added / removed /
+    changed — the audit between two materializations of the same keyed
+    dataset (what changed since the last training snapshot?). Unchanged
+    rows are dropped (at 100 TB they are almost everything; emitting them
+    would make the diff as big as the data).
+
+    One FULL OUTER join on the key; equality is md5 over the
+    concatenated compare columns with a NULL sentinel (cheap fixed-width
+    compare instead of N column equalities, null-safe by construction).
+    Both sides shuffle once on the key; pre-bucketed snapshots diff
+    co-located."""
+    keys = list(key_cols)
+    cols = compare_cols or [c for c in old.columns if c not in keys]
+
+    def fp(df):
+        return F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+            )
+        )
+
+    o = old.select(*keys, fp(old).alias("__old_fp"))
+    n = new.select(*keys, fp(new).alias("__new_fp"))
+    joined = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

@@ -4161,3 +4161,56 @@ FROM documents
 """
 
 REGISTRY["dq2_corpus_expectations"] = (dq2_corpus_expectations, DQ2_CORPUS_SQL)
+
+
+def s14_snapshot_diff(spark, sf_dir):
+    """Dataset-version diff: the latest-event-per-user snapshot before vs
+    after 2024-01-20 — which users appeared, disappeared, or changed
+    state between the two materializations (operators/merge.py
+    diff_snapshots; summary counts keep the result scalar)."""
+    from ..operators.merge import diff_snapshots
+    from ..sources.io import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    snap = lambda d: latest_per_key(  # noqa: E731
+        d, ["user_id"], "ts", feature_cols=["event_type", "event_id"],
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_type")
+    # deterministic churn so every diff class is exercised: users
+    # user_id%17==0 onboard late (absent from old), users user_id%13==0
+    # churn out (absent from new)
+    old = snap(ev.filter((F.col("ts") < cutoff) & (F.col("user_id") % 17 != 0)))
+    new = snap(ev.filter(F.col("user_id") % 13 != 0))
+    d = diff_snapshots(old, new, ["user_id"], compare_cols=["event_type"])
+    return (
+        d.groupBy("change").agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("change")
+    )
+
+
+S14_DIFF_SQL = """
+WITH old_snap AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-20' AND user_id % 17 <> 0) WHERE rn = 1
+),
+new_snap AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE user_id % 13 <> 0) WHERE rn = 1
+),
+d AS (
+  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+         CASE WHEN o.user_id IS NULL THEN 'added'
+              WHEN n.user_id IS NULL THEN 'removed'
+              WHEN o.event_type <> n.event_type THEN 'changed' END AS change
+  FROM old_snap o FULL OUTER JOIN new_snap n USING (user_id)
+)
+SELECT change, count(*) AS n_users FROM d WHERE change IS NOT NULL
+GROUP BY change ORDER BY change
+"""
+
+REGISTRY["s14_snapshot_diff"] = (s14_snapshot_diff, S14_DIFF_SQL)

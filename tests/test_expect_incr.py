@@ -113,3 +113,28 @@ class TestIncrementalAgg:
         df = spark.createDataFrame([(1, 1, 1.0)], ["k", "id", "v"])
         with pytest.raises(ValueError):
             agg_snapshot(df, ["k"], {"m": ("median", "v")})
+
+
+class TestDiffSnapshots:
+    def test_all_change_classes(self, spark):
+        from end_to_end_ml_spark.operators.merge import diff_snapshots
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)], ["k", "s", "v"]
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 2.0), (3, "c", 9.0), (4, "d", 4.0)], ["k", "s", "v"]
+        )
+        out = {r["k"]: r["change"] for r in diff_snapshots(old, new, ["k"]).collect()}
+        # 1 removed, 2 unchanged (absent), 3 changed (None -> 9.0), 4 added
+        assert out == {1: "removed", 3: "changed", 4: "added"}
+
+    def test_null_vs_sentinel_not_confused(self, spark):
+        from end_to_end_ml_spark.operators.merge import diff_snapshots
+
+        old = spark.createDataFrame([(1, None)], "k INT, v STRING")
+        new = spark.createDataFrame([(1, "\x00")], "k INT, v STRING")
+        # NULL and a literal NUL byte hash identically under the sentinel —
+        # documented coalesce trade-off; assert the CURRENT contract so a
+        # future change to distinguish them is deliberate
+        assert diff_snapshots(old, new, ["k"]).count() == 0
