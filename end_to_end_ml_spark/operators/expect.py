@@ -81,7 +81,13 @@ class Check:
                 F.struct(
                     F.lit(name).alias("expectation"),
                     F.col(f"__m{i}").alias("measured"),
-                    pred(F.col(f"__m{i}")).alias("passed"),
+                    # NULL measure (min/max over an EMPTY frame) must fail,
+                    # not vanish: a three-valued NULL `passed` would slip
+                    # through enforce()'s ~passed filter and an empty input
+                    # would silently clear every range gate
+                    F.coalesce(pred(F.col(f"__m{i}")), F.lit(False)).alias(
+                        "passed"
+                    ),
                 )
                 for i, (name, _m, pred) in enumerate(self._exps)
             ]

@@ -56,6 +56,10 @@ def pack_greedy(
 
     def _pack(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        if pdf["n_tokens"].isna().any():
+            # NaN poisons every later comparison in the scan (fill+NaN>budget
+            # is False forever -> one unbounded bin); fail loudly instead
+            raise ValueError("pack_greedy: null token counts in shard")
         bins = []
         fill = 0
         b = 0

@@ -216,11 +216,16 @@ def change_history(
     deterministic tie-break on equal timestamps is what makes island
     boundaries engine-exact."""
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # null-safe island compare: a NULL attr value is a state of its own —
+    # with a plain `!=` the three-valued NULL comparison silently merged
+    # NULL-attr rows into the preceding run. row_number()==1 (not
+    # lag IS NULL) marks the first row, so a leading NULL state still
+    # opens an island; both windows share one shuffle+sort.
     flagged = df.select(key_col, attr_col, ts_col, tiebreak_col).withColumn(
         "__new_island",
         F.when(
-            F.lag(attr_col).over(w).isNull()
-            | (F.lag(attr_col).over(w) != F.col(attr_col)),
+            (F.row_number().over(w) == 1)
+            | ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w)),
             1,
         ).otherwise(0),
     )

@@ -3573,8 +3573,8 @@ def ev3_scd2_history(spark, sf_dir):
 EV3_SCD2_SQL = """
 WITH flagged AS (
   SELECT user_id, event_type, ts, event_id,
-         CASE WHEN lag(event_type) OVER w IS NULL
-                   OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_island
+         CASE WHEN row_number() OVER w = 1
+                   OR event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1 ELSE 0 END AS new_island
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -4038,8 +4038,8 @@ def ev5_daily_state_snapshot(spark, sf_dir):
 EV5_SNAPSHOT_SQL = """
 WITH flagged AS (
   SELECT user_id, event_type, ts, event_id,
-         CASE WHEN lag(event_type) OVER w IS NULL
-                   OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_island
+         CASE WHEN row_number() OVER w = 1
+                   OR event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1 ELSE 0 END AS new_island
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),

@@ -138,3 +138,18 @@ class TestDiffSnapshots:
         # documented coalesce trade-off; assert the CURRENT contract so a
         # future change to distinguish them is deliberate
         assert diff_snapshots(old, new, ["k"]).count() == 0
+
+
+def test_empty_input_fails_range_gates(spark):
+    """Range expectations over an EMPTY frame must FAIL (null measure ->
+    passed=False), not vanish into three-valued-NULL truth."""
+    empty = spark.createDataFrame([], "id INT, v DOUBLE")
+    rep = {
+        r["expectation"]: r
+        for r in (
+            Check().row_count_min(1).value_min("v", 0).value_max("v", 10).run(empty)
+        ).collect()
+    }
+    assert not rep["row_count>=1"].passed
+    assert not rep["min(v)>=0"].passed and rep["min(v)>=0"].measured is None
+    assert not rep["max(v)<=10"].passed

@@ -330,3 +330,27 @@ class TestDupNgramFraction:
             ).collect()
         }
         assert out[1]["n_grams"] == 1 and out[1]["dup_gram_frac"] == 1.0
+
+
+def test_change_history_null_attr_is_own_state(spark):
+    """NULL attribute values form their own islands (null-safe compare) —
+    and a run of NULLs is ONE island, not many."""
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, h), h) for h in range(2)
+    ] + [
+        (1, None, dt.datetime(2024, 1, 1, 2 + h), 10 + h) for h in range(2)
+    ] + [(1, "a", dt.datetime(2024, 1, 1, 5), 20)]
+    df = spark.createDataFrame(rows, "user_id INT, attr STRING, ts TIMESTAMP, event_id INT")
+    out = (
+        change_history(df, "user_id", "attr", "ts", "event_id")
+        .orderBy("valid_from")
+        .collect()
+    )
+    assert [r["attr"] for r in out] == ["a", None, "a"]
+    assert [r["n_events"] for r in out] == [2, 2, 1]
+
+
+def test_pack_greedy_null_counts_raise(spark):
+    df = spark.createDataFrame([(1, 10), (2, None)], "doc_id INT, n_tokens INT")
+    with pytest.raises(Exception, match="null token counts"):
+        pack.pack_greedy(df, "doc_id", "n_tokens", budget=100).collect()
