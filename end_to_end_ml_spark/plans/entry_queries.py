@@ -4214,3 +4214,37 @@ GROUP BY change ORDER BY change
 """
 
 REGISTRY["s14_snapshot_diff"] = (s14_snapshot_diff, S14_DIFF_SQL)
+
+
+def q23_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the 20 part pairs most often bought in
+    the same order. Distinct (order, part) first (two lineitems of one
+    part are one basket membership), then a self-join co-partitioned on
+    l_orderkey — fan-out is bounded by basket size squared (≤13 items
+    here; for retail-scale baskets cap items per order first, the ev4
+    trick), and the pair aggregate shuffles only (part_a, part_b, count)
+    partials. Top-20 is a TakeOrdered, no global sort materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+Q23_COPURCHASE_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+"""
+
+REGISTRY["q23_copurchase_pairs"] = (q23_copurchase_pairs, Q23_COPURCHASE_SQL)
