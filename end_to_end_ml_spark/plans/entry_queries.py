@@ -4248,3 +4248,72 @@ ORDER BY n_orders DESC, part_a, part_b LIMIT 20
 """
 
 REGISTRY["q23_copurchase_pairs"] = (q23_copurchase_pairs, Q23_COPURCHASE_SQL)
+
+
+def q24_association_rules(spark, sf_dir):
+    """Association rules over order baskets: for the top co-purchase
+    pairs, support counts and LIFT = (n_ab · N) / (n_a · n_b) — the
+    numerator/denominator stay exact integers (one IEEE division at the
+    end), so the statistic is engine-exact. Per-part counts broadcast
+    back onto the pair aggregate; N is a scalar broadcast, not a driver
+    round-trip per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders_total = items.select("l_orderkey").distinct().count()  # scalar
+    part_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(part_counts.select(F.col("l_partkey").alias("part_a"),
+                                           F.col("n_part").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_counts.select(F.col("l_partkey").alias("part_b"),
+                                           F.col("n_part").alias("n_b"))),
+            "part_b",
+        )
+    )
+    return (
+        enriched.select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            (
+                (F.col("n_ab") * F.lit(n_orders_total))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+Q24_ASSOC_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+pc AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b HAVING count(*) >= 3
+)
+SELECT part_a, part_b, n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
+       CAST(n_ab * tot.n AS DOUBLE) / (pa.n_part * pb.n_part) AS lift
+FROM pairs
+JOIN pc pa ON pa.l_partkey = part_a
+JOIN pc pb ON pb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY lift DESC, part_a, part_b LIMIT 20
+"""
+
+REGISTRY["q24_association_rules"] = (q24_association_rules, Q24_ASSOC_SQL)
