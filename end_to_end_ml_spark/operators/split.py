@@ -256,3 +256,31 @@ def kfold_assign(df: DataFrame, pk_col: str, k: int = 5) -> DataFrame:
         raise ValueError("k must be >= 2")
     h32 = F.conv(F.substring(F.md5(F.col(pk_col).cast("string")), 1, 8), 16, 10)
     return df.withColumn("fold", (h32.cast("long") % k).cast("int"))
+
+
+def weighted_deterministic_sample(
+    df: DataFrame, pk_col: str, weight_col, salt: str = "w1"
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling, deterministically: keep a row
+    iff u(pk) < weight, where u(pk) = first-48-md5-bits / 2^48 is a fixed
+    uniform draw per key. The importance-sampling primitive for corpus
+    mixing (upsample high-quality docs, downsample boilerplate) with the
+    same reproducibility contract as :func:`deterministic_sample`: no
+    rand(), no partitioning dependence, identical keeps on any engine —
+    and a pure narrow filter, so it fuses with the scan. ``salt`` decouples
+    draws across pipeline stages (the same pk must not share fate between
+    independent sampling steps). Weights are clamped to [0, 1]."""
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(pk_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))

@@ -245,3 +245,55 @@ def change_history(
             key_col, attr_col, "valid_from", "valid_to", "n_events", "is_current"
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the smoothing
+    recursion e_t = α·x_t + (1-α)·e_{t-1}, e_0 = x_0, in (ts, tiebreak)
+    order. Inherently sequential per key (like greedy packing), so keys
+    process independently via ``applyInPandas``: one shuffle on the key,
+    state = one scalar per key, pandas' C-implemented ``ewm`` inside the
+    Arrow batch (``adjust=False`` IS this recursion). With a dyadic α
+    (0.5 default) every operation is exact IEEE halving+add, so the DuckDB
+    recursive-CTE oracle reproduces the doubles bit-for-bit.
+
+    The closed-form window alternative (Σ x_i·(1-α)^(t-i)) overflows
+    (1-α)^-i for long histories; the recursion is the numerically-stable
+    scale form."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField(ts_col, TimestampType()),
+            StructField(tiebreak_col, LongType()),
+            StructField(value_col, DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values([ts_col, tiebreak_col]).reset_index(drop=True)
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[[key_col, ts_col, tiebreak_col, value_col, "ewma"]]
+
+    staged = df.select(
+        F.col(key_col).cast("long"),
+        F.col(ts_col),
+        F.col(tiebreak_col).cast("long"),
+        F.col(value_col).cast("double"),
+    )
+    return staged.groupBy(key_col).applyInPandas(_ewma, schema)

@@ -4317,3 +4317,58 @@ ORDER BY lift DESC, part_a, part_b LIMIT 20
 """
 
 REGISTRY["q24_association_rules"] = (q24_association_rules, Q24_ASSOC_SQL)
+
+
+def t9_weighted_sample(spark, sf_dir):
+    """Deterministic weighted (importance) sampling over documents: keep
+    probability ∝ doc length (n_chars / max within the corpus band,
+    deterministic arithmetic) — the corpus-mixing primitive that
+    upsamples long/high-quality docs reproducibly. The per-key uniform
+    draw is md5-derived, so DuckDB replicates the exact keep set."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn("w", F.col("n_chars") / F.lit(1000.0))
+    kept = split.weighted_deterministic_sample(weighted, "doc_id", "w")
+    return kept.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+T9_WEIGHTED_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5('w1|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
+      / 281474976710656.0
+      < least(greatest(n_chars / 1000.0, 0.0), 1.0)
+ORDER BY doc_id
+"""
+
+REGISTRY["t9_weighted_sample"] = (t9_weighted_sample, T9_WEIGHTED_SQL)
+
+
+def ts6_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (α=0.5 — dyadic, so the recursion is
+    IEEE-exact cross-engine); the DuckDB oracle replays it as a recursive
+    CTE, like pack1's greedy scan."""
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    return TS.ewma(ev, "user_id", "ts", "value", "event_id", alpha=0.5).orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+TS6_EWMA_SQL = """
+WITH RECURSIVE ord AS (
+  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+acc AS (
+  SELECT user_id, ts, event_id, value, rn, value AS ewma FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.ts, o.event_id, o.value, o.rn,
+         0.5 * o.value + 0.5 * a.ewma
+  FROM acc a JOIN ord o ON o.user_id = a.user_id AND o.rn = a.rn + 1
+)
+SELECT user_id, ts, event_id, value, ewma FROM acc
+ORDER BY user_id, ts, event_id
+"""
+
+REGISTRY["ts6_ewma"] = (ts6_ewma, TS6_EWMA_SQL)

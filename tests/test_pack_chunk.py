@@ -354,3 +354,43 @@ def test_pack_greedy_null_counts_raise(spark):
     df = spark.createDataFrame([(1, 10), (2, None)], "doc_id INT, n_tokens INT")
     with pytest.raises(Exception, match="null token counts"):
         pack.pack_greedy(df, "doc_id", "n_tokens", budget=100).collect()
+
+
+def test_ewma_matches_recursion(spark):
+    from end_to_end_ml_spark.operators.timeseries import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [4.0, 2.0, 8.0, 1.0]
+    rows = [(1, t0 + dt.timedelta(hours=i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, event_id INT, value DOUBLE")
+    out = (
+        ewma(df, "user_id", "ts", "value", "event_id", alpha=0.5)
+        .orderBy("ts")
+        .collect()
+    )
+    e, expected = None, []
+    for v in vals:
+        e = v if e is None else 0.5 * v + 0.5 * e
+        expected.append(e)
+    assert [r["ewma"] for r in out] == expected
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    """Same keys+weights -> same keep set; raising every weight only ever
+    ADDS rows (the uniform draw per key is fixed)."""
+    from end_to_end_ml_spark.operators.split import weighted_deterministic_sample
+
+    df = spark.createDataFrame(
+        [(i, (i % 10) / 10.0) for i in range(300)], "pk INT, w DOUBLE"
+    )
+    k1 = {r["pk"] for r in weighted_deterministic_sample(df, "pk", "w").collect()}
+    k2 = {r["pk"] for r in weighted_deterministic_sample(df, "pk", "w").collect()}
+    assert k1 == k2
+    boosted = df.withColumn("w", F.least(F.col("w") * 2, F.lit(1.0)))
+    k3 = {r["pk"] for r in weighted_deterministic_sample(boosted, "pk", "w").collect()}
+    assert k1 <= k3
+    # weight 0 keeps nothing; weight 1 keeps everything
+    assert not {r["pk"] for r in weighted_deterministic_sample(
+        df.withColumn("w", F.lit(0.0)), "pk", "w").collect()}
+    assert len({r["pk"] for r in weighted_deterministic_sample(
+        df.withColumn("w", F.lit(1.0)), "pk", "w").collect()}) == 300
