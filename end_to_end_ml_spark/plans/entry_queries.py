@@ -4372,3 +4372,80 @@ ORDER BY user_id, ts, event_id
 """
 
 REGISTRY["ts6_ewma"] = (ts6_ewma, TS6_EWMA_SQL)
+
+
+def x13_lexical_stats(spark, sf_dir):
+    """Per-language lexical audit: type-token ratio and hapax-legomenon
+    fraction — the corpus-health numbers a tokenizer/mixing decision reads
+    first. Two integer-counting aggregations over the exploded tokens
+    (explode is narrow; both groupBys partially aggregate), one IEEE
+    division each at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(text.tokens("text")).alias("__t")
+    ).select("lang", F.lower(F.col("__t")).alias("token"))
+    per_type = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_type.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            (F.col("n_types") / F.col("n_tokens")).alias("type_token_ratio"),
+            (F.col("n_hapax") / F.col("n_types")).alias("hapax_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+X13_LEXICAL_SQL = r"""
+WITH tok AS (
+  SELECT lang, lower(t) AS token
+  FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents)
+),
+pt AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token)
+SELECT lang, sum(n) AS n_tokens, count(*) AS n_types,
+       CAST(count(*) AS DOUBLE) / sum(n) AS type_token_ratio,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_frac
+FROM pt GROUP BY lang ORDER BY lang
+"""
+
+
+def t10_fixed_count_sample(spark, sf_dir):
+    """Exact-size per-stratum sample: the first 40 documents of every
+    language in md5-of-pk order — deterministic balanced eval-set
+    construction (row_number over the hash order; per-stratum windows
+    parallelize across strata). Unlike fraction-based t7/t9, the output
+    SIZE per stratum is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 40)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+T10_FIXED_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 40 ORDER BY lang, doc_id
+"""
+
+REGISTRY.update(
+    {
+        "x13_lexical_stats": (x13_lexical_stats, X13_LEXICAL_SQL),
+        "t10_fixed_count_sample": (t10_fixed_count_sample, T10_FIXED_SQL),
+    }
+)
