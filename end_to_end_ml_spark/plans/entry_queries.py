@@ -4449,3 +4449,64 @@ REGISTRY.update(
         "t10_fixed_count_sample": (t10_fixed_count_sample, T10_FIXED_SQL),
     }
 )
+
+
+def pipe5_eval_set(spark, sf_dir):
+    """Balanced held-out eval-set builder, one Catalyst plan: quality-gate
+    the corpus (length + repetition bounds), drop anything sharing an
+    8-gram with the training side (broadcast LEFT ANTI — eval must not
+    leak into train), then take an EXACT 25-doc md5-ordered sample per
+    language. The t10/d9 composition a real benchmark pipeline runs; the
+    train side here is doc_id % 3 != 0, the eval candidates the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    cands = docs.filter(F.col("doc_id") % 3 == 0)
+    q = cands.select(
+        "doc_id", "lang", "n_chars",
+        F.size(text.tokens("text")).alias("__ntok"),
+    ).filter((F.col("__ntok") >= 10) & (F.col("n_chars") >= 50))
+    contaminated = text.contaminated_doc_ids(
+        cands, train, "doc_id", "text", n=8
+    )
+    clean = q.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        clean.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 25)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
+PIPE5_EVAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 8, 0) + 2),
+           i -> array_to_string(t[i:i+7], ' ')))) AS g
+  FROM toks
+),
+train_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 3 <> 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id FROM grams c JOIN train_grams tg ON c.g = tg.g
+  WHERE c.doc_id % 3 = 0
+),
+cand AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM documents d JOIN toks USING (doc_id)
+  WHERE d.doc_id % 3 = 0 AND len(toks.t) >= 10 AND d.n_chars >= 50
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM cand
+) WHERE rn <= 25 ORDER BY lang, doc_id
+"""
+
+REGISTRY["pipe5_eval_set"] = (pipe5_eval_set, PIPE5_EVAL_SQL)
