@@ -40,8 +40,11 @@ def time_window_pairs(
     within ``window_sec`` seconds: (key, id_a, id_b, ts_a, ts_b,
     gap_seconds) with (ts_a, id_a) < (ts_b, id_b) lexicographically — the
     deterministic pair orientation (id tie-break on equal timestamps, so
-    the pair set is engine-exact). gap_seconds is an exact integer
-    difference of epoch seconds.
+    the pair set is engine-exact). gap_seconds is the exact integer
+    difference of TRUNCATED (floor) epoch seconds — the window predicate
+    uses the same truncated values, so "within window" means floor-second
+    granularity on every engine identically (sub-second fractions never
+    flip membership differently across engines).
 
     The sessionization/attribution primitive ("events within an hour of
     each other"), and the self-join form of a general band join."""
