@@ -2,7 +2,8 @@
 Spark and its oracle_sql() on DuckDB over the same sf dir; compare row count,
 schema (column names), and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--window] [sf_dir] [query ...]
+(--window restricts to the driver's 50-slot DRIVER_WINDOW snapshot)
 """
 
 from __future__ import annotations
@@ -46,8 +47,18 @@ def rows_to_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    window_only = "--window" in args
+    if window_only:
+        args.remove("--window")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if window_only:
+        # replicate exactly the driver's snapshot: the first 50 registry
+        # entries (== DRIVER_WINDOW by construction)
+        from end_to_end_ml_spark.plans.entry_queries import DRIVER_WINDOW
+
+        only = set(DRIVER_WINDOW)
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
