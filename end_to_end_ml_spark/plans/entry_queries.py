@@ -4510,3 +4510,49 @@ SELECT doc_id, lang, n_chars FROM (
 """
 
 REGISTRY["pipe5_eval_set"] = (pipe5_eval_set, PIPE5_EVAL_SQL)
+
+
+def x14_data_card(spark, sf_dir):
+    """Corpus data-card rollup: docs, whitespace tokens, and chars per
+    (lang, source) with share-of-corpus in exact ppm — the budget table a
+    dataset card leads with. One scan, one partial-aggregated groupBy;
+    the ppm is integer arithmetic over a scalar total (windowless:
+    the total broadcasts as a literal-free cross join of a 1-row agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(text.tokens("text")).cast("long")).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__tot"))
+    return (
+        per.crossJoin(total)
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.floor(F.col("n_tokens") * 1000000 / F.col("__tot"))
+            .cast("long")
+            .alias("token_share_ppm"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+X14_DATA_CARD_SQL = r"""
+WITH per AS (
+  SELECT lang, source, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens,
+         sum(n_chars) AS n_chars
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT sum(n_tokens) AS t FROM per)
+SELECT lang, source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, n_chars,
+       CAST(floor(n_tokens * 1000000 / tot.t) AS BIGINT) AS token_share_ppm
+FROM per CROSS JOIN tot
+ORDER BY lang, source
+"""
+
+REGISTRY["x14_data_card"] = (x14_data_card, X14_DATA_CARD_SQL)
