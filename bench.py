@@ -66,6 +66,20 @@ R5 = [
     "ev3_scd2_history",
 ]
 
+# Round-6 additions: the heavy round-5-tail families that had no bench row
+# (a regression there would be invisible exactly as d7's was before r5):
+# session-path mining (two windows + two aggregations over all events),
+# market-basket self-join pair counting + association rules, the eval-set
+# corpus pipeline, and the sequential EWMA kernel. Counted in the total,
+# not in r4_comparable_total.
+R6 = [
+    "ev4_top_session_paths",
+    "q23_copurchase_pairs",
+    "q24_association_rules",
+    "pipe5_eval_set",
+    "ts6_ewma",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -81,6 +95,20 @@ def main() -> None:
             # (on a real cluster the file count provides this for free)
             "spark.sql.files.maxPartitionBytes": "8m",
             "spark.sql.files.openCostInBytes": "1m",
+            # Long-lived-session hygiene (the r5 bench shipped d4 at 4.78 s
+            # in situ vs 0.66 s isolated — late-slot queries absorbed
+            # accumulated session state):
+            # (1) ~125 queries x reps of giant generated aggregates churn
+            # the JIT code cache; the 240m default leaves the sweeper
+            # fighting for space once profiled nmethods fill, and HotSpot
+            # degrades to interpreted codegen exactly on the biggest plans.
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+            # (2) the async ContextCleaner only reclaims localCheckpoint /
+            # broadcast blocks after a driver GC notices the dead refs; an
+            # idle driver can go the whole bench without a full GC, so
+            # force one periodically (default is 30min — longer than the
+            # entire run).
+            "spark.cleaner.periodicGC.interval": "2min",
         },
     )
     from end_to_end_ml_spark.plans.entry_queries import REGISTRY
@@ -99,7 +127,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, reps in (
-        [(n, 5) for n in HEADLINE] + [(n, 3) for n in HEAVY] + [(n, 3) for n in R5]
+        [(n, 5) for n in HEADLINE]
+        + [(n, 3) for n in HEAVY]
+        + [(n, 3) for n in R5]
+        + [(n, 3) for n in R6]
     ):
         try:
             fn = REGISTRY[name][0]
@@ -107,8 +138,8 @@ def main() -> None:
             # min of 5: the heavy generated aggregates (d4's 16-lane packed
             # sums) need 2-3 executions before C2 JIT reaches steady state;
             # min-of-3 was still measuring compilation on the big plans.
-            # (HEAVY queries run min-of-2: one execution is seconds, and the
-            # second rep already reflects warmed codegen.)
+            # (HEAVY/R5 queries run min-of-3: one execution is seconds, and
+            # the second rep already reflects warmed codegen.)
             for _ in range(reps):
                 t0 = time.perf_counter()
                 force(fn(spark, SF_DIR))
@@ -128,6 +159,34 @@ def main() -> None:
             # JVM GC — without a nudge they linger and the heap pressure
             # showed up as 2-4x slowdowns in whatever queries ran last
             spark._jvm.System.gc()
+    # Soak probe: a long-lived driver must not degrade. Re-time the first
+    # headline query after the full sweep; if it is >2x its own slot-1 time
+    # the session has accumulated state (code-cache exhaustion, cleaner
+    # backlog, old-gen pressure) and the bench flags it rather than letting
+    # late-slot queries silently absorb the penalty (r5 shipped d4 at 4.78 s
+    # in situ vs 0.66 s isolated for exactly this reason).
+    soak = {}
+    if "q1_pricing_summary" in timings:
+        t0 = time.perf_counter()
+        force(REGISTRY["q1_pricing_summary"][0](spark, SF_DIR))
+        soak["q1_end_of_run"] = round(time.perf_counter() - t0, 3)
+        soak["q1_slot1"] = timings["q1_pricing_summary"]
+        soak["degraded"] = soak["q1_end_of_run"] > 2 * soak["q1_slot1"]
+    # JVM health snapshot (stderr, not the JSON line): code-cache pools are
+    # the prime suspect for uniform late-run slowdowns — when CodeHeap
+    # 'non-profiled nmethods' fills, HotSpot stops compiling and whole-stage
+    # codegen runs interpreted.
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        for pool in mf.getMemoryPoolMXBeans():
+            u = pool.getUsage()
+            print(
+                f"[jvm-pool] {pool.getName()}: used={u.getUsed() >> 20}m "
+                f"max={max(u.getMax(), 0) >> 20}m",
+                file=sys.stderr,
+            )
+    except Exception as exc:  # noqa: BLE001 — diagnostics only
+        print(f"[jvm-pool] unavailable: {exc}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -142,7 +201,13 @@ def main() -> None:
         "r4_comparable_total": round(
             sum(v for k, v in timings.items() if k in HEADLINE), 3
         ),
+        # sum over the round-5 25-query set, for r5 comparability
+        "r5_comparable_total": round(
+            sum(v for k, v in timings.items() if k in HEADLINE + HEAVY + R5), 3
+        ),
     }
+    if soak:
+        out["soak"] = soak
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

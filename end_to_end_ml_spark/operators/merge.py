@@ -168,20 +168,26 @@ def diff_snapshots(
     rows are dropped (at 100 TB they are almost everything; emitting them
     would make the diff as big as the data).
 
-    One FULL OUTER join on the key; equality is md5 over the
-    concatenated compare columns with a NULL sentinel (cheap fixed-width
-    compare instead of N column equalities, null-safe by construction).
-    Both sides shuffle once on the key; pre-bucketed snapshots diff
-    co-located."""
+    One FULL OUTER join on the key; equality is md5 over an INJECTIVE
+    row encoding (cheap fixed-width compare instead of N column
+    equalities, null-safe by construction). Separator-in-value
+    ambiguity is eliminated by hashing each column separately first:
+    every column contributes either the 1-char NULL marker or 'V' + its
+    fixed-width 32-hex md5, so no value can collide with a neighbor's
+    encoding and two different rows can only hash equal via an md5
+    collision. Both sides shuffle once on the key; pre-bucketed
+    snapshots diff co-located."""
     keys = list(key_cols)
     cols = compare_cols or [c for c in old.columns if c not in keys]
 
     def fp(df):
-        return F.md5(
-            F.concat_ws(
-                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+        parts = [
+            F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+                F.concat(F.lit("V"), F.md5(F.col(c).cast("string")))
             )
-        )
+            for c in cols
+        ]
+        return F.md5(F.concat(*parts))
 
     o = old.select(*keys, fp(old).alias("__old_fp"))
     n = new.select(*keys, fp(new).alias("__new_fp"))

@@ -269,7 +269,10 @@ def weighted_deterministic_sample(
     rand(), no partitioning dependence, identical keeps on any engine —
     and a pure narrow filter, so it fuses with the scan. ``salt`` decouples
     draws across pipeline stages (the same pk must not share fate between
-    independent sampling steps). Weights are clamped to [0, 1]."""
+    independent sampling steps). Weights are clamped to [0, 1]: this is
+    the DOWNSAMPLING half — a weight above 1 silently caps at keep-all
+    here; duplication-based upsampling is a different output shape
+    (multiset) and lives in :func:`weighted_replicated_sample`."""
     w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
     u = (
         F.conv(
@@ -284,3 +287,53 @@ def weighted_deterministic_sample(
         / F.lit(float(1 << 48))
     )
     return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
+
+
+def weighted_replicated_sample(
+    df: DataFrame,
+    pk_col: str,
+    weight_col,
+    salt: str = "w1",
+    max_weight: float = 100.0,
+) -> DataFrame:
+    """Weighted sampling WITH replication — the upsampling half that
+    :func:`weighted_deterministic_sample` deliberately clamps away: a row
+    with weight w is emitted floor(w) times plus one more iff u(pk) <
+    frac(w), so E[copies] = w exactly for any w ≥ 0. Output gains a
+    ``copy_idx`` column (0..copies-1) so downstream shuffles and
+    train-time dedup can tell replicas apart. The corpus-mixing primitive
+    for epoch-weighting high-quality sources (w=2.5 → every doc twice,
+    half the docs a third time, chosen deterministically per key).
+
+    Same determinism contract as the Bernoulli path: u(pk) is md5-derived,
+    so the exact multiset of copies is reproducible on any engine / any
+    partitioning. ``max_weight`` caps the explode fan-out — a corrupt
+    weight of 1e9 would otherwise materialize 1e9 rows from one input row;
+    the cap keeps worst-case amplification bounded and loud in the plan.
+    Scale shape: one narrow projection + an explode bounded by
+    ceil(max_weight) — no shuffle, fuses with the scan."""
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(float(max_weight)))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(pk_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    copies = (
+        F.floor(w) + F.when(u < w - F.floor(w), F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("__copies") - 1))
+        )
+        .drop("__copies")
+    )

@@ -3175,8 +3175,8 @@ cum AS (
          sum(n_cur) OVER (ORDER BY bin) AS cum_cur
   FROM counts
 )
-SELECT max(abs(cum_ref * (SELECT sum(n_cur) FROM counts)
-              - cum_cur * (SELECT sum(n_ref) FROM counts))) AS ks_num,
+SELECT CAST(max(abs(cum_ref * (SELECT sum(n_cur) FROM counts)
+              - cum_cur * (SELECT sum(n_ref) FROM counts))) AS BIGINT) AS ks_num,
        (SELECT CAST(sum(n_ref) AS BIGINT) FROM counts) AS n_ref_total,
        (SELECT CAST(sum(n_cur) AS BIGINT) FROM counts) AS n_cur_total
 FROM cum
@@ -3723,103 +3723,6 @@ REGISTRY.update(
 )
 
 
-# ---------------------------------------------------------------------------
-# Driver window (first 50 registry entries) — deliberate round-5 rotation.
-#
-# The driver's correctness snapshot covers the FIRST 50 entries only, so the
-# window is re-picked each round to (a) stay all-oracled, (b) span every
-# operator family, and (c) rotate in queries that have never had a driver
-# row. Round-5 swaps IN the round-4 flagships (pipe3, q9, q21, ev1/ev2,
-# a15/a16, x5, x8, ts5), the new s2 sink round-trip, and five round-5
-# family flagships (x9 chunking, pack1 greedy packing, ev3 SCD2 islands,
-# rj1 banded range join, emb1 integer-exact random projection); swapped
-# OUT are near-duplicate slots whose family stays covered (sim1b shares
-# sim1's oracle; d5/d2 duplicate the d-family; f8 vs f4; a5/a7/a9/a13
-# leave 4 metric slots; q7, w5, p7, t7, s9, ts2, x3, agg_percentiles each
-# have a same-family sibling still in). All 138 registry entries remain
-# locally verified via tools/check_oracle.py.
-# ---------------------------------------------------------------------------
-
-DRIVER_WINDOW = [
-    # flagship relational
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_supplier_volume",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "q20_above_avg_orders",
-    "q21_sole_failing_supplier",
-    # windows
-    "w1_top_parts",
-    "w4_running_total",
-    # prep
-    "p3_p4_clean_documents",
-    "p5_dup_check",
-    "p6_latest_order_per_customer",
-    "p8_null_audit",
-    # splits / sampling
-    "t1_stratified_split",
-    "t2_time_split",
-    # sources / sinks
-    "s2_partitioned_roundtrip",
-    "s3_pit_join",
-    "s5_json_props",
-    # metrics
-    "a6_roc_auc",
-    "a8_auc_ovr_macro",
-    "a12_roc_curve",
-    "m8_threshold_sweep",
-    # drift
-    "a15_drift_bins",
-    "a16_ks_drift",
-    # multi-dimensional aggregates
-    "agg_cube",
-    # skew handling
-    "skew1_salted_join_agg",
-    "skew2_salted_collect",
-    # events / timeseries
-    "st_hourly_window",
-    "st_sessionize",
-    "ts3_time_weighted_avg",
-    "ts5_rolling_distinct_users",
-    "ev1_funnel_conversion",
-    "ev2_retention_cohorts",
-    "ev3_scd2_history",
-    # dedup (LLM-data-pipeline)
-    "d1_exact_dup_groups",
-    "d3_minhash_lsh_pairs",
-    "d7_near_dup_groups",
-    # text analysis
-    "x2_quality_scores",
-    "x5_repetition_scores",
-    "x8_winnow_fingerprints",
-    "x9_chunk_documents",
-    # pipeline / multimodal
-    "pipe1_clean_corpus",
-    "pipe3_pretrain_corpus",
-    "mm1_payload_metadata",
-    # similarity search
-    "sim1_topk_bruteforce",
-    # embeddings / packing / range join (round-5 families)
-    "emb1_random_projection",
-    "pack1_sequence_packing",
-    "rj1_event_pairs",
-    # feature engineering
-    "f4_infrequent_collapse",
-]
-
-assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
-assert len(set(DRIVER_WINDOW)) == 50, "driver window has duplicates"
-_missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
-assert not _missing, f"driver window names not in REGISTRY: {_missing}"
-_unoracled = [n for n in DRIVER_WINDOW if REGISTRY[n][1] is None]
-assert not _unoracled, f"driver window entries must all be oracled: {_unoracled}"
-
-REGISTRY = {
-    name: REGISTRY[name]
-    for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
-}
 
 
 def x12_dup_ngram_fraction(spark, sf_dir):
@@ -4342,6 +4245,42 @@ ORDER BY doc_id
 REGISTRY["t9_weighted_sample"] = (t9_weighted_sample, T9_WEIGHTED_SQL)
 
 
+def t9b_replicated_sample(spark, sf_dir):
+    """Weighted sampling WITH replication (epoch-weighting): w = n_chars /
+    400 caps around ~5 for the longest docs, so long documents repeat up
+    to 5x per epoch while short ones keep fractionally — floor(w) copies
+    + one more iff the md5 draw lands under frac(w). copy_idx
+    disambiguates replicas; DuckDB replays the exact multiset via
+    unnest(range(copies))."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn("w", F.col("n_chars") / F.lit(400.0))
+    kept = split.weighted_replicated_sample(weighted, "doc_id", "w", max_weight=5.0)
+    return kept.select("doc_id", "lang", "n_chars", "copy_idx").orderBy(
+        "doc_id", "copy_idx"
+    )
+
+
+T9B_REPLICATED_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         least(greatest(n_chars / 400.0, 0.0), 5.0) AS w,
+         CAST(('0x' || substr(md5('w1|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
+           / 281474976710656.0 AS u
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS BIGINT) AS copies
+  FROM w
+)
+SELECT doc_id, lang, n_chars, CAST(unnest(range(copies)) AS BIGINT) AS copy_idx
+FROM c WHERE copies > 0
+ORDER BY doc_id, copy_idx
+"""
+
+REGISTRY["t9b_replicated_sample"] = (t9b_replicated_sample, T9B_REPLICATED_SQL)
+
+
 def ts6_ewma(spark, sf_dir):
     """Per-user EWMA of event values (α=0.5 — dyadic, so the recursion is
     IEEE-exact cross-engine); the DuckDB oracle replays it as a recursive
@@ -4556,3 +4495,215 @@ ORDER BY lang, source
 """
 
 REGISTRY["x14_data_card"] = (x14_data_card, X14_DATA_CARD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Driver window (first 50 registry entries) — deliberate round-6 rotation.
+#
+# The driver's correctness snapshot covers the FIRST 50 entries only, so the
+# window is re-picked each round to (a) stay all-oracled, (b) span every
+# operator family, and (c) rotate in queries that have never had a driver
+# row. Round-6 swaps IN the fifteen round-5-tail queries that have never
+# had a driver row (q23/q24 market-basket, t9/t10 samplers, s13/s14
+# incremental-agg + snapshot diff, dq1/dq2 expectations gates, ts6 EWMA,
+# ev4 session paths, ev5 daily state snapshot, x13/x14 lexical audit +
+# data card, pipe5 eval set, fn_map_suite); swapped OUT are fifteen slots
+# that were ALL driver-green in r5 and whose family stays covered (q18/q20
+# vs q1-q21+q23/q24; w1 vs w4; p5/p8 vs p3_p4+p6; s5 vs s2/s3+s13/s14;
+# a12 vs a6/a8/m8; a15 vs a16; skew1 vs skew2; st_sessionize vs
+# st_hourly; ts3 vs ts5/ts6; ev1 vs ev2-ev5; d1 vs d3/d7; x5 vs
+# x2/x8/x9+x13/x14; pipe1 vs pipe3+pipe5). All 154 registry entries
+# remain locally verified via tools/check_oracle.py.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW = [
+    # flagship relational
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_supplier_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q21_sole_failing_supplier",
+    "q23_copurchase_pairs",
+    "q24_association_rules",
+    # windows
+    "w4_running_total",
+    # prep
+    "p3_p4_clean_documents",
+    "p6_latest_order_per_customer",
+    # splits / sampling
+    "t1_stratified_split",
+    "t2_time_split",
+    "t9_weighted_sample",
+    "t10_fixed_count_sample",
+    # sources / sinks / incremental maintenance
+    "s2_partitioned_roundtrip",
+    "s3_pit_join",
+    "s13_incremental_agg",
+    "s14_snapshot_diff",
+    # metrics
+    "a6_roc_auc",
+    "a8_auc_ovr_macro",
+    "m8_threshold_sweep",
+    # drift
+    "a16_ks_drift",
+    # multi-dimensional aggregates
+    "agg_cube",
+    # skew handling
+    "skew2_salted_collect",
+    # data-quality gates
+    "dq1_expectations",
+    "dq2_corpus_expectations",
+    # events / timeseries
+    "st_hourly_window",
+    "ts5_rolling_distinct_users",
+    "ts6_ewma",
+    "ev2_retention_cohorts",
+    "ev3_scd2_history",
+    "ev4_top_session_paths",
+    "ev5_daily_state_snapshot",
+    # dedup (LLM-data-pipeline)
+    "d3_minhash_lsh_pairs",
+    "d7_near_dup_groups",
+    # text analysis
+    "x2_quality_scores",
+    "x8_winnow_fingerprints",
+    "x9_chunk_documents",
+    "x13_lexical_stats",
+    "x14_data_card",
+    # pipeline / multimodal
+    "pipe3_pretrain_corpus",
+    "pipe5_eval_set",
+    "mm1_payload_metadata",
+    # similarity search
+    "sim1_topk_bruteforce",
+    # embeddings / packing / range join
+    "emb1_random_projection",
+    "pack1_sequence_packing",
+    "rj1_event_pairs",
+    # feature engineering
+    "f4_infrequent_collapse",
+    # function-library suite
+    "fn_map_suite",
+]
+
+assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
+assert len(set(DRIVER_WINDOW)) == 50, "driver window has duplicates"
+_missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+assert not _missing, f"driver window names not in REGISTRY: {_missing}"
+_unoracled = [n for n in DRIVER_WINDOW if REGISTRY[n][1] is None]
+assert not _unoracled, f"driver window entries must all be oracled: {_unoracled}"
+
+REGISTRY = {
+    name: REGISTRY[name]
+    for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
+}
+
+
+def d10_span_dedup(spark, sf_dir):
+    """Span-level (substring) dedup stats — the Lee-et-al ExactSubstr
+    approximation: per document, merged intervals of 10-token windows
+    whose content occurs >= 2 times anywhere in the corpus, with removed-
+    token accounting. Positional-gram explode + corpus-frequency join +
+    per-doc interval merge; all-integer counts + one division."""
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_span_stats(docs, "doc_id", "text", n=10).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_spans",
+        "n_removed_tokens",
+        "kept_frac",
+    ).orderBy("doc_id")
+
+
+D10_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sized AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM toks),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         substr(md5(array_to_string(list_slice(t, i + 1, i + 10), ' ')), 1, 16) AS g
+  FROM sized, UNNEST(range(n_tokens - 10 + 1)) AS u(i)
+  WHERE n_tokens >= 10
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 10) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newi
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos, sum(newi) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, isl_id, max(pos) + 10 - min(pos) AS removed
+  FROM isl GROUP BY doc_id, isl_id
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(removed) AS BIGINT) AS n_removed_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.n_removed_tokens, 0) AS n_removed_tokens,
+       (s.n_tokens - coalesce(p.n_removed_tokens, 0)) / s.n_tokens AS kept_frac
+FROM sized s LEFT JOIN per_doc p USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+REGISTRY["d10_span_dedup"] = (d10_span_dedup, D10_SPAN_SQL)
+
+
+def fn_higher_order_text_suite(spark, sf_dir):
+    """Higher-order ARRAY-function parity (transform / filter / exists /
+    forall / aggregate / sort_array / slice): per-document token-array
+    analytics computed entirely inside array lambdas, checked against the
+    relational (unnest) formulation in DuckDB — the lambda pipeline must
+    be a semantic no-op vs row-space SQL. All-integer outputs + booleans;
+    sort order is binary UTF8 in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("t"), lambda x: F.length(x) >= 6))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.aggregate(
+            F.col("t"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.exists(F.col("t"), lambda x: x.rlike("[0-9]")).alias("has_digit"),
+        F.forall(F.col("t"), lambda x: F.length(x) < 20).alias("all_short"),
+        F.concat_ws(" ", F.slice(F.array_sort(F.col("t")), 1, 5)).alias("first5_sorted"),
+    ).orderBy("doc_id")
+
+
+FN_ARRAY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(t, x -> length(x) >= 6)) AS BIGINT) AS n_long_tokens,
+       CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS total_chars,
+       len(list_filter(t, x -> regexp_matches(x, '[0-9]'))) > 0 AS has_digit,
+       len(list_filter(t, x -> length(x) >= 20)) = 0 AS all_short,
+       array_to_string(list_slice(list_sort(t), 1, 5), ' ') AS first5_sorted
+FROM toks
+ORDER BY doc_id
+"""
+
+REGISTRY["fn_higher_order_text_suite"] = (fn_higher_order_text_suite, FN_ARRAY_SQL)

@@ -237,7 +237,17 @@ def sessionize_stateful(
                 out.append((key[0], *cur))
                 cur = (t, t, 1, float(v))
             else:
-                cur = (cur[0], t, cur[2] + 1, cur[3] + float(v))
+                # late (out-of-order across micro-batches, within-watermark)
+                # events may carry t < cur[1] — or even t < cur[0]; clamp so
+                # a straggler can only widen the session, never regress its
+                # end (which would also pull the EventTimeTimeout earlier
+                # and close the session prematurely, mis-splitting the rest)
+                cur = (
+                    min(cur[0], t),
+                    max(cur[1], t),
+                    cur[2] + 1,
+                    cur[3] + float(v),
+                )
         state.update(cur)
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # ms epoch
         return iter(
@@ -351,6 +361,45 @@ def interval_join(
     )
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`interval_join`: every left event is
+    emitted, with NULL right columns when no same-user right event landed
+    in (left.ts - max_lag, left.ts] — the "purchases with NO preceding
+    view" attribution gap report. Outer stream-stream joins need BOTH the
+    watermarks and the time-bound condition for a second reason beyond
+    state retention: a left row can only be emitted as unmatched once the
+    right watermark has passed its entire candidate window (before that a
+    match could still arrive), so null-joined rows trail the watermark
+    rather than appearing immediately. State bound and shuffle shape are
+    identical to the inner form."""
+    l = left.select(
+        F.col("event_id").alias("l_id"),
+        F.col(user_col).alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("r_id"),
+        F.col(user_col).alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    lag = F.expr(f"INTERVAL {max_lag}")
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - lag),
+        "left_outer",
+    ).select(
+        "l_id", "r_id", F.col("l_user").alias("user_id"), "l_ts", "r_ts"
+    )
+
+
 def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     """The Spark 4 ``transformWithStateInPandas`` form of
     :func:`stateful_user_totals` — same per-user running totals, written
@@ -358,8 +407,14 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
     ``applyInPandasWithState`` (typed value state on a handle, explicit
     init/close lifecycle, composable timers). Requires the RocksDB state
     store provider, and a working ``protobuf`` python package for the
-    state-server protocol (absent from this container — the test
-    import-gates on it; the operator itself is environment-independent).
+    state-server protocol.
+
+    EXPERIMENTAL support status: ``protobuf`` is absent from this
+    container, so the batch-parity equivalence test import-gates and
+    skips here — this operator is the one surface in the repo that CI
+    cannot execute end-to-end. The test auto-unskips wherever protobuf
+    is installed; prefer :func:`stateful_user_totals`
+    (``applyInPandasWithState``, fully tested) until then.
 
     Scale shape is unchanged: one tiny state row per user key in the
     executor-local RocksDB store, Arrow-batched input, only keys present

@@ -353,3 +353,85 @@ def test_lsh_hot_bucket_guard(spark):
     # uncapped: the flood dominates candidate generation
     full = dedup.minhash_lsh_candidates(df, "doc_id", "text").count()
     assert full > len(capped)
+
+
+class TestSpanDedup:
+    def _corpus(self, spark):
+        # doc 1 & 2 share a 12-token boilerplate header; doc 3 repeats its
+        # own 10-token sentence twice; doc 4 is clean; doc 5 is shorter
+        # than n and must be untouched
+        boiler = "this license text is identical across documents and must be removed entirely now"
+        rep = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, boiler + " unique tail one two three"),
+            (2, boiler + " different ending words here"),
+            (3, rep + " filler middle words go here " + rep),
+            (4, "a perfectly unique document with no repeated spans at all kept whole"),
+            (5, "too short"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_stats_match_python_reference(self, spark):
+        import hashlib
+
+        df = self._corpus(spark)
+        n = 10
+        texts = {r["doc_id"]: r["text"] for r in df.collect()}
+        # python replay of the exact same algorithm
+        from collections import Counter
+
+        occ = Counter()
+        pos_grams = {}
+        for d, t in texts.items():
+            toks = t.split()
+            grams = [
+                hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:16]
+                for i in range(len(toks) - n + 1)
+            ] if len(toks) >= n else []
+            pos_grams[d] = grams
+            occ.update(grams)
+        expected = {}
+        for d, grams in pos_grams.items():
+            hits = [i for i, g in enumerate(grams) if occ[g] >= 2]
+            spans = []
+            for p in hits:
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + n)
+                else:
+                    spans.append([p, p + n])
+            removed = sum(e - s for s, e in spans)
+            expected[d] = (len(texts[d].split()), len(spans), removed)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_removed_tokens"])
+            for r in dedup.duplicated_span_stats(df, "doc_id", "text", n=n).collect()
+        }
+        assert got == expected
+        assert got[4][1] == 0 and got[5][1] == 0  # clean + short untouched
+        assert got[1][1] >= 1 and got[3][1] >= 1  # cross-doc + within-doc found
+
+    def test_remove_spans_cuts_exactly(self, spark):
+        df = self._corpus(spark)
+        n = 10
+        stats = {
+            r["doc_id"]: r
+            for r in dedup.duplicated_span_stats(df, "doc_id", "text", n=n).collect()
+        }
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicated_spans(df, "doc_id", "text", n=n).collect()
+        }
+        texts = {r["doc_id"]: r["text"] for r in df.collect()}
+        for d, r in out.items():
+            # token accounting agrees with the stats pass
+            assert r["n_removed_tokens"] == stats[d]["n_removed_tokens"]
+            kept = r["clean_text"].split() if r["clean_text"] else []
+            assert len(kept) == r["n_tokens"] - r["n_removed_tokens"]
+            # kept tokens are a subsequence of the original tokens
+            orig = texts[d].split()
+            it = iter(orig)
+            assert all(any(t == o for o in it) for t in kept)
+        # the clean doc survives byte-identically (modulo ws normalization)
+        assert out[4]["clean_text"] == " ".join(texts[4].split())
+        # the shared boilerplate is gone from both docs
+        assert "license" not in out[1]["clean_text"]
+        assert "license" not in out[2]["clean_text"]

@@ -129,15 +129,27 @@ class TestDiffSnapshots:
         # 1 removed, 2 unchanged (absent), 3 changed (None -> 9.0), 4 added
         assert out == {1: "removed", 3: "changed", 4: "added"}
 
-    def test_null_vs_sentinel_not_confused(self, spark):
+    def test_null_vs_nul_byte_distinguished(self, spark):
         from end_to_end_ml_spark.operators.merge import diff_snapshots
 
         old = spark.createDataFrame([(1, None)], "k INT, v STRING")
         new = spark.createDataFrame([(1, "\x00")], "k INT, v STRING")
-        # NULL and a literal NUL byte hash identically under the sentinel —
-        # documented coalesce trade-off; assert the CURRENT contract so a
-        # future change to distinguish them is deliberate
-        assert diff_snapshots(old, new, ["k"]).count() == 0
+        # the injective per-column encoding (NULL marker vs V+md5) must
+        # tell NULL apart from any literal value, including a NUL byte
+        out = {r["k"]: r["change"] for r in diff_snapshots(old, new, ["k"]).collect()}
+        assert out == {1: "changed"}
+
+    def test_separator_in_value_injective(self, spark):
+        from end_to_end_ml_spark.operators.merge import diff_snapshots
+
+        # under the old concat_ws('\x1f') encoding these two rows produced
+        # the SAME byte string ('x' + sep + 'y' + sep + 'z') and the change
+        # was silently dropped; per-column hashing makes the encoding
+        # injective
+        old = spark.createDataFrame([(1, "x\x1fy", "z")], "k INT, a STRING, b STRING")
+        new = spark.createDataFrame([(1, "x", "y\x1fz")], "k INT, a STRING, b STRING")
+        out = {r["k"]: r["change"] for r in diff_snapshots(old, new, ["k"]).collect()}
+        assert out == {1: "changed"}
 
 
 def test_empty_input_fails_range_gates(spark):

@@ -109,3 +109,46 @@ def test_deterministic_sample_reproducible_and_bounded(spark):
     s1 = {r["pk"] for r in split.deterministic_sample(df, "pk", "19", "y").collect()}
     s2 = {r["pk"] for r in split.deterministic_sample(df, "pk", "19", "y").collect()}
     assert s1 == s2
+
+
+def test_weighted_replicated_sample_exact_multiset(spark):
+    """floor(w) copies + one more iff u < frac(w), u md5-derived — the
+    exact multiset is reproducible and matches a python replay of the
+    same arithmetic; copy_idx is 0..copies-1 per key."""
+    import hashlib
+
+    df = spark.range(0, 500).selectExpr(
+        "id as pk", "cast(id % 7 as double) / 2.0 as w"  # weights 0.0 .. 3.0
+    )
+    out = split.weighted_replicated_sample(df, "pk", "w", max_weight=5.0)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["pk"], []).append(r["copy_idx"])
+    expected = {}
+    for pk in range(500):
+        w = min(max((pk % 7) / 2.0, 0.0), 5.0)
+        u = int(hashlib.md5(f"w1|{pk}".encode()).hexdigest()[:12], 16) / float(1 << 48)
+        copies = int(w) + (1 if u < w - int(w) else 0)
+        if copies > 0:
+            expected[pk] = list(range(copies))
+    assert {k: sorted(v) for k, v in got.items()} == expected
+    # zero-weight rows never survive
+    assert all((pk % 7) != 0 for pk in got)
+
+
+def test_weighted_replicated_fractional_matches_bernoulli(spark):
+    """For w < 1 the replication path degenerates to exactly the Bernoulli
+    sampler's keep set (with copy_idx == 0 everywhere)."""
+    df = spark.range(0, 2000).selectExpr("id as pk", "cast(id % 10 as double) / 10.0 as w")
+    rep = split.weighted_replicated_sample(df, "pk", "w")
+    bern = split.weighted_deterministic_sample(df, "pk", "w")
+    rep_rows = rep.collect()
+    assert all(r["copy_idx"] == 0 for r in rep_rows)
+    assert {r["pk"] for r in rep_rows} == {r["pk"] for r in bern.collect()}
+
+
+def test_weighted_replicated_sample_caps_fanout(spark):
+    """A corrupt giant weight must amplify by at most max_weight copies."""
+    df = spark.createDataFrame([(1, 1e9)], "pk INT, w DOUBLE")
+    out = split.weighted_replicated_sample(df, "pk", "w", max_weight=3.0)
+    assert out.count() <= 4  # floor(3.0) + possible fractional extra == 3

@@ -344,3 +344,113 @@ def test_stream_upsert_snapshot_matches_batch_latest(spark, batch, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_sessionize_stateful_late_event_cannot_regress_session_end(spark, tmp_path):
+    """A late (out-of-order across micro-batches, within-watermark) event
+    with t earlier than the open session's last event must only widen the
+    session — never pull its end (and EventTimeTimeout) backwards. Before
+    the clamp fix, batch 2's 00:10 straggler set last=00:10, so the 01:30
+    event closed session 1 with the WRONG end and the emitted row carried
+    end=00:10 instead of 00:20."""
+    import os
+
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "value"]
+        ).astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
+        # tz-aware UTC + microsecond unit so parquet carries
+        # isAdjustedToUTC=true TIMESTAMP(us) — what withWatermark needs
+        pdf["ts"] = (
+            pd.to_datetime(pdf["ts"]).dt.tz_localize("UTC").astype("datetime64[us, UTC]")
+        )
+        path = os.path.join(src, name)
+        pdf.to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: user 100 opens a session [00:00 .. 00:20]
+    write_file(
+        "f1.parquet",
+        [(1, 100, "2024-01-01 00:00:00", 1.0), (2, 100, "2024-01-01 00:20:00", 1.0)],
+        1_000_000,
+    )
+    # batch 2: a LATE within-gap event (00:10 < last=00:20), then 01:30
+    # (gap > 30m from 00:20) closes session 1; user 999 pushes the
+    # watermark to 06:00-2h = 04:00
+    write_file(
+        "f2.parquet",
+        [
+            (3, 100, "2024-01-01 00:10:00", 1.0),
+            (4, 100, "2024-01-01 01:30:00", 1.0),
+            (5, 999, "2024-01-01 06:00:00", 1.0),
+        ],
+        2_000_000,
+    )
+    # batch 3: advances processing so the 04:00 watermark fires the
+    # EventTimeTimeout that flushes user 100's session 2 (ends 01:30+gap)
+    write_file("f3.parquet", [(6, 999, "2024-01-01 07:00:00", 1.0)], 3_000_000)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    SE.run_to_memory(
+        SE.sessionize_stateful(stream, gap_minutes=30), "t_late_sessions"
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.table("t_late_sessions").collect()
+    }
+    s1_key = (100, dt.datetime(2024, 1, 1, 0, 0))
+    assert s1_key in got, f"session 1 never emitted: {got}"
+    end, n = got[s1_key]
+    assert n == 3  # the straggler still counts
+    assert end == dt.datetime(2024, 1, 1, 0, 20), (
+        f"late event regressed session end to {end}"
+    )
+
+
+def test_interval_join_outer_matches_batch(spark, stream, batch):
+    """Left-outer stream-stream interval join: matched pairs equal the
+    inner join's; left rows whose candidate window closed with no match
+    are emitted exactly once with NULL right columns. Rows whose window
+    the final watermark never closed may be withheld — the comparison
+    only requires every batch-unmatched purchase older than the final
+    watermark to appear as a null-join."""
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    views = stream.filter(F.col("event_type") == "view")
+    SE.run_to_memory(SE.interval_join_outer(purchases, views), "t_attrib_outer")
+    rows = spark.sql("SELECT * FROM t_attrib_outer").collect()
+    got_matched = {(r["l_id"], r["r_id"]) for r in rows if r["r_id"] is not None}
+    got_null = {r["l_id"] for r in rows if r["r_id"] is None}
+    bp = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_id"), F.col("user_id").alias("u"), F.col("ts").alias("l_ts")
+    )
+    bv = batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("r_id"), F.col("user_id").alias("v"), F.col("ts").alias("r_ts")
+    )
+    matched = bp.join(
+        bv,
+        (F.col("u") == F.col("v"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr("INTERVAL 1 hour")),
+    )
+    expected_matched = {(r["l_id"], r["r_id"]) for r in matched.collect()}
+    assert got_matched == expected_matched
+    # batch-side unmatched purchases old enough that the watermark closed
+    # their window must surface as null-joins; no matched id may be null
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    closed = max_ts - WATERMARK - dt.timedelta(hours=1)
+    matched_ids = {p for p, _ in expected_matched}
+    expected_null = {
+        r["l_id"]
+        for r in bp.join(matched.select("l_id"), "l_id", "left_anti").collect()
+        if r["l_ts"] <= closed
+    }
+    assert not (got_null & matched_ids)
+    assert expected_null <= got_null
