@@ -132,6 +132,13 @@ def main() -> None:
         + [(n, 3) for n in R5]
         + [(n, 3) for n in R6]
     ):
+        # d4's ~2000-node generated aggregate needs the most C2 warm-up of
+        # any plan; in a warm session (17 queries already run) its reps
+        # were measured still DESCENDING at rep 5 (3.6 -> 2.3 -> 2.1 ->
+        # 1.4 -> ...) while isolated it converges by rep 4 — give it the
+        # extra reps so min-of-N reports steady state, not the slope.
+        if name == "d4_simhash_pairs":
+            reps = 8
         try:
             fn = REGISTRY[name][0]
             best = float("inf")
@@ -165,11 +172,19 @@ def main() -> None:
     # backlog, old-gen pressure) and the bench flags it rather than letting
     # late-slot queries silently absorb the penalty (r5 shipped d4 at 4.78 s
     # in situ vs 0.66 s isolated for exactly this reason).
+    # min-of-3, NOT single-shot: rep 0 of any query carries one-time plan
+    # analysis/codegen cost (~1.7 s vs 0.95 s steady for q1), so a
+    # single-shot probe would flag "degradation" in a perfectly healthy
+    # session. min-of-3 vs slot-1's min-of-5 compares steady state to
+    # steady state.
     soak = {}
     if "q1_pricing_summary" in timings:
-        t0 = time.perf_counter()
-        force(REGISTRY["q1_pricing_summary"][0](spark, SF_DIR))
-        soak["q1_end_of_run"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(REGISTRY["q1_pricing_summary"][0](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        soak["q1_end_of_run"] = round(best, 3)
         soak["q1_slot1"] = timings["q1_pricing_summary"]
         soak["degraded"] = soak["q1_end_of_run"] > 2 * soak["q1_slot1"]
     # JVM health snapshot (stderr, not the JSON line): code-cache pools are

@@ -98,3 +98,66 @@ def time_window_pairs(
             *[f"{c}_b" for c in payload_cols],
         )
     )
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_id: str,
+    right_id: str,
+    ts_col: str,
+    window_sec: int,
+    left_payload: tuple[str, ...] = (),
+    right_payload: tuple[str, ...] = (),
+) -> DataFrame:
+    """Two-sided banded interval join: every (left, right) pair sharing
+    ``key_col`` where the left row precedes the right row by at most
+    ``window_sec`` seconds (0 <= right - left <= window, floor-epoch-second
+    granularity like :func:`time_window_pairs`). The general form of the
+    self-join above — "touch events preceding a conversion", "readings
+    preceding an alert" — planned as an EQUI-join: rows land in bucket
+    floor(epoch/window); the left side additionally probes bucket+1, so
+    any in-window pair meets on exactly one (key, bucket) — the right
+    row's own bucket. O(candidates) work, AQE skew-split applies; the
+    open-source substitute for a range-join optimizer, two-frame edition.
+
+    Output: (key, <left_id>, <right_id>, gap_seconds, *left_payload
+    (suffixed _l), *right_payload (suffixed _r))."""
+    if window_sec <= 0:
+        raise ValueError("window_sec must be positive")
+    lb = left.select(
+        F.col(key_col),
+        F.col(left_id),
+        F.floor(F.unix_timestamp(F.col(ts_col))).cast("long").alias("__el"),
+        *[F.col(c).alias(f"{c}_l") for c in left_payload],
+    ).withColumn(
+        "__bin",
+        F.explode(
+            F.array(
+                F.floor(F.col("__el") / window_sec),
+                F.floor(F.col("__el") / window_sec) + 1,
+            )
+        ),
+    )
+    rb = right.select(
+        F.col(key_col),
+        F.col(right_id),
+        F.floor(F.unix_timestamp(F.col(ts_col))).cast("long").alias("__er"),
+        *[F.col(c).alias(f"{c}_r") for c in right_payload],
+    ).withColumn("__bin", F.floor(F.col("__er") / window_sec))
+    return (
+        lb.join(rb, on=[key_col, "__bin"])
+        .filter(
+            (F.col("__er") >= F.col("__el"))
+            & (F.col("__er") - F.col("__el") <= window_sec)
+        )
+        .select(
+            key_col,
+            left_id,
+            right_id,
+            (F.col("__er") - F.col("__el")).alias("gap_seconds"),
+            *[f"{c}_l" for c in left_payload],
+            *[f"{c}_r" for c in right_payload],
+        )
+    )

@@ -530,3 +530,46 @@ def label_centroids_projected(
             ],
         )
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit — the 4× storage /
+    bandwidth compression step a 100 TB embedding store runs before ANN
+    serving (codes q_i = round(v_i/scale·127) for scale = max|v_i|, so
+    q spans [-127, 127] with no zero-point). Emits the audit columns a
+    pipeline gates on rather than the codes themselves: the quantization
+    scale (milli-quantized to an exact integer), code checksum (sum),
+    code range, and the saturation count (|q|=127 — a scale outlier
+    squashing the rest of the vector).
+
+    Everything is JVM array lambdas over the vector column (one scan, no
+    shuffle, no Python) and every output is an exact integer: the divide/
+    multiply/half-away-round chain is evaluated in the same IEEE order on
+    any engine, so the audit is oracle-checkable bit-for-bit. Zero
+    vectors (scale = 0) quantize to all-zero codes by convention rather
+    than dividing by zero.
+
+    Output: (id, n_dims, scale_milli, sum_q, min_q, max_q, n_saturated)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+
+    def q_elem(x, s):
+        mag = F.floor(F.abs(x) / s * 127 + F.lit(0.5)).cast("long")
+        mag = F.least(mag, F.lit(127).cast("long"))
+        signed = F.when(x < 0, -mag).otherwise(mag)
+        return F.when(s == 0, F.lit(0).cast("long")).otherwise(signed)
+
+    codes = F.transform(v, lambda x: q_elem(x, scale))
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).cast("long").alias("n_dims"),
+        quantize_milli(scale).alias("scale_milli"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, q: a + q).alias("sum_q"),
+        F.array_min(codes).alias("min_q"),
+        F.array_max(codes).alias("max_q"),
+        F.size(F.filter(codes, lambda q: F.abs(q) == 127)).cast("long").alias(
+            "n_saturated"
+        ),
+    )

@@ -565,3 +565,32 @@ def duplicated_ngram_fraction(
             (F.col("n_dup_grams") / F.col("n_grams")).alias("dup_gram_frac"),
         )
     )
+
+
+def charset_audit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Encoding-health audit — the mojibake/binary-contamination filter a
+    web-scale corpus runs before tokenization: per document, codepoint
+    counts of non-ASCII, U+FFFD replacement characters (the smoking gun of
+    a bad decode), and C0 control characters other than tab/newline/CR
+    (binary junk). All counts are length-difference expressions over one
+    codegen regex pass — no explode, no shuffle beyond the scan; integer
+    counts + one IEEE division keep it engine-exact.
+
+    Output: (id, n_chars, n_non_ascii, n_replacement, n_control,
+    ascii_frac)."""
+    t = F.col(text_col)
+
+    def n_matching(pattern):
+        return (F.length(t) - F.length(F.regexp_replace(t, pattern, ""))).cast("long")
+
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        n_matching(r"[^\x00-\x7F]").alias("n_non_ascii"),
+        n_matching("�").alias("n_replacement"),
+        n_matching(r"[\x00-\x08\x0B\x0C\x0E-\x1F]").alias("n_control"),
+        (
+            (F.length(t) - (F.length(t) - F.length(F.regexp_replace(t, r"[^\x00-\x7F]", ""))))
+            / F.length(t)
+        ).alias("ascii_frac"),
+    )

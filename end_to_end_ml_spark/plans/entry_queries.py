@@ -4707,3 +4707,151 @@ ORDER BY doc_id
 """
 
 REGISTRY["fn_higher_order_text_suite"] = (fn_higher_order_text_suite, FN_ARRAY_SQL)
+
+
+def x15_charset_audit(spark, sf_dir):
+    """Encoding-health audit over a deterministically 'corrupted' corpus:
+    docs get grafted non-ASCII words (doc_id%11), U+FFFD replacement chars
+    (doc_id%13), and a C0 control byte (doc_id%17), then charset_audit
+    counts them back — the mojibake/binary-junk pre-tokenization filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" caf\u00e9 r\u00e9sum\u00e9")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" bad\ufffd\ufffddecode")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" ctl\x07byte")).otherwise(F.lit("")),
+        ).alias("text2"),
+    )
+    return text.charset_audit(aug, "doc_id", "text2").orderBy("doc_id")
+
+
+X15_CHARSET_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 11 = 0 THEN ' caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233) ELSE '' END ||
+         CASE WHEN doc_id % 13 = 0 THEN ' bad' || chr(65533) || chr(65533) || 'decode' ELSE '' END ||
+         CASE WHEN doc_id % 17 = 0 THEN ' ctl' || chr(7) || 'byte' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars,
+       CAST(length(t) - length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+       CAST(length(t) - length(regexp_replace(t, chr(65533), '', 'g')) AS BIGINT) AS n_replacement,
+       CAST(length(t) - length(regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS BIGINT) AS n_control,
+       (length(t) - (length(t) - length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g')))) / length(t) AS ascii_frac
+FROM aug
+ORDER BY doc_id
+"""
+
+REGISTRY["x15_charset_audit"] = (x15_charset_audit, X15_CHARSET_SQL)
+
+
+def emb3_int8_quantization(spark, sf_dir):
+    """Symmetric int8 quantization audit over the embedding store — scale,
+    code checksum/range, saturation counts; the compression gate before
+    ANN serving (operators/similarity.py quantize_embeddings_int8). All
+    integer outputs, IEEE-order-identical divide/round chain."""
+    from ..operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_embeddings_int8(emb, "vec_id").orderBy("vec_id")
+
+
+EMB3_INT8_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(len(embedding) AS BIGINT) AS n_dims,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, n_dims, scale,
+         list_transform(embedding, x ->
+           CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                WHEN CAST(x AS DOUBLE) < 0
+                THEN -least(CAST(floor(abs(CAST(x AS DOUBLE)) / scale * 127 + 0.5) AS BIGINT), 127)
+                ELSE  least(CAST(floor(abs(CAST(x AS DOUBLE)) / scale * 127 + 0.5) AS BIGINT), 127) END) AS q
+  FROM s
+)
+SELECT vec_id, n_dims,
+       CAST(floor(abs(scale) * 1000 + 0.5) AS BIGINT) AS scale_milli,
+       CAST(coalesce(list_sum(q), 0) AS BIGINT) AS sum_q,
+       list_min(q) AS min_q,
+       list_max(q) AS max_q,
+       CAST(len(list_filter(q, y -> abs(y) = 127)) AS BIGINT) AS n_saturated
+FROM c
+ORDER BY vec_id
+"""
+
+REGISTRY["emb3_int8_quantization"] = (emb3_int8_quantization, EMB3_INT8_SQL)
+
+
+def ev6_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: every view/click/signup within 24 h
+    BEFORE a same-user purchase shares that conversion's credit equally
+    (integer ppm: each touch gets 1e6 DIV n — exact, engine-independent).
+    The banded two-frame interval join (operators/rangejoin.py
+    banded_interval_join) generates touch→conversion candidates as an
+    equi-join; a window over the conversion id counts the split; one
+    groupBy rolls credit up per channel."""
+    from ..operators.rangejoin import banded_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click", "signup"))
+    convs = ev.filter(F.col("event_type") == "purchase")
+    pairs = banded_interval_join(
+        touches.select(
+            "user_id", F.col("event_id").alias("touch_id"), "ts",
+            F.col("event_type").alias("channel"),
+        ),
+        convs.select("user_id", F.col("event_id").alias("conv_id"), "ts"),
+        key_col="user_id",
+        left_id="touch_id",
+        right_id="conv_id",
+        ts_col="ts",
+        window_sec=86400,
+        left_payload=("channel",),
+    )
+    w = Window.partitionBy("conv_id")
+    credited = pairs.withColumn(
+        "__n", F.count(F.lit(1)).over(w)
+    ).withColumn("credit_ppm", F.expr("1000000 DIV __n"))
+    return (
+        credited.groupBy(F.col("channel_l").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_ppm").cast("long").alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+EV6_ATTRIBUTION_SQL = """
+WITH t AS (
+  SELECT user_id, event_id AS tid, event_type AS channel,
+         CAST(floor(epoch(ts)) AS BIGINT) AS et
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+c AS (
+  SELECT user_id, event_id AS cid, CAST(floor(epoch(ts)) AS BIGINT) AS ec
+  FROM events WHERE event_type = 'purchase'
+),
+p AS (
+  SELECT t.channel, c.cid
+  FROM t JOIN c ON t.user_id = c.user_id
+   AND c.ec >= t.et AND c.ec - t.et <= 86400
+),
+w AS (
+  SELECT channel, cid,
+         count(*) OVER (PARTITION BY cid) AS n
+  FROM p
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(1000000 // n) AS BIGINT) AS credit_ppm
+FROM w GROUP BY channel ORDER BY channel
+"""
+
+REGISTRY["ev6_linear_attribution"] = (ev6_linear_attribution, EV6_ATTRIBUTION_SQL)

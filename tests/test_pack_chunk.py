@@ -394,3 +394,58 @@ def test_weighted_sample_deterministic_and_monotone(spark):
         df.withColumn("w", F.lit(0.0)), "pk", "w").collect()}
     assert len({r["pk"] for r in weighted_deterministic_sample(
         df.withColumn("w", F.lit(1.0)), "pk", "w").collect()}) == 300
+
+
+class TestBandedIntervalJoin:
+    def test_matches_naive_two_frames(self, spark):
+        """Two-frame banded interval join == the naive O(n·m) inequality
+        join, including same-second pairs (gap 0) and exact-window-edge
+        pairs; each in-window pair appears exactly once (no bin-probe
+        duplicate)."""
+        import datetime as dt
+        import random
+
+        from end_to_end_ml_spark.operators.rangejoin import banded_interval_join
+
+        rng = random.Random(7)
+        t0 = dt.datetime(2024, 1, 1)
+        lrows = [
+            (rng.randint(1, 4), i, t0 + dt.timedelta(seconds=rng.randint(0, 4000)), f"ch{i % 3}")
+            for i in range(80)
+        ]
+        rrows = [
+            (rng.randint(1, 4), 1000 + i, t0 + dt.timedelta(seconds=rng.randint(0, 4000)))
+            for i in range(60)
+        ]
+        w = 600
+        left = spark.createDataFrame(lrows, ["user_id", "tid", "ts", "channel"]).select(
+            "user_id", "tid", F.col("ts").cast("timestamp"), "channel"
+        )
+        right = spark.createDataFrame(rrows, ["user_id", "cid", "ts"]).select(
+            "user_id", "cid", F.col("ts").cast("timestamp")
+        )
+        naive = {}
+        for u1, i1, t1, _ in lrows:
+            for u2, i2, t2 in rrows:
+                g = int(t2.timestamp()) - int(t1.timestamp())
+                if u1 == u2 and 0 <= g <= w:
+                    naive[(u1, i1, i2)] = g
+        out = banded_interval_join(
+            left, right, "user_id", "tid", "cid", "ts", w, left_payload=("channel",)
+        ).collect()
+        got = {(r["user_id"], r["tid"], r["cid"]): r["gap_seconds"] for r in out}
+        assert len(out) == len(got)  # exactly-once
+        assert got == naive
+        # payload survives with the _l suffix
+        assert all(r["channel_l"].startswith("ch") for r in out)
+
+    def test_rejects_nonpositive_window(self, spark):
+        from end_to_end_ml_spark.operators.rangejoin import banded_interval_join
+
+        df = spark.createDataFrame(
+            [(1, 1, "2024-01-01 00:00:00")], ["user_id", "tid", "ts"]
+        ).select("user_id", "tid", F.col("ts").cast("timestamp"))
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            banded_interval_join(df, df, "user_id", "tid", "tid", "ts", 0)
