@@ -594,3 +594,91 @@ def charset_audit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.length(t)
         ).alias("ascii_frac"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    min_pair_freq: int = 2,
+) -> list[tuple[int, str, str, str, int]]:
+    """Train a byte-pair-encoding merge table on the corpus — the
+    "tokenizer-training" step of an LLM data pipeline, distributed: the
+    classic algorithm (Sennrich et al.) iterates "count adjacent symbol
+    pairs weighted by word frequency → merge the most frequent pair",
+    and each round here is two fully-distributed passes over the DISTINCT
+    word table (explode adjacent pairs + one groupBy; then a JVM array
+    fold applying the merge), with only the single argmax pair row
+    collected per round — the same driver-loop shape as
+    connected_components, state O(1) per round on the driver.
+
+    Determinism: ties on pair frequency break lexicographically
+    (freq DESC, left, right), so the merge table is engine- and
+    partitioning-independent. The left-to-right greedy merge application
+    is expressed as a left fold over the symbol array (merge with the
+    fold's last element ≡ greedy LTR because a merged token can never
+    equal the pair's left symbol — that would need an empty right).
+    Word-internal BPE (no end-of-word marker) — documented simplification.
+
+    Scale shape: the word-frequency table is distinct words (Zipf-absorbed
+    by a partial-agg groupBy over the corpus once); per round the pair
+    explode is O(total symbols over distinct words), shrinking as merges
+    consume symbols; eager localCheckpoint per round truncates lineage
+    exactly like connected_components.
+
+    Returns the merge table [(rank, left, right, merged, pair_freq)]."""
+    spark_df = df.select(F.explode(tokens(text_col)).alias("w")).filter(
+        F.length("w") > 0
+    )
+    words = (
+        spark_df.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        n = F.size("sym")
+        pairs = (
+            words.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("sym", 1, n - 1),
+                        F.slice("sym", 2, n - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.col("pf").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["pf"] < min_pair_freq:
+            break
+        l, r, pf = pairs[0]["l"], pairs[0]["r"], pairs[0]["pf"]
+        merged = l + r
+        merges.append((rank, l, r, merged, pf))
+        fold = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (s == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        words = words.select("freq", fold.alias("sym")).localCheckpoint(eager=True)
+    return merges

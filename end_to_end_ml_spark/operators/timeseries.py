@@ -313,3 +313,79 @@ def ewma(
         F.pmod(F.col(key_col).cast("long"), F.lit(n_shards)).alias("__shard"),
     )
     return staged.groupBy("__shard").applyInPandas(_ewma, schema)
+
+
+def countmin_sketch(
+    df,
+    key_col: str,
+    bucket_expr,
+    d: int = 4,
+    w: int = 256,
+):
+    """Count-Min sketch counters per time bucket — the MERGEABLE
+    frequency-estimate companion to the HLL distinct sketches above
+    (heavy hitters / "how often did key x appear" over any bucket range
+    without rescanning raw data). Each bucket's sketch is d·w integer
+    counters: counter(i, h_i(x)) += 1 with h_i(x) = the first 8 md5 hex
+    chars of 'i|x' mod w — md5-derived so the SAME sketch is computable
+    on any engine (the oracle rebuilds it in SQL), and deterministic so
+    estimates are test-stable. Stored relationally as (bucket, row_i,
+    col, cnt) — merging is a plain SUM groupBy, and each bucket carries
+    at most d·w rows regardless of cardinality.
+
+    Shape: one explode to d lanes (d is 4, not data-sized) + one partial-
+    agg groupBy — Zipf keys absorb map-side exactly like a raw count."""
+    from pyspark.sql import functions as F
+
+    lanes = df.select(
+        bucket_expr.alias("bucket"),
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_i"),
+    )
+    col = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("row_i"), F.col("__k"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+    return lanes.groupBy("bucket", "row_i", col.alias("col")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_merge(sketches):
+    """Union Count-Min sketches across buckets: counters add. A pure SUM
+    over at most d·w·n_buckets rows — never touches raw data."""
+    from pyspark.sql import functions as F
+
+    return sketches.groupBy("row_i", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_estimate(merged, keys, key_col: str, d: int = 4, w: int = 256):
+    """Point-frequency estimates from a merged Count-Min sketch:
+    est(x) = min over the d lanes of counter(i, h_i(x)). Always >= the
+    true count (collisions only ever inflate). ``keys`` is the (small)
+    frame of keys to probe; the probe is an equi-join of keys×d lanes
+    against the d·w-row sketch — broadcast-sized on both sides."""
+    from pyspark.sql import functions as F
+
+    probes = keys.select(
+        F.col(key_col),
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_i"),
+    ).withColumn(
+        "col",
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("row_i"), F.col("__k"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % w,
+    )
+    return (
+        probes.join(merged, on=["row_i", "col"], how="left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+    )

@@ -4855,3 +4855,79 @@ FROM w GROUP BY channel ORDER BY channel
 """
 
 REGISTRY["ev6_linear_attribution"] = (ev6_linear_attribution, EV6_ATTRIBUTION_SQL)
+
+
+def ts7_countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters: per-day CM sketches (4×256, md5-derived
+    lanes) of user activity, merged across all days, probed for the 20
+    most-active users — est_n >= exact_n always (collisions only inflate).
+    The mergeable frequency-sketch companion to ts4's HLL rollup; the
+    oracle rebuilds the identical sketch in SQL (same md5 arithmetic)."""
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = TS.countmin_sketch(
+        ev, "user_id", F.date_trunc("day", F.col("ts")), d=4, w=256
+    )
+    merged = TS.countmin_merge(sk)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    est = TS.countmin_estimate(merged, exact.select("user_id"), "user_id", d=4, w=256)
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "exact_n", "est_n", (F.col("est_n") >= F.col("exact_n")).alias("never_under"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )
+
+
+TS7_COUNTMIN_SQL = """
+WITH lanes AS (
+  SELECT date_trunc('day', ts) AS bucket, CAST(user_id AS VARCHAR) AS k, i AS row_i
+  FROM events, UNNEST(range(4)) AS u(i)
+),
+sk AS (
+  SELECT bucket, row_i,
+         ('0x' || substr(md5(CAST(row_i AS VARCHAR) || '|' || k), 1, 8))::BIGINT % 256 AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lanes GROUP BY bucket, row_i, col
+),
+merged AS (SELECT row_i, col, CAST(sum(cnt) AS BIGINT) AS cnt FROM sk GROUP BY row_i, col),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM events
+  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20
+),
+probes AS (
+  SELECT e.user_id, e.exact_n, i AS row_i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS col
+  FROM exact e, UNNEST(range(4)) AS u(i)
+)
+SELECT p.user_id, p.exact_n,
+       CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS est_n,
+       min(coalesce(m.cnt, 0)) >= p.exact_n AS never_under
+FROM probes p LEFT JOIN merged m ON p.row_i = m.row_i AND p.col = m.col
+GROUP BY p.user_id, p.exact_n
+ORDER BY p.exact_n DESC, p.user_id
+"""
+
+REGISTRY["ts7_countmin_heavy_hitters"] = (ts7_countmin_heavy_hitters, TS7_COUNTMIN_SQL)
+
+
+def x16_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training over the corpus: the first 15
+    merge rules (rank, left, right, merged, pair_freq). Deterministic
+    (freq DESC, left, right tie-break) so the row set is stable; the
+    iterative argmax loop is not SQL-expressible — rows-only entry,
+    reference-parity pytest covers the algorithm (test_dedup_text
+    TestBpeTrain matches a from-scratch python BPE exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, "text", n_merges=15)
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING, pair_freq BIGINT"
+    ).orderBy("rank")
+
+
+REGISTRY["x16_bpe_merges"] = (x16_bpe_merges, None)

@@ -435,3 +435,61 @@ class TestSpanDedup:
         # the shared boilerplate is gone from both docs
         assert "license" not in out[1]["clean_text"]
         assert "license" not in out[2]["clean_text"]
+
+
+class TestBpeTrain:
+    def _reference_bpe(self, corpus, n_merges, min_pair_freq=2):
+        """Reference python BPE with the same tie-break (freq DESC, l, r)
+        and greedy left-to-right merge application."""
+        from collections import Counter
+
+        words = Counter()
+        for t in corpus:
+            for w in t.split():
+                if w:
+                    words[w] += 1
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for rank in range(n_merges):
+            pf = Counter()
+            for w, f in words.items():
+                sym = vocab[w]
+                for i in range(len(sym) - 1):
+                    pf[(sym[i], sym[i + 1])] += f
+            if not pf:
+                break
+            best = min(pf.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            (l, r), f = best
+            if f < min_pair_freq:
+                break
+            merges.append((rank, l, r, l + r, f))
+            for w in vocab:
+                sym, out, i = vocab[w], [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    def test_matches_reference(self, spark):
+        corpus = [
+            "low lower lowest low low",
+            "new newer newest new newer",
+            "wider wide wide widest",
+            "low new wide lower",
+        ]
+        df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+        got = text.bpe_train(df, "text", n_merges=8)
+        assert got == self._reference_bpe(corpus, 8)
+        assert len(got) == 8  # corpus is rich enough for all 8 merges
+        # merged tokens actually compose multi-char units
+        assert any(len(m[3]) >= 3 for m in got)
+
+    def test_stops_below_min_freq(self, spark):
+        df = spark.createDataFrame([("ab cd ef",)], ["text"])
+        got = text.bpe_train(df, "text", n_merges=5, min_pair_freq=2)
+        assert got == []  # every pair occurs once

@@ -304,3 +304,38 @@ def test_compact_small_files_reduces_file_count(spark, tmp_path):
     n_dst = sum(f.endswith(".parquet") for f in os.listdir(dst))
     assert n == 1 and n_dst == 1  # tiny dataset -> one target-size file
     assert spark.read.parquet(dst).count() == 20000
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    """Z-ordered files must each cover a small rectangle of the 2-D value
+    space: the summed per-file min-max coverage on EACH dimension is far
+    below the unclustered layout's (where every file spans ~the whole
+    domain) — the property parquet min/max pruning exploits."""
+    from end_to_end_ml_spark.sources.io import write_zordered
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") * 7919) % 200).alias("b"),
+    )
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    write_zordered(df, zpath, "a", "b", n_files=16)
+    df.repartition(16).write.parquet(rpath)
+
+    def mean_coverage(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(((F.max(col) - F.min(col)) / F.lit(199.0)).alias("cov"))
+        )
+        rows = per_file.collect()
+        return sum(r["cov"] for r in rows) / len(rows)
+
+    for c in ("a", "b"):
+        z, r = mean_coverage(zpath, c), mean_coverage(rpath, c)
+        assert z < 0.55 * r, f"dim {c}: z-order coverage {z} not << random {r}"
+    # layout-only: the data itself is unchanged
+    assert spark.read.parquet(zpath).count() == 40_000
+    zsum = spark.read.parquet(zpath).agg(F.sum("a"), F.sum("b")).collect()[0]
+    rsum = df.agg(F.sum("a"), F.sum("b")).collect()[0]
+    assert tuple(zsum) == tuple(rsum)

@@ -115,3 +115,31 @@ def test_rolling_distinct_users_exact_window(spark):
         "2024-01-08": 2,  # a (day 3), c — day-1 activity aged out
         "2024-01-20": 1,  # d alone
     }
+
+
+def test_countmin_mergeable_and_never_underestimates(spark):
+    """CM sketch invariants: (1) merge(sketch(A), sketch(B)) has exactly
+    the counters of sketch over A ∪ B (pure addition — the hypertable
+    merge contract); (2) point estimates never underestimate true
+    counts."""
+    from end_to_end_ml_spark.operators import timeseries as TS
+    from end_to_end_ml_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    bucket = F.date_trunc("day", F.col("ts"))
+    merged_parts = TS.countmin_merge(
+        TS.countmin_sketch(a, "user_id", bucket).unionByName(
+            TS.countmin_sketch(b, "user_id", bucket)
+        )
+    )
+    merged_whole = TS.countmin_merge(TS.countmin_sketch(ev, "user_id", bucket))
+    as_map = lambda df: {  # noqa: E731
+        (r["row_i"], r["col"]): r["cnt"] for r in df.collect()
+    }
+    assert as_map(merged_parts) == as_map(merged_whole)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    est = TS.countmin_estimate(merged_whole, exact.select("user_id"), "user_id")
+    joined = {r["user_id"]: r for r in exact.join(est, "user_id").collect()}
+    assert joined and all(r["est_n"] >= r["n"] for r in joined.values())
