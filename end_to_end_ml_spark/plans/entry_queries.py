@@ -4931,3 +4931,119 @@ def x16_bpe_merges(spark, sf_dir):
 
 
 REGISTRY["x16_bpe_merges"] = (x16_bpe_merges, None)
+
+
+def a17_corr_components(spark, sf_dir):
+    """Exact Pearson-correlation COMPONENTS for (quantity, discount) vs
+    extendedprice over lineitem — n, Σx, Σy, Σxy, Σx², Σy² over
+    milli-quantized values, so corr = (nΣxy − ΣxΣy) /
+    sqrt(...) is one driver-side float step and the distributed part is
+    engine-exact (the same cleared-division discipline as a16's KS). Sums
+    run in DECIMAL(38,0) (Σy² overflows int64 immediately at milli scale)
+    and the product sums present as DOUBLE: both engines correctly round
+    the SAME exact decimal integer to the SAME double, so the hash still
+    matches bit-for-bit; Σx/Σy stay BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.similarity import quantize_milli
+
+    x1 = quantize_milli(F.col("l_quantity"))
+    x2 = quantize_milli(F.col("l_discount"))
+    y = quantize_milli(F.col("l_extendedprice"))
+    dec = "decimal(38,0)"
+    pairs = li.select(
+        F.lit("quantity").alias("feature"), x1.alias("x"), y.alias("y")
+    ).unionByName(
+        li.select(F.lit("discount").alias("feature"), x2.alias("x"), y.alias("y"))
+    )
+    return (
+        pairs.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(dec)).cast("long").alias("sum_x"),
+            F.sum(F.col("y").cast(dec)).cast("long").alias("sum_y"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sum_xy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sum_xx"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("sum_yy"),
+        )
+        .orderBy("feature")
+    )
+
+
+A17_CORR_SQL = """
+WITH m AS (
+  SELECT
+    CASE WHEN CAST(l_quantity AS DOUBLE) < 0
+         THEN -CAST(floor(abs(CAST(l_quantity AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+         ELSE CAST(floor(abs(CAST(l_quantity AS DOUBLE)) * 1000 + 0.5) AS BIGINT) END AS qx,
+    CASE WHEN CAST(l_discount AS DOUBLE) < 0
+         THEN -CAST(floor(abs(CAST(l_discount AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+         ELSE CAST(floor(abs(CAST(l_discount AS DOUBLE)) * 1000 + 0.5) AS BIGINT) END AS dx,
+    CASE WHEN CAST(l_extendedprice AS DOUBLE) < 0
+         THEN -CAST(floor(abs(CAST(l_extendedprice AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+         ELSE CAST(floor(abs(CAST(l_extendedprice AS DOUBLE)) * 1000 + 0.5) AS BIGINT) END AS y
+  FROM lineitem
+),
+pairs AS (
+  SELECT 'quantity' AS feature, qx AS x, y FROM m
+  UNION ALL
+  SELECT 'discount' AS feature, dx AS x, y FROM m
+)
+SELECT feature, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS DOUBLE) AS sum_xy,
+       CAST(sum(x * x) AS DOUBLE) AS sum_xx,
+       CAST(sum(y * y) AS DOUBLE) AS sum_yy
+FROM pairs GROUP BY feature ORDER BY feature
+"""
+
+REGISTRY["a17_corr_components"] = (a17_corr_components, A17_CORR_SQL)
+
+
+def d11_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs: same-language, same-length-bucket
+    document pairs whose 48-char prefixes are within Levenshtein
+    distance 8 — the character-level verification primitive (catches
+    single-typo/near-identical boilerplate that token-level Jaccard
+    misses). Blocked equi-self-join (lang, floor(n_chars/50)) bounds the
+    candidate fan-out; at 100 TB the same verifier runs over d3's LSH
+    candidate pairs instead of blocks (the composition, not an all-pairs
+    scan — same discipline as d2). levenshtein() is exact integer in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50).alias("lb"),
+        F.substring("text", 1, 48).alias("pfx"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("id_a"), "lang", "lb", F.col("pfx").alias("pfx_a")
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"), "lang", "lb", F.col("pfx").alias("pfx_b")
+    )
+    return (
+        a.join(b, on=["lang", "lb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_distance", F.levenshtein("pfx_a", "pfx_b"))
+        .filter(F.col("edit_distance") <= 8)
+        .select("id_a", "id_b", "edit_distance")
+        .orderBy("id_a", "id_b")
+    )
+
+
+D11_EDIT_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS lb,
+         substr(text, 1, 48) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_distance
+FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 8
+ORDER BY id_a, id_b
+"""
+
+REGISTRY["d11_edit_distance_pairs"] = (d11_edit_distance_pairs, D11_EDIT_SQL)

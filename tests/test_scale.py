@@ -339,3 +339,22 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     zsum = spark.read.parquet(zpath).agg(F.sum("a"), F.sum("b")).collect()[0]
     rsum = df.agg(F.sum("a"), F.sum("b")).collect()[0]
     assert tuple(zsum) == tuple(rsum)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Ingest-side schema evolution: a dataset written in two epochs (the
+    second adds a column) must read back under one merged schema with
+    NULLs for the pre-evolution rows — the mergeSchema contract a
+    long-lived 100 TB dataset depends on when producers add fields."""
+    p = str(tmp_path / "evolving")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(p + "/epoch=1")
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS v", "'b' AS channel"
+    ).write.parquet(p + "/epoch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "channel", "epoch"}
+    assert merged.count() == 20
+    old_rows = merged.filter(F.col("epoch") == 1)
+    assert old_rows.filter(F.col("channel").isNull()).count() == 10
+    new_rows = merged.filter(F.col("epoch") == 2)
+    assert new_rows.filter(F.col("channel") == "b").count() == 10
