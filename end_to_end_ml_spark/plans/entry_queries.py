@@ -5047,3 +5047,58 @@ ORDER BY id_a, id_b
 """
 
 REGISTRY["d11_edit_distance_pairs"] = (d11_edit_distance_pairs, D11_EDIT_SQL)
+
+
+def pipe6_incremental_ingest(spark, sf_dir):
+    """Incremental corpus ingest — the dedup shape a 100 TB pipeline
+    actually runs (nothing re-deduplicates the full corpus per batch):
+    the NEW batch (doc_id%4==0) is deduplicated (a) within itself by
+    content fingerprint (window keep-min) and (b) against the HISTORICAL
+    fingerprint store (doc_id%4!=0) by LEFT ANTI join — only never-seen
+    content survives. The fingerprint is md5 over the NORMALIZED first-8-
+    token prefix (the boilerplate-header key; whole-doc md5 is vacuous on
+    this synthetic corpus and d1/pipe1 already cover it). The historical
+    side is fingerprints only (16 bytes/doc at any corpus size), never
+    text; both joins key on the hash, so the batch-vs-history probe is a
+    broadcast when the batch is small or a co-partitioned equi-join when
+    it is not."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
+    )
+    hist = docs.filter(F.col("doc_id") % 4 != 0).select(fp.alias("fp")).distinct()
+    batch = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "lang", "n_chars", fp.alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    within = batch.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return (
+        within.join(hist, "fp", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+PIPE6_INCR_SQL = """
+WITH fps AS (
+  SELECT doc_id, lang, n_chars,
+         md5(array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 8), ' ')) AS fp
+  FROM documents
+),
+hist AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 4 <> 0
+),
+batch AS (
+  SELECT doc_id, lang, n_chars, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fps WHERE doc_id % 4 = 0
+)
+SELECT b.doc_id, b.lang, b.n_chars
+FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+WHERE b.rn = 1 AND h.fp IS NULL
+ORDER BY b.doc_id
+"""
+
+REGISTRY["pipe6_incremental_ingest"] = (pipe6_incremental_ingest, PIPE6_INCR_SQL)
