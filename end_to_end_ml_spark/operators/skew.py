@@ -80,3 +80,51 @@ def salted_collect_list(
     if sort_result:
         merged = merged.withColumn(value_col + "s", F.array_sort(F.col(value_col + "s")))
     return merged
+
+
+def skew_report(df, key_cols, top_k: int = 5):
+    """Key-skew diagnosis — the profiling pass run BEFORE deciding whether
+    a join/agg needs salting or AQE skew-split: per distinct key count the
+    rows, then summarize the distribution (one tiny second aggregate) and
+    name the ``top_k`` heaviest keys. ``skew_ratio_ppm`` = max_count·1e6
+    DIV total (exact integer): a join key where one key holds >1-2% of a
+    100 TB fact is the salting trigger.
+
+    Two aggregations over the per-key counts frame (|distinct keys| rows,
+    never raw data), both partial-agg friendly; the top-k comes from a
+    TakeOrdered limit — NOT a collect_list over all keys, which would pull
+    every distinct key into one aggregation buffer. Output is ONE row:
+    (n_keys, n_rows, max_count, top_keys, top_counts, skew_ratio_ppm)."""
+    from pyspark.sql import functions as F
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_count"),
+    )
+    top = (
+        counts.orderBy(F.col("n").desc(), "key")
+        .limit(top_k)
+        .agg(
+            F.collect_list(
+                # sort key (-n, key): count DESC with key ASC tie-break —
+                # deterministic and engine-matching
+                F.struct(
+                    (-F.col("n")).cast("long").alias("neg_n"),
+                    "key",
+                    F.col("n").cast("long").alias("n"),
+                )
+            ).alias("__top")
+        )
+        .select(F.sort_array(F.col("__top")).alias("__top"))
+    )
+    return summary.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        F.transform("__top", lambda s: s["key"]).alias("top_keys"),
+        F.transform("__top", lambda s: s["n"]).alias("top_counts"),
+        F.expr("max_count * 1000000 DIV n_rows").alias("skew_ratio_ppm"),
+    )

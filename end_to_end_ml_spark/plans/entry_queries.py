@@ -3147,6 +3147,12 @@ def a16_ks_drift(spark, sf_dir):
     safe at any scale the driver runs, and a deliberate presentation-only
     bound."""
     orders = load_table(spark, sf_dir, "orders")
+    # Binning stays in double arithmetic deliberately: o_totalprice is a
+    # DOUBLE in the source parquet, so integer-cents binning would still
+    # start from a double multiply (no float op removed), and both engines
+    # evaluate the identical floor((x-lo)/range*n) expression in the same
+    # IEEE order — bin assignment cannot diverge. The r5 driver red was
+    # representation-level only (oracle ks_num stayed HUGEINT; now CAST).
     ref = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     cur = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
     ks = M.ks_stat_exact(ref, cur, "o_totalprice", lo=0.0, hi=500000.0, n_bins=100)
@@ -5107,3 +5113,37 @@ REGISTRY = {
     name: REGISTRY[name]
     for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
 }
+
+
+def skew3_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis over lineitem's l_orderkey — the profiling
+    row a pipeline consults before choosing salting / AQE skew-split
+    (operators/skew.py skew_report): key cardinality, heaviest keys, and
+    the exact max-share in ppm."""
+    from ..operators.skew import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, ["l_orderkey"], top_k=5)
+
+
+SKEW3_REPORT_SQL = """
+WITH counts AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_orderkey
+),
+summary AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_count
+  FROM counts
+),
+top AS (
+  SELECT list(key ORDER BY n DESC, key) AS top_keys,
+         list(n ORDER BY n DESC, key) AS top_counts
+  FROM (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 5)
+)
+SELECT s.n_keys, s.n_rows, s.max_count, t.top_keys, t.top_counts,
+       s.max_count * 1000000 // s.n_rows AS skew_ratio_ppm
+FROM summary s CROSS JOIN top t
+"""
+
+REGISTRY["skew3_key_skew_report"] = (skew3_key_skew_report, SKEW3_REPORT_SQL)

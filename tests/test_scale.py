@@ -358,3 +358,22 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert old_rows.filter(F.col("channel").isNull()).count() == 10
     new_rows = merged.filter(F.col("epoch") == 2)
     assert new_rows.filter(F.col("channel") == "b").count() == 10
+
+
+def test_approx_percentile_rank_error_bounded(spark):
+    """percentile_approx is THE quantile path at 100 TB (exact percentile
+    needs a full sort); its GK sketch guarantees rank error <= 1/accuracy.
+    Verify the contract: each approximate percentile's TRUE rank is within
+    n/accuracy of the requested rank."""
+    from end_to_end_ml_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    n = li.count()
+    accuracy = 1000
+    ps = [0.01, 0.25, 0.5, 0.75, 0.99]
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", ps, accuracy).alias("q")
+    ).collect()[0]["q"]
+    for p, v in zip(ps, approx):
+        true_rank = li.filter(F.col("l_extendedprice") <= v).count()
+        assert abs(true_rank - p * n) <= n / accuracy + 1, (p, v, true_rank, n)
