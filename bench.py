@@ -78,6 +78,14 @@ R6 = [
     "q24_association_rules",
     "pipe5_eval_set",
     "ts6_ewma",
+    # round-6 operators: span-level substring dedup (positional-gram
+    # explode — the heaviest new plan), multi-touch attribution (banded
+    # two-frame interval join), CountMin build+merge+probe, incremental
+    # fingerprint-store ingest
+    "d10_span_dedup",
+    "ev6_linear_attribution",
+    "ts7_countmin_heavy_hitters",
+    "pipe6_incremental_ingest",
 ]
 
 
