@@ -23,7 +23,7 @@ training-data surface beyond it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -78,6 +78,67 @@ def pack_greedy(
         F.col(token_count_col).cast("long").alias("n_tokens"),
     )
     return staged.groupBy("shard").applyInPandas(_pack, schema)
+
+
+def shard_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 64, salt: str = "sh1"
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets a
+    ``(shard, pos)`` coordinate such that reading shards in order and rows
+    by ``pos`` within each shard yields a pseudo-random permutation of the
+    corpus — the order-randomization step a pretraining pipeline runs
+    before writing tokenizer/trainer shards (adjacent raw rows are
+    correlated: same crawl, same domain; training wants them scattered).
+
+    shard = first-32-md5-bits(salt|id) mod n_shards; pos = rank of the full
+    md5 within the shard. Everything is keyed on md5(salt|id), so the
+    permutation is reproducible run-to-run, engine-to-engine (DuckDB
+    replays it with the same expressions), and restartable — re-running
+    after a failure reproduces the identical layout, unlike
+    ``ORDER BY rand()``.
+
+    Scale shape: one hash-partition shuffle on ``shard`` plus an
+    independent per-shard sort (``row_number`` partitioned by shard) —
+    O(N) movement and each shard sorts alone. The naive alternative, a
+    global ``ORDER BY rand()``, is a full range-sort: it needs a sampling
+    pass for range boundaries and serializes skew handling through one
+    total order. n_shards is the parallelism knob: at 100 TB use O(100k)
+    shards so each sort fits an executor core.
+
+    Output: input columns + (shard long, pos long); pos is 0-based and
+    dense within each shard. No reference analogue (training-data layout
+    surface beyond the reference repo).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.select("*", key.alias("__key"), shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__key")
+    )
+
+
+def write_shuffled_shards(
+    df: DataFrame, path: str, id_col: str, n_shards: int = 64, salt: str = "sh1"
+) -> None:
+    """Materialize :func:`shard_shuffle` as a parquet layout partitioned by
+    shard, rows sorted by ``pos`` inside each file — the on-disk form a
+    sequential trainer reads shard-by-shard. ``repartition(n_shards,
+    shard)`` co-locates each shard's rows before the sorted write, so a
+    shard is one writer task and its file carries rows in training order."""
+    shuffled = shard_shuffle(df, id_col, n_shards=n_shards, salt=salt)
+    (
+        shuffled.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
 
 
 def pack_bin_summary(packed: DataFrame, budget: int) -> DataFrame:

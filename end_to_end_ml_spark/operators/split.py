@@ -337,3 +337,65 @@ def weighted_replicated_sample(
         )
         .drop("__copies")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    pk_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp1",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling across groups (languages /
+    sources): downsample each group so kept counts are ∝ N_g**alpha — the
+    multilingual-pretraining rebalancing step (XLM / mBERT exponential
+    smoothing; alpha=1 keeps the natural mixture, alpha=0 would equalize
+    groups) that stops one dominant language/domain from drowning the tail.
+
+    Keep fraction per group: f_g = (N_min / N_g) ** (1 - alpha), where
+    N_min is the smallest group's count — the smallest group keeps
+    everything (f=1) and larger groups shrink toward N_g**alpha, so no
+    cross-group normalizing SUM is ever computed. That choice is what
+    makes the operator engine-exact: counts are exact integers, N_min/N_g
+    is one correctly-rounded double division, and for the default
+    alpha=0.5 the exponent is evaluated as IEEE sqrt (correctly rounded on
+    every engine), so a DuckDB oracle reproduces the exact keep set.
+    Non-0.5 alphas fall back to pow(), which libm rounds within 1 ulp but
+    does NOT guarantee cross-engine bit-equality — reproducible per
+    engine, oracle-exact only at 0.5.
+
+    Per-row keeps use the same md5 uniform draw as
+    :func:`weighted_deterministic_sample` (u(pk) = first-48-md5-bits /
+    2^48), so the result is independent of partitioning and run order.
+
+    Scale shape: one tiny groupBy(group) count (map-side combined, |groups|
+    rows), a 1-row global min, both broadcast back — the fact table sees
+    one broadcast-hash-join plus a narrow filter; no fact-sized shuffle.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    frac = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select(F.col(group_col), frac.alias("__f"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(pk_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("__f"))
+        .drop("__f")
+    )

@@ -5147,3 +5147,65 @@ FROM summary s CROSS JOIN top t
 """
 
 REGISTRY["skew3_key_skew_report"] = (skew3_key_skew_report, SKEW3_REPORT_SQL)
+
+
+def pack3_shard_shuffle(spark, sf_dir):
+    """Deterministic shuffle-to-shards layout (operators/pack.shard_shuffle):
+    every document gets a (shard, pos) coordinate — md5-keyed, so the
+    pseudo-random training order is reproducible and the DuckDB oracle
+    replays the identical permutation. Hash-partition shuffle + per-shard
+    row_number, never a global ORDER BY rand() range-sort."""
+    from ..operators import pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pack.shard_shuffle(docs, "doc_id", n_shards=8, salt="sh1")
+        .select("doc_id", "lang", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+PACK3_SQL = """
+SELECT doc_id, lang, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+FROM (
+  SELECT doc_id, lang,
+         md5('sh1|' || CAST(doc_id AS VARCHAR)) AS key,
+         ('0x' || substr(md5('sh1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+  FROM documents
+)
+ORDER BY shard, pos
+"""
+
+REGISTRY["pack3_shard_shuffle"] = (pack3_shard_shuffle, PACK3_SQL)
+
+
+def mix1_temperature_sample(spark, sf_dir):
+    """Temperature-scaled language rebalancing (operators/split.
+    temperature_sample, alpha=0.5): kept docs per language ∝ sqrt(N_lang),
+    keep fraction sqrt(N_min/N_lang) per group — exact integer counts, one
+    correctly-rounded division, IEEE sqrt, md5 per-row draws, so the keep
+    set is engine-exact. The anti-dominance mixing step of a multilingual
+    pretraining corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = split.temperature_sample(docs, "doc_id", "lang", alpha=0.5, salt="temp1")
+    return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+MIX1_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+nmin AS (SELECT min(n) AS nmin FROM counts),
+rates AS (
+  SELECT lang, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS f
+  FROM counts CROSS JOIN nmin
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST(('0x' || substr(md5('temp1|' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
+      / 281474976710656.0 < r.f
+ORDER BY doc_id
+"""
+
+REGISTRY["mix1_temperature_sample"] = (mix1_temperature_sample, MIX1_SQL)

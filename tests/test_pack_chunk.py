@@ -449,3 +449,46 @@ class TestBandedIntervalJoin:
 
         with _pt.raises(ValueError):
             banded_interval_join(df, df, "user_id", "tid", "tid", "ts", 0)
+
+
+class TestShardShuffle:
+    def test_permutation_and_dense_positions(self, spark, tmp_path):
+        df = spark.createDataFrame([(i, f"d{i}") for i in range(200)], ["doc_id", "text"])
+        out = pack.shard_shuffle(df, "doc_id", n_shards=4).collect()
+        assert sorted(r["doc_id"] for r in out) == list(range(200))  # permutation
+        by_shard = {}
+        for r in out:
+            assert 0 <= r["shard"] < 4
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss)))  # dense 0-based
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+        a = {(r["doc_id"], r["shard"], r["pos"]) for r in pack.shard_shuffle(df, "doc_id", 4).collect()}
+        b = {(r["doc_id"], r["shard"], r["pos"]) for r in pack.shard_shuffle(df, "doc_id", 4).collect()}
+        c = {(r["doc_id"], r["shard"], r["pos"]) for r in pack.shard_shuffle(df, "doc_id", 4, salt="other").collect()}
+        assert a == b
+        assert a != c
+
+    def test_scatters_adjacent_rows(self, spark):
+        # consecutive ids should not stay consecutive in training order
+        df = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+        out = pack.shard_shuffle(df, "doc_id", n_shards=1).orderBy("pos").collect()
+        order = [r["doc_id"] for r in out]
+        adjacent = sum(1 for x, y in zip(order, order[1:]) if y == x + 1)
+        assert adjacent < 20  # ~1/1000 expected under a random permutation
+
+    def test_write_shuffled_shards_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame([(i, f"t{i}") for i in range(120)], ["doc_id", "text"])
+        path = str(tmp_path / "shards")
+        pack.write_shuffled_shards(df, path, "doc_id", n_shards=3)
+        back = spark.read.parquet(path)
+        assert back.count() == 120
+        assert back.select("doc_id").distinct().count() == 120
+        assert set(back.select("shard").distinct().toPandas()["shard"]) <= {0, 1, 2}
+
+    def test_rejects_bad_shard_count(self, spark):
+        df = spark.createDataFrame([(1,)], ["doc_id"])
+        with pytest.raises(ValueError):
+            pack.shard_shuffle(df, "doc_id", n_shards=0)

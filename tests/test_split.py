@@ -152,3 +152,45 @@ def test_weighted_replicated_sample_caps_fanout(spark):
     df = spark.createDataFrame([(1, 1e9)], "pk INT, w DOUBLE")
     out = split.weighted_replicated_sample(df, "pk", "w", max_weight=3.0)
     assert out.count() <= 4  # floor(3.0) + possible fractional extra == 3
+
+
+class TestTemperatureSample:
+    def _corpus(self, spark):
+        rows = [(i, "big" if i < 400 else ("mid" if i < 480 else "small")) for i in range(500)]
+        return spark.createDataFrame(rows, ["pk", "grp"])
+
+    def test_smallest_group_kept_whole(self, spark):
+        from end_to_end_ml_spark.operators.split import temperature_sample
+
+        kept = temperature_sample(self._corpus(spark), "pk", "grp").toPandas()
+        counts = kept.groupby("grp")["pk"].count()
+        assert counts["small"] == 20  # f = sqrt(20/20) = 1 -> keep all
+
+    def test_counts_track_sqrt_law(self, spark):
+        from end_to_end_ml_spark.operators.split import temperature_sample
+
+        kept = temperature_sample(self._corpus(spark), "pk", "grp").toPandas()
+        counts = kept.groupby("grp")["pk"].count()
+        # E[kept_g] = sqrt(20 * N_g): big -> ~89, mid -> ~40
+        assert abs(counts["big"] - (400 * 20) ** 0.5) < 30
+        assert abs(counts["mid"] - (80 * 20) ** 0.5) < 20
+
+    def test_alpha_one_keeps_everything(self, spark):
+        from end_to_end_ml_spark.operators.split import temperature_sample
+
+        df = self._corpus(spark)
+        assert temperature_sample(df, "pk", "grp", alpha=1.0).count() == 500
+
+    def test_deterministic(self, spark):
+        from end_to_end_ml_spark.operators.split import temperature_sample
+
+        df = self._corpus(spark)
+        a = {r["pk"] for r in temperature_sample(df, "pk", "grp").collect()}
+        b = {r["pk"] for r in temperature_sample(df, "pk", "grp").collect()}
+        assert a == b
+
+    def test_rejects_bad_alpha(self, spark):
+        from end_to_end_ml_spark.operators.split import temperature_sample
+
+        with pytest.raises(ValueError):
+            temperature_sample(self._corpus(spark), "pk", "grp", alpha=1.5)
