@@ -1,0 +1,94 @@
+"""Global dense ordinals (distributed zipWithIndex for DataFrames).
+
+Assigning every row a dense 0-based sequence number in a global sort order
+is the layout primitive behind negative-sampling index spaces, dense
+embedding-table ids, and resumable corpus cursors — and the naive plan,
+``row_number() OVER (ORDER BY key)``, is the canonical scale-killer: an
+unpartitioned window moves the whole table through one task.
+
+The distributed form here is the classic two-pass rank:
+
+1. **Boundary sketch, collected once.** ``approx_percentile`` produces
+   ~n_buckets-1 split points for the order key (one cheap aggregate; the
+   k-float collect is a bounded driver fold). Boundary *placement* only
+   affects balance, never correctness, so an approximate sketch is enough —
+   but because the sketch is collected and re-embedded as literals, the
+   bucket function is frozen: later passes cannot drift even though
+   aggregate-merge order in a re-evaluation is not deterministic.
+2. **Bucket assignment** is then a pure row-local expression (a chain of
+   ``key >= boundary`` comparisons — whole-stage codegen, no shuffle).
+3. **Exact offsets**: per-bucket counts (map-side combined, n_buckets rows)
+   prefix-summed with a window over that *bounded* aggregate.
+4. **Within-bucket rank**: ``row_number`` partitioned by bucket (the one
+   fact-sized hash shuffle), ordered by (key, pk) so ties are total.
+
+ordinal = offset(bucket) + local_rank - 1. Equal keys always land in the
+same bucket (same comparisons), and bucket id is monotone in key, so the
+concatenated order (bucket, key, pk) equals the global order (key, pk) —
+the result is exactly ``row_number() OVER (ORDER BY key, pk) - 1``, which
+is what the DuckDB oracle computes. This mirrors what RDD.zipWithIndex does
+(count-per-partition then offset) but stays in the DataFrame API with a
+data-derived range partitioning.
+
+No reference analogue (the reference's pandas frames have a free
+RangeIndex); part of the 100 TB layout surface beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_ordinal(
+    df: DataFrame,
+    key_col: str,
+    pk_col: str,
+    n_buckets: int = 32,
+    out_col: str = "ordinal",
+) -> DataFrame:
+    """Add ``out_col``: the dense 0-based global rank of each row under
+    ``ORDER BY key_col, pk_col`` (ties broken by pk, so the order is
+    total). ``n_buckets`` is the parallelism knob — at 100 TB use O(10k)
+    buckets so each per-bucket sort fits an executor core."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    boundaries = []
+    if probs:
+        row = df.agg(
+            F.percentile_approx(F.col(key_col).cast("double"), probs).alias("b")
+        ).collect()[0]
+        raw = row["b"] or []
+        # dedup equal split points: comparisons against duplicates would
+        # only create empty buckets, but keeping them tidy keeps the
+        # codegen chain short on low-cardinality keys
+        for b in raw:
+            if b is not None and (not boundaries or b != boundaries[-1]):
+                boundaries.append(float(b))
+    key = F.col(key_col).cast("double")
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(key >= F.lit(b), 1).otherwise(0)
+    staged = df.withColumn("__bucket", bucket)
+
+    counts = staged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    # prefix-sum over the BOUNDED aggregate (<= n_buckets rows): the global
+    # window here is over sketch-sized input, never the fact table
+    off_w = (
+        Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__offset"),
+    )
+
+    rank_w = Window.partitionBy("__bucket").orderBy(key_col, pk_col)
+    return (
+        staged.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            out_col,
+            (F.col("__offset") + F.row_number().over(rank_w) - 1).cast("long"),
+        )
+        .drop("__bucket", "__offset")
+    )

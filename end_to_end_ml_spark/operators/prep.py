@@ -263,3 +263,53 @@ def column_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFram
         .select("p.*")
         .orderBy("column")
     )
+
+
+def winsorize(
+    df,
+    value_col: str,
+    pk_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+    n_buckets: int = 32,
+):
+    """Winsorize ``value_col`` at exact discrete quantiles: clamp to the
+    order statistics at ranks floor(p_lo*(n-1)) and floor(p_hi*(n-1))
+    under the total order (value, pk) — the outlier-capping step of
+    numeric feature prep (reference analogue: the reference's scalers
+    inherit sklearn's sensitivity to extreme values; capping is the
+    standard complement).
+
+    Exact-at-scale: the bounds are ORDER STATISTICS, found by
+    :func:`~end_to_end_ml_spark.operators.ordinal.global_ordinal`'s
+    bucketed rank (approx boundaries only balance the buckets; ranks and
+    the selected values are exact) — never a full sort through one task,
+    never an exact-percentile aggregate that buffers every value. The
+    2-value collect is a bounded driver fold; the clamp itself is a narrow
+    projection against two literals. The rank indices use IEEE double
+    ``p*(n-1)`` + floor, reproducible on any engine, so a DuckDB oracle
+    replays the identical clamp."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from .ordinal import global_ordinal
+
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo <= p_hi <= 1")
+    n = df.count()
+    if n == 0:
+        raise ValueError("winsorize: empty input")
+    k_lo = int(math.floor(p_lo * (n - 1)))
+    k_hi = int(math.floor(p_hi * (n - 1)))
+    ords = global_ordinal(
+        df.select(pk_col, value_col), value_col, pk_col, n_buckets=n_buckets
+    )
+    rows = ords.filter(F.col("ordinal").isin(k_lo, k_hi)).collect()
+    vals = {r["ordinal"]: r[value_col] for r in rows}
+    lo, hi = vals[k_lo], vals[k_hi]
+    out = out_col or f"{value_col}_w"
+    return df.withColumn(
+        out, F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi))
+    )

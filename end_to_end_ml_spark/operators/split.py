@@ -399,3 +399,39 @@ def temperature_sample(
         .filter(u < F.col("__f"))
         .drop("__f")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    test_frac: float = 0.2,
+    salt: str = "g1",
+) -> DataFrame:
+    """Group-leakage-safe train/test assignment (sklearn GroupShuffleSplit
+    analogue): the md5 uniform draw is keyed on the GROUP, not the row, so
+    every row of a group shares fate by construction — the split that
+    prevents the classic leakage where near-duplicate rows of one user /
+    patient / domain straddle train and test and inflate eval scores.
+
+    Same determinism contract as :func:`deterministic_sample` (md5 draw,
+    partition-independent, engine-replayable); expected test share is
+    ``test_frac`` of GROUPS, not of rows — heavy groups move whole.
+    Scale shape: a pure narrow projection (the draw is a row-local
+    expression of the group key), no shuffle, fuses with the scan."""
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError("test_frac must be in [0, 1]")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(group_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return df.withColumn(
+        "split", F.when(u < F.lit(float(test_frac)), F.lit("test")).otherwise(F.lit("train"))
+    )

@@ -5209,3 +5209,90 @@ ORDER BY doc_id
 """
 
 REGISTRY["mix1_temperature_sample"] = (mix1_temperature_sample, MIX1_SQL)
+
+
+def ord1_global_ordinal(spark, sf_dir):
+    """Dense global ordinal under ORDER BY (n_chars, doc_id) without an
+    unpartitioned window (operators/ordinal.global_ordinal): collected
+    approx-percentile boundaries frozen as literals -> row-local bucket ->
+    exact per-bucket count offsets -> per-bucket row_number. Equals
+    row_number() OVER (ORDER BY n_chars, doc_id) - 1, which is what the
+    oracle computes directly."""
+    from ..operators.ordinal import global_ordinal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        global_ordinal(docs.select("doc_id", "n_chars"), "n_chars", "doc_id", n_buckets=8)
+        .select("doc_id", "n_chars", "ordinal")
+        .orderBy("ordinal")
+    )
+
+
+ORD1_SQL = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS ordinal
+FROM documents
+ORDER BY ordinal
+"""
+
+REGISTRY["ord1_global_ordinal"] = (ord1_global_ordinal, ORD1_SQL)
+
+
+def t11_group_split(spark, sf_dir):
+    """Group-leakage-safe split (operators/split.group_split): the md5 draw
+    is keyed on `source`, so all docs of a source share fate — the
+    GroupShuffleSplit analogue that keeps near-duplicates from straddling
+    train/test. Narrow projection; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split.group_split(docs, "source", test_frac=0.3, salt="g1")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )
+
+
+T11_SQL = """
+SELECT doc_id, source,
+       CASE WHEN CAST(('0x' || substr(md5('g1|' || source), 1, 12))::BIGINT AS DOUBLE)
+                 / 281474976710656.0 < 0.3
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+REGISTRY["t11_group_split"] = (t11_group_split, T11_SQL)
+
+
+def p14_winsorize(spark, sf_dir):
+    """Exact discrete-quantile winsorization of n_chars at [p01, p99]
+    (operators/prep.winsorize): clamp bounds are order statistics at ranks
+    floor(p*(n-1)) under (n_chars, doc_id), found via the bucketed global
+    ordinal — no full sort through one task, no value-buffering exact
+    percentile. Oracle replays the identical rank selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        prep.winsorize(docs, "n_chars", "doc_id", p_lo=0.01, p_hi=0.99)
+        .select("doc_id", "n_chars", "n_chars_w")
+        .orderBy("doc_id")
+    )
+
+
+P14_SQL = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS ord
+  FROM documents
+),
+nn AS (SELECT count(*) AS n FROM documents),
+b AS (
+  SELECT min(CASE WHEN ord = CAST(floor(0.01 * (n - 1)) AS BIGINT) THEN n_chars END) AS lo,
+         min(CASE WHEN ord = CAST(floor(0.99 * (n - 1)) AS BIGINT) THEN n_chars END) AS hi
+  FROM ranked CROSS JOIN nn
+)
+SELECT d.doc_id, d.n_chars,
+       least(greatest(d.n_chars, b.lo), b.hi) AS n_chars_w
+FROM documents d CROSS JOIN b
+ORDER BY d.doc_id
+"""
+
+REGISTRY["p14_winsorize"] = (p14_winsorize, P14_SQL)

@@ -1,0 +1,98 @@
+"""Dense global ordinals (distributed zipWithIndex) + ordinal-backed
+exact winsorization + group-leakage-safe split."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_ml_spark.operators.ordinal import global_ordinal
+from end_to_end_ml_spark.operators.prep import winsorize
+from end_to_end_ml_spark.operators.split import group_split
+from end_to_end_ml_spark.plans.lint import audit_plan
+
+
+def _expected(rows):
+    # rank under (key, pk)
+    return {
+        pk: i for i, (key, pk) in enumerate(sorted((k, p) for p, k in rows))
+    }
+
+
+class TestGlobalOrdinal:
+    def test_matches_total_order_with_ties(self, spark):
+        rows = [(i, (i * 37) % 11) for i in range(300)]  # heavy ties
+        df = spark.createDataFrame(rows, ["pk", "key"])
+        out = global_ordinal(df, "key", "pk", n_buckets=7).collect()
+        exp = _expected(rows)
+        assert {r["pk"]: r["ordinal"] for r in out} == exp
+        assert sorted(r["ordinal"] for r in out) == list(range(300))
+
+    def test_constant_key_single_bucket(self, spark):
+        df = spark.createDataFrame([(i, 5) for i in range(50)], ["pk", "key"])
+        out = global_ordinal(df, "key", "pk", n_buckets=8).collect()
+        assert {r["pk"]: r["ordinal"] for r in out} == {i: i for i in range(50)}
+
+    def test_more_buckets_than_values(self, spark):
+        rows = [(i, i % 3) for i in range(30)]
+        df = spark.createDataFrame(rows, ["pk", "key"])
+        out = global_ordinal(df, "key", "pk", n_buckets=64).collect()
+        assert {r["pk"]: r["ordinal"] for r in out} == _expected(rows)
+
+    def test_plan_has_no_global_window(self, spark):
+        df = spark.createDataFrame([(i, i % 7) for i in range(100)], ["pk", "key"])
+        hazards = audit_plan(global_ordinal(df, "key", "pk", n_buckets=4))
+        assert hazards == []
+
+    def test_rejects_bad_buckets(self, spark):
+        df = spark.createDataFrame([(1, 1)], ["pk", "key"])
+        with pytest.raises(ValueError):
+            global_ordinal(df, "key", "pk", n_buckets=0)
+
+
+class TestWinsorize:
+    def test_matches_manual_clamp(self, spark):
+        vals = [(i, v) for i, v in enumerate([1, 2, 2, 3, 4, 100, -50, 5, 6, 7] * 10)]
+        df = spark.createDataFrame(vals, ["pk", "v"])
+        out = winsorize(df, "v", "pk", p_lo=0.05, p_hi=0.95).collect()
+        ordered = sorted(v for _, v in vals)
+        n = len(vals)
+        lo = ordered[int(0.05 * (n - 1))]
+        hi = ordered[int(0.95 * (n - 1))]
+        for r in out:
+            assert r["v_w"] == min(max(r["v"], lo), hi)
+
+    def test_empty_raises(self, spark):
+        df = spark.createDataFrame([], "pk long, v long")
+        with pytest.raises(ValueError):
+            winsorize(df, "v", "pk")
+
+    def test_bad_quantiles_raise(self, spark):
+        df = spark.createDataFrame([(1, 1)], ["pk", "v"])
+        with pytest.raises(ValueError):
+            winsorize(df, "v", "pk", p_lo=0.9, p_hi=0.1)
+
+
+class TestGroupSplit:
+    def test_groups_never_straddle(self, spark):
+        rows = [(i, f"g{i % 17}") for i in range(500)]
+        df = spark.createDataFrame(rows, ["pk", "grp"])
+        out = group_split(df, "grp", test_frac=0.4).collect()
+        sides = {}
+        for r in out:
+            sides.setdefault(r["grp"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in sides.values())
+        assert {s for ss in sides.values() for s in ss} == {"train", "test"}
+
+    def test_deterministic_and_frac_sensitive(self, spark):
+        df = spark.createDataFrame([(i, f"g{i % 50}") for i in range(200)], ["pk", "grp"])
+        a = {(r["pk"], r["split"]) for r in group_split(df, "grp", 0.3).collect()}
+        b = {(r["pk"], r["split"]) for r in group_split(df, "grp", 0.3).collect()}
+        assert a == b
+        n_test = sum(1 for _, s in a if s == "test")
+        assert 0 < n_test < 200
+
+    def test_rejects_bad_frac(self, spark):
+        df = spark.createDataFrame([(1, "g")], ["pk", "grp"])
+        with pytest.raises(ValueError):
+            group_split(df, "grp", test_frac=1.5)
