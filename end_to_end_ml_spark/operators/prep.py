@@ -313,3 +313,36 @@ def winsorize(
     return df.withColumn(
         out, F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi))
     )
+
+
+def quantile_uniform(
+    df,
+    value_col: str,
+    pk_col: str,
+    out_col: str | None = None,
+    n_buckets: int = 32,
+):
+    """Rank-to-uniform feature scaling (sklearn QuantileTransformer
+    analogue, n_quantiles=n): map each value to its exact dense rank under
+    (value, pk) divided by n-1, landing every feature in [0, 1] with a
+    uniform marginal — the outlier-immune scaler that complements the
+    reference's min-max/standard family (reference scalers:
+    src/training/utils/job.py pipeline config). Rank comes from the
+    bucketed :func:`~end_to_end_ml_spark.operators.ordinal.global_ordinal`
+    (no single-task sort); the division is one correctly-rounded IEEE op,
+    so a DuckDB oracle reproduces every output bit. A single-row input
+    maps to 0.0 (explicit contract)."""
+    from pyspark.sql import functions as F
+
+    from .ordinal import global_ordinal
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("quantile_uniform: empty input")
+    out = out_col or f"{value_col}_q"
+    ords = global_ordinal(df, value_col, pk_col, n_buckets=n_buckets)
+    if n == 1:
+        return ords.withColumn(out, F.lit(0.0)).drop("ordinal")
+    return ords.withColumn(
+        out, F.col("ordinal").cast("double") / F.lit(float(n - 1))
+    ).drop("ordinal")

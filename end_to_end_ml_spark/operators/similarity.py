@@ -573,3 +573,68 @@ def quantize_embeddings_int8(
             "n_saturated"
         ),
     )
+
+
+def negative_pairs(
+    df: DataFrame, pk_col: str, k: int = 4, salt: str = "neg1"
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    each anchor row draws ``k`` pseudo-random partners from the whole
+    corpus — the (anchor, negative) pair generator behind embedding /
+    retrieval training objectives (InfoNCE-style), built so the exact pair
+    set is reproducible on any engine and any partitioning.
+
+    The index space is the dense ordinal from
+    :func:`~end_to_end_ml_spark.operators.ordinal.global_ordinal` (rank by
+    pk — no unpartitioned window), so "uniform over the corpus" is
+    well-defined even when pks are sparse. Draw (anchor, j) -> negative
+    ordinal = first-48-md5-bits(salt|pk|j) mod n; the mod bias over 2^48
+    is < n/2^48 — negligible at any corpus size that fits in a cluster.
+    Self-pairs (a draw landing on the anchor itself) are dropped —
+    explicit contract, identical on both engines, so anchors very rarely
+    carry k-1 rows.
+
+    Scale shape: ordinal attach (bucketed two-pass rank), a k-way row
+    explode, one equi-join on the ordinal (hash shuffle of (anchor, draw)
+    pairs against the n-row ordinal map — O(kN), AQE-skewable). The n used
+    in the modulus is a 1-row driver fold embedded as a literal, so both
+    passes see the same constant."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from .ordinal import global_ordinal
+
+    n = df.count()
+    if n < 2:
+        raise ValueError("negative_pairs: need at least 2 rows")
+    ords = global_ordinal(df.select(pk_col), pk_col, pk_col)
+    draws = (
+        df.select(F.col(pk_col).alias("anchor_id"))
+        .withColumn(
+            "k_idx", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(k - 1).cast("long")))
+        )
+    )
+    neg_ord = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        F.col("anchor_id").cast("string"),
+                        F.col("k_idx").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(n)
+    )
+    cand = draws.withColumn("__neg_ord", neg_ord)
+    return (
+        cand.join(ords, cand["__neg_ord"] == ords["ordinal"])
+        .filter(F.col(pk_col) != F.col("anchor_id"))
+        .select("anchor_id", "k_idx", F.col(pk_col).alias("neg_id"))
+    )

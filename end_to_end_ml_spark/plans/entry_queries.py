@@ -5296,3 +5296,60 @@ ORDER BY d.doc_id
 """
 
 REGISTRY["p14_winsorize"] = (p14_winsorize, P14_SQL)
+
+
+def emb4_negative_pairs(spark, sf_dir):
+    """Deterministic uniform negative sampling for contrastive training
+    (operators/similarity.negative_pairs): 4 md5-drawn negatives per
+    anchor over the dense-ordinal index space; self-pairs dropped. Equi-
+    join on the ordinal, never an all-pairs product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.negative_pairs(emb, "vec_id", k=4, salt="neg1").orderBy(
+        "anchor_id", "k_idx"
+    )
+
+
+EMB4_SQL = """
+WITH ords AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS ord FROM embeddings
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+cand AS (
+  SELECT e.vec_id AS anchor_id, CAST(k.k_idx AS BIGINT) AS k_idx,
+         ('0x' || substr(md5('neg1|' || CAST(e.vec_id AS VARCHAR) || '|' || CAST(k.k_idx AS VARCHAR)), 1, 12))::BIGINT % nn.n AS neg_ord
+  FROM embeddings e
+  CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(range(4)) AS k_idx) k
+)
+SELECT c.anchor_id, c.k_idx, o.vec_id AS neg_id
+FROM cand c JOIN ords o ON c.neg_ord = o.ord
+WHERE o.vec_id <> c.anchor_id
+ORDER BY anchor_id, k_idx
+"""
+
+REGISTRY["emb4_negative_pairs"] = (emb4_negative_pairs, EMB4_SQL)
+
+
+def f11_quantile_uniform(spark, sf_dir):
+    """Rank-to-uniform scaling of n_chars (operators/prep.quantile_uniform,
+    sklearn QuantileTransformer analogue): exact dense rank / (n-1) via the
+    bucketed global ordinal — outlier-immune scaling with a bit-exact
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        prep.quantile_uniform(docs, "n_chars", "doc_id")
+        .select("doc_id", "n_chars", "n_chars_q")
+        .orderBy("doc_id")
+    )
+
+
+F11_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS DOUBLE)
+         / CAST(nn.n - 1 AS DOUBLE) AS n_chars_q
+FROM documents CROSS JOIN nn
+ORDER BY doc_id
+"""
+
+REGISTRY["f11_quantile_uniform"] = (f11_quantile_uniform, F11_SQL)

@@ -96,3 +96,62 @@ class TestGroupSplit:
         df = spark.createDataFrame([(1, "g")], ["pk", "grp"])
         with pytest.raises(ValueError):
             group_split(df, "grp", test_frac=1.5)
+
+
+class TestQuantileUniform:
+    def test_endpoints_and_monotone(self, spark):
+        from end_to_end_ml_spark.operators.prep import quantile_uniform
+
+        df = spark.createDataFrame([(i, v) for i, v in enumerate([5, 1, 9, 3, 7])], ["pk", "v"])
+        out = sorted(quantile_uniform(df, "v", "pk").collect(), key=lambda r: r["v"])
+        qs = [r["v_q"] for r in out]
+        assert qs == [0.0, 0.25, 0.5, 0.75, 1.0]
+
+    def test_single_row_zero(self, spark):
+        from end_to_end_ml_spark.operators.prep import quantile_uniform
+
+        out = quantile_uniform(
+            spark.createDataFrame([(1, 42)], ["pk", "v"]), "v", "pk"
+        ).collect()
+        assert out[0]["v_q"] == 0.0
+
+    def test_empty_raises(self, spark):
+        from end_to_end_ml_spark.operators.prep import quantile_uniform
+
+        with pytest.raises(ValueError):
+            quantile_uniform(spark.createDataFrame([], "pk long, v long"), "v", "pk")
+
+
+class TestNegativePairs:
+    def test_shape_and_no_self_pairs(self, spark):
+        from end_to_end_ml_spark.operators.similarity import negative_pairs
+
+        df = spark.createDataFrame([(i,) for i in range(40)], ["vec_id"])
+        out = negative_pairs(df, "vec_id", k=3).collect()
+        ids = set(range(40))
+        assert all(r["neg_id"] in ids for r in out)
+        assert all(r["neg_id"] != r["anchor_id"] for r in out)
+        per_anchor = {}
+        for r in out:
+            per_anchor.setdefault(r["anchor_id"], 0)
+            per_anchor[r["anchor_id"]] += 1
+        # every anchor draws 3 times; a draw is dropped only if it self-hits
+        assert all(2 <= c <= 3 for c in per_anchor.values())
+        assert sum(per_anchor.values()) >= 40 * 3 - 40
+
+    def test_deterministic(self, spark):
+        from end_to_end_ml_spark.operators.similarity import negative_pairs
+
+        df = spark.createDataFrame([(i,) for i in range(30)], ["vec_id"])
+        a = {(r["anchor_id"], r["k_idx"], r["neg_id"]) for r in negative_pairs(df, "vec_id", 2).collect()}
+        b = {(r["anchor_id"], r["k_idx"], r["neg_id"]) for r in negative_pairs(df, "vec_id", 2).collect()}
+        assert a == b
+
+    def test_validations(self, spark):
+        from end_to_end_ml_spark.operators.similarity import negative_pairs
+
+        df1 = spark.createDataFrame([(1,)], ["vec_id"])
+        with pytest.raises(ValueError):
+            negative_pairs(df1, "vec_id", k=0)
+        with pytest.raises(ValueError):
+            negative_pairs(df1, "vec_id", k=2)
