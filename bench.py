@@ -86,6 +86,10 @@ R6 = [
     "ev6_linear_attribution",
     "ts7_countmin_heavy_hitters",
     "pipe6_incremental_ingest",
+    # batch-8/9 additions: two-pass bucketed global rank, ordinal-join
+    # negative sampling (the two heaviest new plan families)
+    "ord1_global_ordinal",
+    "emb4_negative_pairs",
 ]
 
 

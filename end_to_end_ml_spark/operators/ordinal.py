@@ -50,7 +50,13 @@ def global_ordinal(
     """Add ``out_col``: the dense 0-based global rank of each row under
     ``ORDER BY key_col, pk_col`` (ties broken by pk, so the order is
     total). ``n_buckets`` is the parallelism knob — at 100 TB use O(10k)
-    buckets so each per-bucket sort fits an executor core."""
+    buckets so each per-bucket sort fits an executor core.
+
+    Null keys: every NULL lands in bucket 0 (all boundary comparisons are
+    null -> otherwise(0)) and Spark's default ascending sort puts NULLS
+    FIRST, so nulls occupy ordinals 0..n_null-1 deterministically. Note
+    DuckDB defaults to NULLS LAST — an oracle over nullable keys must say
+    ``ORDER BY key NULLS FIRST`` explicitly to match."""
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
     probs = [i / n_buckets for i in range(1, n_buckets)]

@@ -5009,110 +5009,8 @@ ORDER BY b.doc_id
 REGISTRY["pipe6_incremental_ingest"] = (pipe6_incremental_ingest, PIPE6_INCR_SQL)
 
 
-# ---------------------------------------------------------------------------
-# Driver window (first 50 registry entries) — deliberate round-6 rotation.
-#
-# The driver's correctness snapshot covers the FIRST 50 entries only, so the
-# window is re-picked each round to (a) stay all-oracled, (b) span every
-# operator family, and (c) rotate in queries that have never had a driver
-# row. Round-6 swaps IN eleven of the fifteen round-5-tail queries that
-# never had a driver row (q23 market-basket, t9/t10 samplers, s13
-# incremental agg, dq1 expectations gate, ts6 EWMA, ev4 session paths,
-# ev5 daily state snapshot, x13 lexical audit, pipe5 eval set,
-# fn_map_suite) plus four round-6 flagships (d10 span-level dedup, ts7
-# CountMin heavy hitters, ev6 multi-touch attribution, pipe6 incremental
-# ingest); the four r5-tail siblings left out (q24/dq2/x14/s14) each have
-# their family twin in-window and stay locally verified. Swapped OUT are
-# slots that were ALL driver-green in r5 with family coverage retained
-# (q18/q20 vs q1-q21+q23; w1 vs w4; p5/p8 vs p3_p4+p6; s5 vs s2/s3+s13;
-# a12 vs a6/a8/m8; a15 vs a16; skew1 vs skew2; st_sessionize vs
-# st_hourly; ts3 vs ts5/ts6; ev1 vs ev2-ev6; d1 vs d3/d7/d10; x5 vs
-# x2/x8/x9+x13; pipe1 vs pipe3+pipe5/pipe6). All 165 registry entries
-# remain locally verified via tools/check_oracle.py.
-# ---------------------------------------------------------------------------
-
-DRIVER_WINDOW = [
-    # flagship relational
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_supplier_volume",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q21_sole_failing_supplier",
-    "q23_copurchase_pairs",
-    "ts7_countmin_heavy_hitters",
-    # windows
-    "w4_running_total",
-    # prep
-    "p3_p4_clean_documents",
-    "p6_latest_order_per_customer",
-    # splits / sampling
-    "t1_stratified_split",
-    "t2_time_split",
-    "t9_weighted_sample",
-    "t10_fixed_count_sample",
-    # sources / sinks / incremental maintenance
-    "s2_partitioned_roundtrip",
-    "s3_pit_join",
-    "s13_incremental_agg",
-    "ev6_linear_attribution",
-    # metrics
-    "a6_roc_auc",
-    "a8_auc_ovr_macro",
-    "m8_threshold_sweep",
-    # drift
-    "a16_ks_drift",
-    # multi-dimensional aggregates
-    "agg_cube",
-    # skew handling
-    "skew2_salted_collect",
-    # data-quality gates
-    "dq1_expectations",
-    "pipe6_incremental_ingest",
-    # events / timeseries
-    "st_hourly_window",
-    "ts5_rolling_distinct_users",
-    "ts6_ewma",
-    "ev2_retention_cohorts",
-    "ev3_scd2_history",
-    "ev4_top_session_paths",
-    "ev5_daily_state_snapshot",
-    # dedup (LLM-data-pipeline)
-    "d3_minhash_lsh_pairs",
-    "d7_near_dup_groups",
-    # text analysis
-    "x2_quality_scores",
-    "x8_winnow_fingerprints",
-    "x9_chunk_documents",
-    "x13_lexical_stats",
-    "d10_span_dedup",
-    # pipeline / multimodal
-    "pipe3_pretrain_corpus",
-    "pipe5_eval_set",
-    "mm1_payload_metadata",
-    # similarity search
-    "sim1_topk_bruteforce",
-    # embeddings / packing / range join
-    "emb1_random_projection",
-    "pack1_sequence_packing",
-    "rj1_event_pairs",
-    # feature engineering
-    "f4_infrequent_collapse",
-    # function-library suite
-    "fn_map_suite",
-]
-
-assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
-assert len(set(DRIVER_WINDOW)) == 50, "driver window has duplicates"
-_missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
-assert not _missing, f"driver window names not in REGISTRY: {_missing}"
-_unoracled = [n for n in DRIVER_WINDOW if REGISTRY[n][1] is None]
-assert not _unoracled, f"driver window entries must all be oracled: {_unoracled}"
-
-REGISTRY = {
-    name: REGISTRY[name]
-    for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
-}
+# (DRIVER_WINDOW is defined at the END of this module so late-registered
+# queries can be rotated into the window.)
 
 
 def skew3_key_skew_report(spark, sf_dir):
@@ -5353,3 +5251,115 @@ ORDER BY doc_id
 """
 
 REGISTRY["f11_quantile_uniform"] = (f11_quantile_uniform, F11_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Driver window (first 50 registry entries) — deliberate round-6 rotation.
+#
+# The driver's correctness snapshot covers the FIRST 50 entries only, so the
+# window is re-picked each round to (a) stay all-oracled, (b) span every
+# operator family, and (c) rotate in queries that have never had a driver
+# row. Round-6 swaps IN eleven of the fifteen round-5-tail queries that
+# never had a driver row (q23 market-basket, t9/t10 samplers, s13
+# incremental agg, dq1 expectations gate, ts6 EWMA, ev4 session paths,
+# ev5 daily state snapshot, x13 lexical audit, pipe5 eval set,
+# fn_map_suite) plus four round-6 flagships (d10 span-level dedup, ts7
+# CountMin heavy hitters, ev6 multi-touch attribution, pipe6 incremental
+# ingest); the four r5-tail siblings left out (q24/dq2/x14/s14) each have
+# their family twin in-window and stay locally verified. Swapped OUT are
+# slots that were ALL driver-green in r5 with family coverage retained
+# (q18/q20 vs q1-q21+q23; w1 vs w4; p5/p8 vs p3_p4+p6; s5 vs s2/s3+s13;
+# a12 vs a6/a8/m8; a15 vs a16; skew1 vs skew2; st_sessionize vs
+# st_hourly; ts3 vs ts5/ts6; ev1 vs ev2-ev6; d1 vs d3/d7/d10; x5 vs
+# x2/x8/x9+x13; pipe1 vs pipe3+pipe5/pipe6). All 165 registry entries
+# remain locally verified via tools/check_oracle.py.
+# Late-round-6 swap: five of the new batch-7/8/9 operators rotate in for
+# their closest driver-green family twins (q10 -> ord1 global ordinal;
+# ev2 -> mix1 temperature mixture; ev5 -> t11 group split; d3 -> emb4
+# negative pairs, d7+d10 keep dedup covered; x2 -> pack3 shard shuffle,
+# quality columns stay covered by pipe3's fused scan). p14/f11 (winsorize,
+# quantile-uniform) share ord1's rank machinery and stay locally verified.
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW = [
+    # flagship relational
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_supplier_volume",
+    "q9_product_profit",
+    "ord1_global_ordinal",
+    "q21_sole_failing_supplier",
+    "q23_copurchase_pairs",
+    "ts7_countmin_heavy_hitters",
+    # windows
+    "w4_running_total",
+    # prep
+    "p3_p4_clean_documents",
+    "p6_latest_order_per_customer",
+    # splits / sampling
+    "t1_stratified_split",
+    "t2_time_split",
+    "t9_weighted_sample",
+    "t10_fixed_count_sample",
+    # sources / sinks / incremental maintenance
+    "s2_partitioned_roundtrip",
+    "s3_pit_join",
+    "s13_incremental_agg",
+    "ev6_linear_attribution",
+    # metrics
+    "a6_roc_auc",
+    "a8_auc_ovr_macro",
+    "m8_threshold_sweep",
+    # drift
+    "a16_ks_drift",
+    # multi-dimensional aggregates
+    "agg_cube",
+    # skew handling
+    "skew2_salted_collect",
+    # data-quality gates
+    "dq1_expectations",
+    "pipe6_incremental_ingest",
+    # events / timeseries
+    "st_hourly_window",
+    "ts5_rolling_distinct_users",
+    "ts6_ewma",
+    "mix1_temperature_sample",
+    "ev3_scd2_history",
+    "ev4_top_session_paths",
+    "t11_group_split",
+    # dedup (LLM-data-pipeline)
+    "d7_near_dup_groups",
+    "emb4_negative_pairs",
+    # text analysis
+    "pack3_shard_shuffle",
+    "x8_winnow_fingerprints",
+    "x9_chunk_documents",
+    "x13_lexical_stats",
+    "d10_span_dedup",
+    # pipeline / multimodal
+    "pipe3_pretrain_corpus",
+    "pipe5_eval_set",
+    "mm1_payload_metadata",
+    # similarity search
+    "sim1_topk_bruteforce",
+    # embeddings / packing / range join
+    "emb1_random_projection",
+    "pack1_sequence_packing",
+    "rj1_event_pairs",
+    # feature engineering
+    "f4_infrequent_collapse",
+    # function-library suite
+    "fn_map_suite",
+]
+
+assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
+assert len(set(DRIVER_WINDOW)) == 50, "driver window has duplicates"
+_missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+assert not _missing, f"driver window names not in REGISTRY: {_missing}"
+_unoracled = [n for n in DRIVER_WINDOW if REGISTRY[n][1] is None]
+assert not _unoracled, f"driver window entries must all be oracled: {_unoracled}"
+
+REGISTRY = {
+    name: REGISTRY[name]
+    for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
+}

@@ -438,3 +438,55 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def parquet_file_stats(path: str) -> dict:
+    """File-level layout stats of a parquet dataset on a local filesystem:
+    {n_files, total_bytes, min_bytes, max_bytes}. The input to a
+    compaction decision — a table with thousands of KB-sized files wastes
+    a scheduler task + an open/seek per file at read time (the classic
+    small-files problem of streaming/incremental sinks)."""
+    import os
+
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "min_bytes": 0, "max_bytes": 0}
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes),
+        "max_bytes": max(sizes),
+    }
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact a small-files parquet dataset into ~target-sized files (the
+    Delta/Iceberg OPTIMIZE bin-packing step, expressed with stock Spark):
+    size the output file count from the dataset's actual bytes
+    (ceil(total/target), floor 1), then rewrite through a round-robin
+    ``repartition(n)`` — an O(N) shuffle that yields evenly sized files,
+    which matters more for downstream scan parallelism than preserving
+    any accidental input order. Row content is unchanged (contract:
+    compaction is a LAYOUT operation; tests assert count and content
+    equality).
+
+    Writes to ``dst`` rather than in place: an in-place overwrite that
+    fails mid-write destroys the source — the caller swaps directories
+    after success (the same reason table formats commit new files then
+    flip a manifest). Returns {before, after} file stats."""
+    before = parquet_file_stats(src)
+    if before["n_files"] == 0:
+        raise ValueError(f"compact_parquet: no parquet files under {src}")
+    n_out = max(1, -(-before["total_bytes"] // int(target_file_bytes)))
+    df = spark.read.parquet(src)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst)
+    return {"before": before, "after": parquet_file_stats(dst), "n_target": n_out}

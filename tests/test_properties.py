@@ -215,3 +215,26 @@ def test_pack_greedy_matches_python_scan(spark, counts, budget):
             expected[i] = (shard, b)
             fill += c
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(**SETTINGS)
+def test_global_ordinal_matches_sorted_rank(spark, keys):
+    """global_ordinal == row_number over (key, pk) - 1 for arbitrary keys
+    (duplicates, negatives, huge magnitudes), any bucket count."""
+    from end_to_end_ml_spark.operators.ordinal import global_ordinal
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, ["pk", "key"])
+    out = global_ordinal(df, "key", "pk", n_buckets=5).collect()
+    expected = {
+        pk: rank
+        for rank, (k, pk) in enumerate(sorted((k, pk) for pk, k in rows))
+    }
+    assert {r["pk"]: r["ordinal"] for r in out} == expected

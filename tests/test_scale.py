@@ -377,3 +377,34 @@ def test_approx_percentile_rank_error_bounded(spark):
     for p, v in zip(ps, approx):
         true_rank = li.filter(F.col("l_extendedprice") <= v).count()
         assert abs(true_rank - p * n) <= n / accuracy + 1, (p, v, true_rank, n)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from end_to_end_ml_spark.sources.io import compact_parquet, parquet_file_stats
+
+    src = str(tmp_path / "frag")
+    # 64 tiny files
+    spark.range(0, 10000).withColumn("v", F.col("id") * 3).repartition(64).write.parquet(src)
+    assert parquet_file_stats(src)["n_files"] == 64
+
+    dst = str(tmp_path / "compact")
+    report = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    assert report["after"]["n_files"] < report["before"]["n_files"]
+    assert report["after"]["n_files"] == report["n_target"] == 1
+
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == 10000
+    # content identical (layout-only operation)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_parquet_empty_source_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from end_to_end_ml_spark.sources.io import compact_parquet
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, str(empty), str(tmp_path / "out"))
