@@ -682,3 +682,75 @@ def bpe_train(
         )
         words = words.select("freq", fold.alias("sym")).localCheckpoint(eager=True)
     return merges
+
+
+def bm25_components(
+    df: DataFrame, id_col: str, text_col: str, query_terms: list[str]
+) -> DataFrame:
+    """Exact BM25 statistics for a fixed query-term set — the lexical
+    retrieval / curation-ranking primitive (rank corpus docs against probe
+    queries for decontamination triage, hard-negative mining, or keyword
+    audits) complementing the embedding-side ANN operators.
+
+    Emits one row per (doc, matched term) carrying ONLY exact integers —
+    tf (term count in doc), dl (doc token length), df_t (docs containing
+    the term), n_docs, total_tokens — so the table is engine-exact and
+    oracle-checkable; the floating-point score (idf · saturation) is a
+    separate composition, :func:`bm25_score`, because ln() is the one
+    piece libm does not promise bit-identical across engines.
+
+    Scale shape: tokens explode narrow; dl/df/corpus stats are partial
+    aggregates; the query-term probe is a BROADCAST semi-join (terms are
+    a handful of literals), so the only fact-sized shuffles are the two
+    per-doc aggregations keyed on id. Corpus constants ride a 1-row
+    broadcast crossJoin."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).select(id_col, F.lower(F.col("__tok")).alias("token"))
+    dls = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    consts = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    terms = df.sparkSession.createDataFrame(
+        [(t.lower(),) for t in query_terms], ["term"]
+    )
+    matches = (
+        toks.join(F.broadcast(terms), toks["token"] == terms["term"])
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = matches.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_t")
+    )
+    return (
+        matches.join(dls, id_col)
+        .join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(id_col, "term", "tf", "dl", "df_t", "n_docs", "total_tokens")
+    )
+
+
+def bm25_score(components: DataFrame, k1: float = 1.2, b: float = 0.75):
+    """Per-(doc, term) BM25 score over :func:`bm25_components` output,
+    plus the per-doc total. Lucene's non-negative idf variant:
+    ln(1 + (N - df + 0.5)/(df + 0.5)); saturation tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl)) with avgdl = total_tokens/n_docs.
+    Pure JVM double math — reproducible per engine; cross-engine only to
+    libm ulp."""
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    id_col = components.columns[0]
+    scored = components.withColumn("score", idf * sat)
+    totals = scored.groupBy(id_col).agg(F.sum("score").alias("bm25"))
+    return scored, totals

@@ -5363,3 +5363,40 @@ REGISTRY = {
     name: REGISTRY[name]
     for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
 }
+
+
+def x17_bm25_components(spark, sf_dir):
+    """Exact BM25 statistics for a probe query-term set (operators/text.
+    bm25_components): one row per (doc, matched term) of pure integers —
+    tf, dl, df_t, n_docs, total_tokens. Broadcast term probe; ln-based
+    scoring lives in text.bm25_score (pytest-verified) because libm ln is
+    not bit-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_components(
+        docs, "doc_id", "text", ["data", "model", "learning"]
+    ).orderBy("doc_id", "term")
+
+
+X17_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+  FROM documents
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+consts AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dls),
+terms(term) AS (VALUES ('data'), ('model'), ('learning')),
+matches AS (
+  SELECT t.doc_id, te.term, count(*) AS tf
+  FROM toks t JOIN terms te ON t.token = te.term
+  GROUP BY t.doc_id, te.term
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM matches GROUP BY term)
+SELECT m.doc_id, m.term, m.tf, d.dl, f.df_t, c.n_docs, c.total_tokens
+FROM matches m
+JOIN dls d ON m.doc_id = d.doc_id
+JOIN dfs f ON m.term = f.term
+CROSS JOIN consts c
+ORDER BY m.doc_id, m.term
+"""
+
+REGISTRY["x17_bm25_components"] = (x17_bm25_components, X17_SQL)

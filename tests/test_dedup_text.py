@@ -493,3 +493,52 @@ class TestBpeTrain:
         df = spark.createDataFrame([("ab cd ef",)], ["text"])
         got = text.bpe_train(df, "text", n_merges=5, min_pair_freq=2)
         assert got == []  # every pair occurs once
+
+
+class TestBM25:
+    def test_components_exact(self, spark):
+        from end_to_end_ml_spark.operators.text import bm25_components
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "the dog"), (3, "cat cat cat dog")],
+            ["doc_id", "text"],
+        )
+        out = {
+            (r["doc_id"], r["term"]): r.asDict()
+            for r in bm25_components(docs, "doc_id", "text", ["cat", "dog"]).collect()
+        }
+        assert set(out) == {(1, "cat"), (3, "cat"), (2, "dog"), (3, "dog")}
+        r = out[(3, "cat")]
+        assert (r["tf"], r["dl"], r["df_t"], r["n_docs"], r["total_tokens"]) == (3, 4, 2, 3, 12)
+        assert out[(2, "dog")]["tf"] == 1 and out[(2, "dog")]["dl"] == 2
+
+    def test_score_matches_python_reference(self, spark):
+        import math
+
+        from end_to_end_ml_spark.operators.text import bm25_components, bm25_score
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a"), (2, "a a a a a"), (3, "b c d e f g")],
+            ["doc_id", "text"],
+        )
+        comp = bm25_components(docs, "doc_id", "text", ["a", "b"])
+        scored, totals = bm25_score(comp, k1=1.2, b=0.75)
+        got = {(r["doc_id"], r["term"]): r["score"] for r in scored.collect()}
+
+        def ref(tf, dl, df_t, n, total):
+            avgdl = total / n
+            idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+            return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+        for r in comp.collect():
+            expect = ref(r["tf"], r["dl"], r["df_t"], r["n_docs"], r["total_tokens"])
+            assert abs(got[(r["doc_id"], r["term"])] - expect) < 1e-12
+        tot = {r["doc_id"]: r["bm25"] for r in totals.collect()}
+        assert set(tot) == {1, 2, 3}
+
+    def test_empty_terms_raise(self, spark):
+        from end_to_end_ml_spark.operators.text import bm25_components
+
+        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            bm25_components(docs, "doc_id", "text", [])
