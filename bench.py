@@ -90,6 +90,11 @@ R6 = [
     # negative sampling (the two heaviest new plan families)
     "ord1_global_ordinal",
     "emb4_negative_pairs",
+    # batch-12 additions: rank-statistic double join (a18), per-user lead
+    # window over all events (ev7), 4-stage curation composition (pipe7)
+    "a18_spearman_components",
+    "ev7_event_transitions",
+    "pipe7_curated_shards",
 ]
 
 

@@ -679,3 +679,51 @@ def ks_stat_exact(
             F.first("__tc").alias("n_cur_total"),
         )
     )
+
+
+def _doubled_tie_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+    """(value -> 2x its 1-based average tie rank) — doubling keeps the
+    average of a tie run (offset + (size+1)/2) an exact INTEGER, so rank
+    arithmetic never touches a float. Distinct-value aggregate + prefix
+    window over that bounded aggregate (the a6/a12 rank-statistic shape),
+    joined back on the value."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        col,
+        (
+            2 * F.coalesce(F.sum("__cnt").over(w), F.lit(0))
+            + F.col("__cnt")
+            + 1
+        ).alias(out),
+    )
+
+
+def spearman_components(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Exact Spearman rank-correlation COMPONENTS: Pearson components over
+    doubled tie-averaged ranks (2r_x, 2r_y) — n, Σ2rx, Σ2ry, Σ(2rx·2ry),
+    Σ(2rx)², Σ(2ry)² — so rho = (nΣxy − ΣxΣy)/sqrt((nΣxx − Σx²)(nΣyy −
+    Σy²)) is one driver-side float step (the doubling cancels). Same
+    cleared-division discipline as a17's Pearson: every distributed value
+    is an exact integer; sums run in DECIMAL(38,0); rank sums present as
+    BIGINT and product sums as DOUBLE (both engines round the same exact
+    integer to the same double). The tie-corrected rank transform is what
+    makes this Spearman, not Pearson-on-row-numbers.
+
+    Scale shape: two distinct-value aggregates, two prefix windows over
+    those BOUNDED aggregates, two join-backs on the value (Zipf-skewed
+    values split by AQE), one final 1-row aggregation."""
+    dec = "decimal(38,0)"
+    rx = _doubled_tie_ranks(df, x_col, "__r2x")
+    ry = _doubled_tie_ranks(df, y_col, "__r2y")
+    ranked = df.select(x_col, y_col).join(rx, x_col).join(ry, y_col)
+    r2x = F.col("__r2x").cast(dec)
+    r2y = F.col("__r2y").cast(dec)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(r2x).cast("long").alias("sum_rx"),
+        F.sum(r2y).cast("long").alias("sum_ry"),
+        F.sum(r2x * r2y).cast("double").alias("sum_rxry"),
+        F.sum(r2x * r2x).cast("double").alias("sum_rxrx"),
+        F.sum(r2y * r2y).cast("double").alias("sum_ryry"),
+    )

@@ -389,3 +389,49 @@ def countmin_estimate(merged, keys, key_col: str, d: int = 4, w: int = 256):
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    for each user's events in (ts, tiebreak) order, count consecutive
+    (from_type -> to_type) pairs and report each pair's share of all
+    transitions in exact ppm — the behavioral-analytics matrix behind
+    journey analysis and next-event baselines.
+
+    The order within a user is TOTAL (ts ties broken by ``tiebreak_col``,
+    the pk), so the transition multiset is deterministic and a DuckDB
+    lead() replays it exactly; the ppm share is integer floor division —
+    no float anywhere. Scale shape: one window partitioned by user (hash
+    shuffle on user, per-user sort), then a partial-aggregated groupBy on
+    the (from, to) pair — |types|^2 rows max; the 1-row total rides a
+    broadcast crossJoin."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .select(
+            F.col(type_col).alias("from_type"), F.col("__next").alias("to_type")
+        )
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            # integer floor division (SQL `div`): exact, matches DuckDB //
+            # (n * 1e6 stays far inside int64 for any plausible event count)
+            F.expr("n * 1000000L div __total").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

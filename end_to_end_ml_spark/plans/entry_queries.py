@@ -5400,3 +5400,149 @@ ORDER BY m.doc_id, m.term
 """
 
 REGISTRY["x17_bm25_components"] = (x17_bm25_components, X17_SQL)
+
+
+def ev7_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    (operators/timeseries.event_transitions): consecutive (from -> to)
+    event-type pairs under the total order (ts, event_id), counts + exact
+    ppm shares via integer floor division."""
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    return TS.event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+EV7_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+total AS (SELECT sum(n) AS t FROM counts)
+SELECT c.from_type, c.to_type, c.n, CAST(c.n * 1000000 // t.t AS BIGINT) AS p_ppm
+FROM counts c CROSS JOIN total t
+ORDER BY from_type, to_type
+"""
+
+REGISTRY["ev7_event_transitions"] = (ev7_event_transitions, EV7_SQL)
+
+
+def a18_spearman_components(spark, sf_dir):
+    """Exact Spearman components for quantity vs extendedprice over
+    lineitem (functions/metrics.spearman_components): Pearson sums over
+    doubled tie-averaged ranks — all-integer distributed arithmetic,
+    decimal(38,0) sums, product sums presented as correctly-rounded
+    doubles (a17's discipline applied to rank statistics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.similarity import quantize_milli
+
+    m = li.select(
+        quantize_milli(F.col("l_quantity")).alias("x"),
+        quantize_milli(F.col("l_extendedprice")).alias("y"),
+    )
+    return M.spearman_components(m, "x", "y")
+
+
+A18_SPEARMAN_SQL = """
+WITH m AS (
+  SELECT
+    CASE WHEN CAST(l_quantity AS DOUBLE) < 0
+         THEN -CAST(floor(abs(CAST(l_quantity AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+         ELSE CAST(floor(abs(CAST(l_quantity AS DOUBLE)) * 1000 + 0.5) AS BIGINT) END AS x,
+    CASE WHEN CAST(l_extendedprice AS DOUBLE) < 0
+         THEN -CAST(floor(abs(CAST(l_extendedprice AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+         ELSE CAST(floor(abs(CAST(l_extendedprice AS DOUBLE)) * 1000 + 0.5) AS BIGINT) END AS y
+  FROM lineitem
+),
+cx AS (SELECT x, count(*) AS cnt FROM m GROUP BY x),
+rx AS (
+  SELECT x, 2 * COALESCE(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS r2x
+  FROM cx
+),
+cy AS (SELECT y, count(*) AS cnt FROM m GROUP BY y),
+ry AS (
+  SELECT y, 2 * COALESCE(sum(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS r2y
+  FROM cy
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(r2x) AS BIGINT) AS sum_rx,
+       CAST(sum(r2y) AS BIGINT) AS sum_ry,
+       CAST(sum(CAST(r2x AS HUGEINT) * r2y) AS DOUBLE) AS sum_rxry,
+       CAST(sum(CAST(r2x AS HUGEINT) * r2x) AS DOUBLE) AS sum_rxrx,
+       CAST(sum(CAST(r2y AS HUGEINT) * r2y) AS DOUBLE) AS sum_ryry
+FROM m JOIN rx USING (x) JOIN ry USING (y)
+"""
+
+REGISTRY["a18_spearman_components"] = (a18_spearman_components, A18_SPEARMAN_SQL)
+
+
+def pipe7_curated_shards(spark, sf_dir):
+    """Flagship curation recipe, fully composed AND fully oracle-exact:
+    quality gate (n_chars >= 300) -> per-source dominance cap (top 60 by
+    length, deterministic tie-break) -> temperature-scaled language
+    rebalance over the SURVIVORS (rates derived from post-cap counts) ->
+    deterministic shuffle-to-shards coordinates. Every stage is one of the
+    repo's oracled primitives, so the END-TO-END keep set and (shard, pos)
+    layout are engine-exact — the composition a corpus team would actually
+    ship, not just its pieces."""
+    from ..operators import pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(F.col("n_chars") >= 300)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    capped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 60)
+        .drop("__rn")
+    )
+    mixed = split.temperature_sample(capped, "doc_id", "lang", salt="pipe7")
+    out = pack.shard_shuffle(mixed, "doc_id", n_shards=4, salt="p7")
+    return out.select("doc_id", "lang", "source", "shard", "pos").orderBy(
+        "shard", "pos"
+    )
+
+
+PIPE7_SQL = """
+WITH gated AS (
+  SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars >= 300
+),
+capped AS (
+  SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+    FROM gated
+  ) WHERE rn <= 60
+),
+counts AS (SELECT lang, count(*) AS n FROM capped GROUP BY lang),
+nmin AS (SELECT min(n) AS nmin FROM counts),
+rates AS (
+  SELECT lang, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS f
+  FROM counts CROSS JOIN nmin
+),
+mixed AS (
+  SELECT c.doc_id, c.lang, c.source
+  FROM capped c JOIN rates r ON c.lang = r.lang
+  WHERE CAST(('0x' || substr(md5('pipe7|' || CAST(c.doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
+        / 281474976710656.0 < r.f
+),
+keyed AS (
+  SELECT doc_id, lang, source,
+         md5('p7|' || CAST(doc_id AS VARCHAR)) AS key,
+         ('0x' || substr(md5('p7|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard
+  FROM mixed
+)
+SELECT doc_id, lang, source, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+FROM keyed
+ORDER BY shard, pos
+"""
+
+REGISTRY["pipe7_curated_shards"] = (pipe7_curated_shards, PIPE7_SQL)

@@ -247,3 +247,58 @@ def test_drift_bins_clamps_and_exact_ppm(spark):
     assert out[1]["cur_ppm"] == 750000
     # bins with no rows on one side report zero, not null
     assert out[2]["n_ref"] == 1 and out[2]["n_cur"] == 0
+
+
+class TestSpearmanComponents:
+    def test_rho_matches_pure_python(self, spark):
+        import math
+
+        from end_to_end_ml_spark.functions.metrics import spearman_components
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+        ys = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8, 4]
+        df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+        r = spearman_components(df, "x", "y").collect()[0]
+
+        def tie_ranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                    j += 1
+                avg = (i + j) / 2 + 1
+                for k in range(i, j + 1):
+                    ranks[order[k]] = avg
+                i = j + 1
+            return ranks
+
+        rx, ry = tie_ranks(xs), tie_ranks(ys)
+        n = len(xs)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        rho = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+
+        # components are DOUBLED ranks; the x2 cancels in rho
+        got_rho = (r["n"] * r["sum_rxry"] - r["sum_rx"] * r["sum_ry"]) / math.sqrt(
+            (r["n"] * r["sum_rxrx"] - r["sum_rx"] ** 2)
+            * (r["n"] * r["sum_ryry"] - r["sum_ry"] ** 2)
+        )
+        assert abs(got_rho - rho) < 1e-12
+        assert r["sum_rx"] == int(2 * sx) and r["sum_ry"] == int(2 * sy)
+
+    def test_perfect_monotone(self, spark):
+        import math
+
+        from end_to_end_ml_spark.functions.metrics import spearman_components
+
+        df = spark.createDataFrame([(i, i * 10) for i in range(1, 30)], ["x", "y"])
+        r = spearman_components(df, "x", "y").collect()[0]
+        rho = (r["n"] * r["sum_rxry"] - r["sum_rx"] * r["sum_ry"]) / math.sqrt(
+            (r["n"] * r["sum_rxrx"] - r["sum_rx"] ** 2)
+            * (r["n"] * r["sum_ryry"] - r["sum_ry"] ** 2)
+        )
+        assert abs(rho - 1.0) < 1e-12
