@@ -681,21 +681,77 @@ def ks_stat_exact(
     )
 
 
-def _doubled_tie_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+def _dedup_boundaries(raw) -> list[float]:
+    out: list[float] = []
+    for bv in raw:
+        if bv is not None and (not out or bv != out[-1]):
+            out.append(float(bv))
+    return out
+
+
+def _doubled_tie_ranks(
+    df: DataFrame,
+    col: str,
+    out: str,
+    n_buckets: int = 32,
+    boundaries: list[float] | None = None,
+) -> DataFrame:
     """(value -> 2x its 1-based average tie rank) — doubling keeps the
     average of a tie run (offset + (size+1)/2) an exact INTEGER, so rank
-    arithmetic never touches a float. Distinct-value aggregate + prefix
-    window over that bounded aggregate (the a6/a12 rank-statistic shape),
-    joined back on the value."""
+    arithmetic never touches a float.
+
+    Unlike the a6/a12 rank reduction (scores pre-quantized to 1024
+    levels), a raw numeric column's DISTINCT cardinality grows with the
+    data, so a single prefix window over the per-value counts would be a
+    one-task scale-killer. The prefix sum is therefore two-level, the
+    global_ordinal pattern applied to weighted counts: approx-percentile
+    boundaries collected once and frozen as literals -> row-local bucket
+    -> per-bucket row-count totals prefix-summed over the BOUNDED bucket
+    aggregate -> within-bucket prefix windows partitioned by bucket.
+    cum_less = bucket offset + within-bucket prefix; boundary placement
+    only affects balance, never the ranks."""
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
-    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-    return counts.select(
-        col,
-        (
-            2 * F.coalesce(F.sum("__cnt").over(w), F.lit(0))
-            + F.col("__cnt")
-            + 1
-        ).alias(out),
+    if boundaries is None:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        raw = []
+        if probs:
+            raw = (
+                df.agg(
+                    F.percentile_approx(F.col(col).cast("double"), probs).alias("b")
+                ).collect()[0]["b"]
+                or []
+            )
+        boundaries = _dedup_boundaries(raw)
+    key = F.col(col).cast("double")
+    bucket = F.lit(0)
+    for bv in boundaries:
+        bucket = bucket + F.when(key >= F.lit(bv), 1).otherwise(0)
+    counts = counts.withColumn("__bkt", bucket)
+
+    totals = counts.groupBy("__bkt").agg(F.sum("__cnt").alias("__bn"))
+    off_w = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bkt", F.coalesce(F.sum("__bn").over(off_w), F.lit(0)).alias("__boff")
+    )
+    in_w = (
+        Window.partitionBy("__bkt")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        counts.join(F.broadcast(offsets), "__bkt")
+        .select(
+            col,
+            (
+                2
+                * (
+                    F.col("__boff")
+                    + F.coalesce(F.sum("__cnt").over(in_w), F.lit(0))
+                )
+                + F.col("__cnt")
+                + 1
+            ).alias(out),
+        )
     )
 
 
@@ -714,8 +770,18 @@ def spearman_components(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     those BOUNDED aggregates, two join-backs on the value (Zipf-skewed
     values split by AQE), one final 1-row aggregation."""
     dec = "decimal(38,0)"
-    rx = _doubled_tie_ranks(df, x_col, "__r2x")
-    ry = _doubled_tie_ranks(df, y_col, "__r2y")
+    # one pass sketches both columns' bucket boundaries (frozen literals)
+    probs = [i / 32 for i in range(1, 32)]
+    brow = df.agg(
+        F.percentile_approx(F.col(x_col).cast("double"), probs).alias("bx"),
+        F.percentile_approx(F.col(y_col).cast("double"), probs).alias("by"),
+    ).collect()[0]
+    rx = _doubled_tie_ranks(
+        df, x_col, "__r2x", boundaries=_dedup_boundaries(brow["bx"] or [])
+    )
+    ry = _doubled_tie_ranks(
+        df, y_col, "__r2y", boundaries=_dedup_boundaries(brow["by"] or [])
+    )
     ranked = df.select(x_col, y_col).join(rx, x_col).join(ry, y_col)
     r2x = F.col("__r2x").cast(dec)
     r2y = F.col("__r2y").cast(dec)

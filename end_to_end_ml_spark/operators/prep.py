@@ -326,8 +326,8 @@ def quantile_uniform(
     analogue, n_quantiles=n): map each value to its exact dense rank under
     (value, pk) divided by n-1, landing every feature in [0, 1] with a
     uniform marginal — the outlier-immune scaler that complements the
-    reference's min-max/standard family (reference scalers:
-    src/training/utils/job.py pipeline config). Rank comes from the
+    reference's robust/standard/min-max family (reference scalers:
+    src/feature/utils/data.py:19-43). Rank comes from the
     bucketed :func:`~end_to_end_ml_spark.operators.ordinal.global_ordinal`
     (no single-task sort); the division is one correctly-rounded IEEE op,
     so a DuckDB oracle reproduces every output bit. A single-row input
