@@ -128,3 +128,44 @@ def skew_report(df, key_cols, top_k: int = 5):
         F.transform("__top", lambda s: s["n"]).alias("top_counts"),
         F.expr("max_count * 1000000 DIV n_rows").alias("skew_ratio_ppm"),
     )
+
+
+def join_cardinality(left, right, left_key: str, right_key: str):
+    """EXACT join-output cardinality without running the join — the
+    pre-flight companion to :func:`skew_report`: |A ⋈ B| on an equi-key is
+    Σ_k n_A(k)·n_B(k) over the per-key count frames, so the estimate costs
+    two aggregations plus a join of COUNT rows (|distinct keys|, never the
+    facts). Also reports each side's row total and the heaviest single
+    key's output contribution — the number that decides between a plain
+    shuffle join, salting, or rethinking the query (a 100 TB join that
+    would emit 10^16 rows should die in planning, not in production).
+
+    All integers; products carried in decimal(38,0) (a hot key times a hot
+    key overflows int64 fast). 1-row output."""
+    la = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    rb = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    dec = "decimal(38,0)"
+    prod = (F.col("__na").cast(dec) * F.col("__nb").cast(dec)).alias("__p")
+    joined = la.join(rb, "__k").select("__k", prod)
+    return (
+        joined.agg(
+            F.sum("__p").cast(dec).alias("join_rows"),
+            F.max("__p").cast(dec).alias("max_key_rows"),
+            F.count(F.lit(1)).alias("n_matching_keys"),
+        )
+        .crossJoin(F.broadcast(left.agg(F.count(F.lit(1)).alias("left_rows"))))
+        .crossJoin(F.broadcast(right.agg(F.count(F.lit(1)).alias("right_rows"))))
+        .select(
+            "left_rows",
+            "right_rows",
+            "n_matching_keys",
+            F.coalesce(F.col("join_rows"), F.lit(0).cast(dec)).alias("join_rows"),
+            F.coalesce(F.col("max_key_rows"), F.lit(0).cast(dec)).alias(
+                "max_key_rows"
+            ),
+        )
+    )

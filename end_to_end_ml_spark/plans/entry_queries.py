@@ -5546,3 +5546,85 @@ ORDER BY shard, pos
 """
 
 REGISTRY["pipe7_curated_shards"] = (pipe7_curated_shards, PIPE7_SQL)
+
+
+def skew4_join_cardinality(spark, sf_dir):
+    """Exact pre-flight join-cardinality estimate for orders x lineitem on
+    orderkey (operators/skew.join_cardinality): sum of per-key count
+    products over count frames — the planning-time answer to "how many
+    rows will this join emit", never touching the fact-sized join."""
+    from ..operators.skew import join_cardinality
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    out = join_cardinality(o, li, "o_orderkey", "l_orderkey")
+    return out.select(
+        "left_rows",
+        "right_rows",
+        "n_matching_keys",
+        F.col("join_rows").cast("long").alias("join_rows"),
+        F.col("max_key_rows").cast("long").alias("max_key_rows"),
+    )
+
+
+SKEW4_SQL = """
+WITH la AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY o_orderkey),
+rb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY l_orderkey),
+j AS (SELECT la.k, CAST(na AS HUGEINT) * nb AS p FROM la JOIN rb USING (k)),
+t AS (SELECT CAST(sum(p) AS BIGINT) AS join_rows,
+             CAST(max(p) AS BIGINT) AS max_key_rows,
+             CAST(count(*) AS BIGINT) AS n_matching_keys
+      FROM j)
+SELECT (SELECT count(*) FROM orders) AS left_rows,
+       (SELECT count(*) FROM lineitem) AS right_rows,
+       t.n_matching_keys,
+       COALESCE(t.join_rows, 0) AS join_rows,
+       COALESCE(t.max_key_rows, 0) AS max_key_rows
+FROM t
+"""
+
+REGISTRY["skew4_join_cardinality"] = (skew4_join_cardinality, SKEW4_SQL)
+
+
+def dq3_referential_integrity(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema: count child rows
+    whose FK has no parent (LEFT ANTI per relation, unioned into one
+    relation/orphans table). The referential-integrity complement to
+    dq1/dq2's column expectations; each anti-join is a broadcast or
+    shuffle hash join on the key — never fact x fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rels = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in rels:
+        orphans = child.join(
+            parent, child[fk] == parent[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        parts.append(
+            orphans.select(
+                F.lit(name).alias("relation"),
+                "n_orphans",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")
+
+
+DQ3_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS relation,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders.o_custkey->customer' AS relation,
+       CAST(count(*) AS BIGINT) AS n_orphans
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+ORDER BY relation
+"""
+
+REGISTRY["dq3_referential_integrity"] = (dq3_referential_integrity, DQ3_SQL)

@@ -155,3 +155,25 @@ class TestNegativePairs:
             negative_pairs(df1, "vec_id", k=0)
         with pytest.raises(ValueError):
             negative_pairs(df1, "vec_id", k=2)
+
+
+class TestJoinCardinality:
+    def test_matches_actual_join(self, spark):
+        from end_to_end_ml_spark.operators.skew import join_cardinality
+
+        a = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["k"])
+        b = spark.createDataFrame([(1,), (2,), (2,), (9,)], ["j"])
+        r = join_cardinality(a, b, "k", "j").collect()[0]
+        actual = a.join(b, a["k"] == b["j"]).count()
+        assert int(r["join_rows"]) == actual == 4
+        assert int(r["max_key_rows"]) == 2
+        assert r["n_matching_keys"] == 2
+        assert r["left_rows"] == 4 and r["right_rows"] == 4
+
+    def test_disjoint_keys_zero(self, spark):
+        from end_to_end_ml_spark.operators.skew import join_cardinality
+
+        a = spark.createDataFrame([(1,)], ["k"])
+        b = spark.createDataFrame([(2,)], ["j"])
+        r = join_cardinality(a, b, "k", "j").collect()[0]
+        assert int(r["join_rows"]) == 0 and int(r["max_key_rows"]) == 0
