@@ -371,6 +371,10 @@ def temperature_sample(
     Scale shape: one tiny groupBy(group) count (map-side combined, |groups|
     rows), a 1-row global min, both broadcast back — the fact table sees
     one broadcast-hash-join plus a narrow filter; no fact-sized shuffle.
+    Note the input plan is evaluated up to three times (counts, min,
+    probe): free over a parquet scan with pushdown, but callers composing
+    an EXPENSIVE upstream (multi-stage filter/window chains, as in pipe7)
+    should persist()/checkpoint it first.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
