@@ -5628,3 +5628,93 @@ ORDER BY relation
 """
 
 REGISTRY["dq3_referential_integrity"] = (dq3_referential_integrity, DQ3_SQL)
+
+
+def ev8_time_to_conversion(spark, sf_dir):
+    """Time-to-conversion distribution: per user, the delta between the
+    FIRST signup and the first purchase AFTER it, bucketed into hours —
+    the funnel-depth histogram behind ev1's conversion rate. Exact epoch-
+    second integer arithmetic end-to-end; one conditional-MIN aggregation
+    per user (the ev1 shape) then a tiny bucket rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_timestamp("ts"))
+        ).alias("t_signup")
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_timestamp("ts").alias("t_p"))
+        .join(per_user, "user_id")
+        .filter(F.col("t_p") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_p").alias("t_purchase"), F.first("t_signup").alias("t_s")
+        )
+    )
+    return (
+        first_purchase.select(
+            F.expr("(t_purchase - t_s) div 3600").alias("hours_bucket")
+        )
+        .groupBy("hours_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("hours_bucket")
+    )
+
+
+EV8_SQL = """
+WITH su AS (
+  -- epoch_ms // 1000 floors to whole seconds like Spark's unix_timestamp
+  -- (bare epoch() returns fractional seconds and flips boundary cases)
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) // 1000 END) AS t_signup
+  FROM events GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, min(epoch_ms(e.ts) // 1000) AS t_purchase, min(s.t_signup) AS t_s
+  FROM events e JOIN su s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) // 1000 >= s.t_signup
+  GROUP BY e.user_id
+)
+SELECT CAST((t_purchase - t_s) // 3600 AS BIGINT) AS hours_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM fp GROUP BY 1 ORDER BY hours_bucket
+"""
+
+REGISTRY["ev8_time_to_conversion"] = (ev8_time_to_conversion, EV8_SQL)
+
+
+def ts8_weekly_profile(spark, sf_dir):
+    """Weekly activity profile: event counts per (day-of-week, hour) with
+    exact ppm share — the seasonality fingerprint used for anomaly
+    baselines and load planning. Pure integer rollup (168 output rows);
+    dow normalized to Sunday=0 on both engines (Spark dayofweek() is
+    1-based)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hod")
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("dow", "hod", "n", F.expr("n * 1000000L div __t").alias("p_ppm"))
+        .orderBy("dow", "hod")
+    )
+
+
+TS8_SQL = """
+WITH c AS (
+  SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS INT) AS hod, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT sum(n) AS tt FROM c)
+SELECT CAST(dow AS INT) AS dow, hod, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // tt AS BIGINT) AS p_ppm
+FROM c CROSS JOIN t
+ORDER BY dow, hod
+"""
+
+REGISTRY["ts8_weekly_profile"] = (ts8_weekly_profile, TS8_SQL)
