@@ -378,6 +378,11 @@ def temperature_sample(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
+    # NULL groups are excluded up front (explicit contract): the inner
+    # join below would drop their rows anyway, and counting them first
+    # could make a null pseudo-group the N_min that inflates every other
+    # group's keep fraction.
+    df = df.filter(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     nmin = counts.agg(F.min("__n").alias("__nmin"))
     ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")

@@ -177,3 +177,26 @@ class TestJoinCardinality:
         b = spark.createDataFrame([(2,)], ["j"])
         r = join_cardinality(a, b, "k", "j").collect()[0]
         assert int(r["join_rows"]) == 0 and int(r["max_key_rows"]) == 0
+
+
+class TestNullGroupContracts:
+    def test_temperature_sample_drops_null_groups(self, spark):
+        from end_to_end_ml_spark.operators.split import temperature_sample
+
+        rows = [(i, "a" if i < 40 else ("b" if i < 50 else None)) for i in range(60)]
+        df = spark.createDataFrame(rows, ["pk", "grp"])
+        kept = temperature_sample(df, "pk", "grp").collect()
+        assert all(r["grp"] is not None for r in kept)
+        # smallest NON-NULL group (b, 10 rows) keeps everything: null rows
+        # must not have been counted as a pseudo-group that shrinks b
+        assert sum(1 for r in kept if r["grp"] == "b") == 10
+
+    def test_group_split_null_group_shares_fate(self, spark):
+        from end_to_end_ml_spark.operators.split import group_split
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "g")], ["pk", "grp"]
+        )
+        out = group_split(df, "grp", 0.5).collect()
+        null_sides = {r["split"] for r in out if r["grp"] is None}
+        assert len(null_sides) == 1  # all null-group rows move together
