@@ -346,3 +346,48 @@ def quantile_uniform(
     return ords.withColumn(
         out, F.col("ordinal").cast("double") / F.lit(float(n - 1))
     ).drop("ordinal")
+
+
+def profile_columns(df, columns=None):
+    """One-pass column profile (Deequ/df.summary-style, exact): for every
+    column emit rows, nulls, exact distinct count, and min/max rendered as
+    strings — the table-level first-look that schedules deeper checks
+    (null audit P8, expectations dq1, FK audit dq3). Long format:
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value).
+
+    ONE aggregation pass: all per-column measures ride a single agg();
+    Spark plans the multiple exact count-distincts via expand (one shuffle
+    carrying |columns| streams) — at 100 TB swap exact distinct for
+    approx_count_distinct per column, same plan shape minus the expand
+    (documented knob, exactness is what makes THIS form oracle-checkable).
+    Min/max stringification is engine-deterministic for the integer /
+    string columns profiled here (floats would need explicit formatting
+    pinned on both engines)."""
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(
+            row.select(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column")

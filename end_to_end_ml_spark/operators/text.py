@@ -754,3 +754,59 @@ def bm25_score(components: DataFrame, k1: float = 1.2, b: float = 0.75):
     scored = components.withColumn("score", idf * sat)
     totals = scored.groupBy(id_col).agg(F.sum("score").alias("bm25"))
     return scored, totals
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, str, int]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a trained BPE merge table (:func:`bpe_train` output) to text —
+    the tokenizer-APPLICATION half of the tokenizer story: per word, start
+    from characters and replay every merge in rank order as the SAME
+    left fold the trainer used (greedy LTR; see bpe_train's docstring for
+    why fold-with-last ≡ greedy), so encode(train_corpus) reproduces the
+    trainer's final symbol state exactly — the round-trip contract the
+    tests pin.
+
+    Pure JVM expression: one nested transform/aggregate chain per row, no
+    shuffle, fuses with the scan. The chain depth grows with the merge
+    count; past a few dozen merges Spark falls back from codegen to
+    interpreted expression evaluation (correct, slower) — for production
+    vocab sizes (tens of thousands of merges) tokenization belongs in an
+    Arrow-batched pandas UDF instead; this expression form is the
+    zero-dependency exact path for the small merge tables bpe_train
+    produces here. Adds ``out_col`` (array<string>) and ``n_{out_col}``."""
+    ordered = sorted(merges, key=lambda m: m[0])
+
+    def _merge_step(left, right, merged):
+        def step(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return step
+
+    def encode_word(w):
+        sym = F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+        )
+        for _rank, left, right, merged, _pf in ordered:
+            sym = F.aggregate(
+                sym,
+                F.array().cast("array<string>"),
+                _merge_step(left, right, merged),
+            )
+        return sym
+
+    words = F.filter(tokens(text_col), lambda w: F.length(w) > 0)
+    toks = F.flatten(F.transform(words, encode_word))
+    return df.withColumn(out_col, toks).withColumn(
+        f"n_{out_col}", F.size(F.col(out_col)).cast("long")
+    )

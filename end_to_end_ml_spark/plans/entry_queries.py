@@ -5718,3 +5718,63 @@ ORDER BY dow, hod
 """
 
 REGISTRY["ts8_weekly_profile"] = (ts8_weekly_profile, TS8_SQL)
+
+
+def p15_profile_columns(spark, sf_dir):
+    """One-pass exact column profile of orders (operators/prep.
+    profile_columns): rows / nulls / exact distincts / min / max per
+    column in long format — all measures from a single agg()."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    return prep.profile_columns(o.select(*cols))
+
+
+P15_SQL = """
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+         count(DISTINCT o_orderkey) AS nd1,
+         CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+         count(DISTINCT o_custkey) AS nd2,
+         CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+         count(DISTINCT o_orderstatus) AS nd3,
+         CAST(min(o_orderstatus) AS VARCHAR) AS mn3, CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu4,
+         count(DISTINCT o_orderpriority) AS nd4,
+         CAST(min(o_orderpriority) AS VARCHAR) AS mn4, CAST(max(o_orderpriority) AS VARCHAR) AS mx4
+  FROM orders
+)
+SELECT 'o_custkey' AS "column", CAST(n AS BIGINT) AS n_rows, CAST(nu2 AS BIGINT) AS n_nulls,
+       CAST(nd2 AS BIGINT) AS n_distinct, mn2 AS min_value, mx2 AS max_value FROM s
+UNION ALL
+SELECT 'o_orderkey', n, nu1, nd1, mn1, mx1 FROM s
+UNION ALL
+SELECT 'o_orderpriority', n, nu4, nd4, mn4, mx4 FROM s
+UNION ALL
+SELECT 'o_orderstatus', n, nu3, nd3, mn3, mx3 FROM s
+ORDER BY "column"
+"""
+
+REGISTRY["p15_profile_columns"] = (p15_profile_columns, P15_SQL)
+
+
+def x18_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION: train 8 merges on the corpus, then encode
+    every document with the same greedy-LTR fold the trainer used
+    (text.bpe_encode) and report per-doc BPE token counts vs whitespace
+    counts. The train->encode round-trip is exactness-pinned in pytest
+    (encode replays the trainer's folds); the two-stage train-then-apply
+    loop is not SQL-expressible — rows-only entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, "text", n_merges=8)
+    enc = text.bpe_encode(docs, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        "n_bpe_tokens",
+    ).orderBy("doc_id")
+
+
+REGISTRY["x18_bpe_encode"] = (x18_bpe_encode, None)

@@ -542,3 +542,41 @@ class TestBM25:
         docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             bm25_components(docs, "doc_id", "text", [])
+
+
+class TestBpeEncode:
+    def _python_bpe(self, word, merges):
+        sym = list(word)
+        for _rank, l, r, m, _pf in sorted(merges, key=lambda x: x[0]):
+            out = []
+            for s in sym:
+                if out and out[-1] == l and s == r:
+                    out[-1] = m
+                else:
+                    out.append(s)
+            sym = out
+        return sym
+
+    def test_roundtrip_with_trainer(self, spark):
+        from end_to_end_ml_spark.operators.text import bpe_encode, bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "low lower lowest low low"), (2, "newer newest new lower")],
+            ["doc_id", "text"],
+        )
+        merges = bpe_train(docs, "text", n_merges=6, min_pair_freq=2)
+        assert merges, "trainer found no merges"
+        out = bpe_encode(docs, "text", merges).collect()
+        for row in out:
+            expect = []
+            for w in row["text"].split():
+                expect.extend(self._python_bpe(w, merges))
+            assert row["bpe_tokens"] == expect
+            assert row["n_bpe_tokens"] == len(expect)
+
+    def test_no_merges_chars(self, spark):
+        from end_to_end_ml_spark.operators.text import bpe_encode
+
+        docs = spark.createDataFrame([(1, "ab c")], ["doc_id", "text"])
+        out = bpe_encode(docs, "text", []).collect()[0]
+        assert out["bpe_tokens"] == ["a", "b", "c"]
