@@ -793,3 +793,24 @@ def spearman_components(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.sum(r2x * r2x).cast("double").alias("sum_rxrx"),
         F.sum(r2y * r2y).cast("double").alias("sum_ryry"),
     )
+
+
+def brier_components(
+    df: DataFrame, label_col: str, score_col: str, scale: int = 1024
+) -> DataFrame:
+    """Exact Brier-score components: with scores quantized to k/scale
+    (the repo's standard score-quantization contract, quantize_score),
+    Brier = Σ(k/scale − y)² / n = Σ(k − scale·y)² / (n·scale²) — so the
+    distributed part carries ONLY the integer numerator Σ(k − scale·y)²
+    and n, and the final division is one driver-side float step. A naive
+    Σ(p−y)² of doubles is partial-aggregation-order-dependent; the integer
+    numerator is not (same cleared-division discipline as a16/a17/a18).
+    Sum rides decimal(38,0): per-row terms reach scale², so int64 heads
+    toward overflow around 10^12 rows."""
+    k = F.floor(F.col(score_col) * scale + F.lit(0.5)).cast("long")
+    d = k - F.lit(scale) * F.col(label_col).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((d * d).cast("decimal(38,0)")).cast("long").alias("sum_sq_num"),
+        F.lit(scale).cast("long").alias("scale"),
+    )

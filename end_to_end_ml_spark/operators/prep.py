@@ -391,3 +391,64 @@ def profile_columns(df, columns=None):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("column")
+
+
+def feature_hash_audit(df, cols, n_buckets: int = 64, salt: str = "fh"):
+    """The hashing trick for high-cardinality categoricals (sklearn
+    FeatureHasher / Vowpal-style), engine-portable: bucket = first-32-
+    md5-bits(salt|column|value) mod n_buckets — plus the audit a pipeline
+    needs before trusting it: per (column, bucket), row count and DISTINCT
+    original values (collisions). md5, not xxhash64/murmur, so any engine
+    reproduces the identical bucketing (same tradeoff as the samplers).
+
+    The hash expression itself (``feature_hash_expr``) is a narrow
+    scan-fused projection; this audit adds one partial-aggregated groupBy
+    over (column, bucket) — at most |cols|·n_buckets output rows."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for c in cols:
+        b = feature_hash_expr(c, n_buckets, salt)
+        parts.append(
+            # NULLs are excluded from the audit (explicit contract):
+            # missingness is the null audit's (P8) concern, and a NULL
+            # pseudo-bucket would read as a collision hotspot here
+            df.filter(F.col(c).isNotNull()).select(
+                F.lit(c).alias("column"),
+                b.alias("bucket"),
+                F.col(c).cast("string").alias("__v"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("column", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("__v").alias("n_values"),
+        )
+        .orderBy("column", "bucket")
+    )
+
+
+def feature_hash_expr(col: str, n_buckets: int = 64, salt: str = "fh"):
+    """The bucket expression alone: md5-derived, engine-portable, NULL in
+    -> NULL out (concat_ws would silently fold NULL to the salt|column
+    draw, hiding missingness — so nulls are passed through explicitly)."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(salt), F.lit(col), F.col(col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % n_buckets
+    return F.when(F.col(col).isNull(), F.lit(None).cast("long")).otherwise(h)

@@ -5778,3 +5778,53 @@ def x18_bpe_encode(spark, sf_dir):
 
 
 REGISTRY["x18_bpe_encode"] = (x18_bpe_encode, None)
+
+
+def a19_brier_components(spark, sf_dir):
+    """Exact Brier-score components over the deterministic scored frame
+    (functions/metrics.brier_components): integer numerator
+    Σ(k − 1024·y)² + n; brier = num/(n·1024²) is one driver float step.
+    Order-independent where a naive Σ(p−y)² of doubles is not."""
+    return M.brier_components(scored_events(spark, sf_dir), "label", "score")
+
+
+A19_SQL = (
+    "WITH s AS (" + SCORED_SQL + ") "
+    "SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(CAST(floor(score * 1024 + 0.5) AS BIGINT) - 1024 * label AS HUGEINT) "
+    "         * (CAST(floor(score * 1024 + 0.5) AS BIGINT) - 1024 * label)) AS BIGINT) AS sum_sq_num, "
+    "CAST(1024 AS BIGINT) AS scale "
+    "FROM s"
+)
+
+REGISTRY["a19_brier_components"] = (a19_brier_components, A19_SQL)
+
+
+def f12_feature_hash_audit(spark, sf_dir):
+    """Hashing-trick bucket audit for two categorical columns of orders
+    (operators/prep.feature_hash_audit): per (column, bucket) row count +
+    distinct original values — the collision report consulted before
+    replacing a high-cardinality categorical with hashed buckets."""
+    o = load_table(spark, sf_dir, "orders")
+    return prep.feature_hash_audit(o, ["o_orderpriority", "o_orderstatus"], n_buckets=16)
+
+
+F12_SQL = """
+WITH h AS (
+  SELECT 'o_orderpriority' AS "column",
+         ('0x' || substr(md5('fh|o_orderpriority|' || o_orderpriority), 1, 8))::BIGINT % 16 AS bucket,
+         o_orderpriority AS v
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  UNION ALL
+  SELECT 'o_orderstatus',
+         ('0x' || substr(md5('fh|o_orderstatus|' || o_orderstatus), 1, 8))::BIGINT % 16,
+         o_orderstatus
+  FROM orders WHERE o_orderstatus IS NOT NULL
+)
+SELECT "column", bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_values
+FROM h GROUP BY 1, 2
+ORDER BY "column", bucket
+"""
+
+REGISTRY["f12_feature_hash_audit"] = (f12_feature_hash_audit, F12_SQL)

@@ -200,3 +200,48 @@ class TestNullGroupContracts:
         out = group_split(df, "grp", 0.5).collect()
         null_sides = {r["split"] for r in out if r["grp"] is None}
         assert len(null_sides) == 1  # all null-group rows move together
+
+
+class TestFeatureHash:
+    def test_buckets_stable_and_null_passthrough(self, spark):
+        from end_to_end_ml_spark.operators.prep import (
+            feature_hash_audit,
+            feature_hash_expr,
+        )
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",), (None,)], ["c"]
+        )
+        out = df.select("c", feature_hash_expr("c", 8).alias("b")).collect()
+        by_v = {}
+        for r in out:
+            by_v.setdefault(r["c"], set()).add(r["b"])
+        assert len(by_v["a"]) == 1 and list(by_v["a"])[0] is not None
+        assert by_v[None] == {None}
+        audit = feature_hash_audit(df, ["c"], n_buckets=8).collect()
+        assert sum(r["n_rows"] for r in audit) == 3  # nulls excluded
+        assert all(r["bucket"] is not None for r in audit)
+
+    def test_collisions_reported(self, spark):
+        from end_to_end_ml_spark.operators.prep import feature_hash_audit
+
+        df = spark.createDataFrame([(f"v{i}",) for i in range(200)], ["c"])
+        audit = feature_hash_audit(df, ["c"], n_buckets=4).collect()
+        assert sum(r["n_values"] for r in audit) == 200
+        assert max(r["n_values"] for r in audit) > 1  # pigeonhole
+
+
+class TestBrierComponents:
+    def test_matches_direct_quantized_brier(self, spark):
+        from end_to_end_ml_spark.functions.metrics import brier_components
+
+        rows = [(i, i % 2, ((i * 37) % 1024) / 1024.0) for i in range(500)]
+        df = spark.createDataFrame(rows, ["pk", "label", "score"])
+        r = brier_components(df, "label", "score").collect()[0]
+        expect = sum(
+            (round(s * 1024) - 1024 * y) ** 2 for _, y, s in rows
+        )
+        assert r["sum_sq_num"] == expect and r["n"] == 500
+        brier = r["sum_sq_num"] / (r["n"] * r["scale"] ** 2)
+        direct = sum((s - y) ** 2 for _, y, s in rows) / 500
+        assert abs(brier - direct) < 1e-6  # quantization-level agreement
