@@ -238,3 +238,50 @@ def test_global_ordinal_matches_sorted_rank(spark, keys):
         for rank, (k, pk) in enumerate(sorted((k, pk) for pk, k in rows))
     }
     assert {r["pk"]: r["ordinal"] for r in out} == expected
+
+
+@given(
+    st.sets(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=2, max_size=80
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_shard_shuffle_is_permutation(spark, ids, n_shards):
+    """shard_shuffle: output ids = input ids exactly once; pos dense per
+    shard; shard in range — for arbitrary unique int64 keys."""
+    from end_to_end_ml_spark.operators.pack import shard_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], ["pk"])
+    out = shard_shuffle(df, "pk", n_shards=n_shards).collect()
+    assert sorted(r["pk"] for r in out) == sorted(ids)
+    per = {}
+    for r in out:
+        assert 0 <= r["shard"] < n_shards
+        per.setdefault(r["shard"], []).append(r["pos"])
+    assert all(sorted(v) == list(range(len(v))) for v in per.values())
+
+
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=4, max_size=100
+    ).filter(lambda xs: len(set(xs)) >= 2)
+)
+@settings(**SETTINGS)
+def test_temperature_sample_invariants(spark, groups):
+    """temperature_sample: output ⊆ input; at least one smallest group is
+    kept whole (its keep fraction is exactly 1)."""
+    from collections import Counter
+
+    from end_to_end_ml_spark.operators.split import temperature_sample
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, ["pk", "grp"])
+    kept = temperature_sample(df, "pk", "grp").collect()
+    kept_pks = {r["pk"] for r in kept}
+    assert kept_pks <= {pk for pk, _ in rows}
+    counts = Counter(groups)
+    nmin = min(counts.values())
+    kept_counts = Counter(r["grp"] for r in kept)
+    smallest = [g for g, c in counts.items() if c == nmin]
+    assert any(kept_counts[g] == counts[g] for g in smallest)
