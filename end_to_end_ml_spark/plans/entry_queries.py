@@ -5271,7 +5271,7 @@ REGISTRY["f11_quantile_uniform"] = (f11_quantile_uniform, F11_SQL)
 # (q18/q20 vs q1-q21+q23; w1 vs w4; p5/p8 vs p3_p4+p6; s5 vs s2/s3+s13;
 # a12 vs a6/a8/m8; a15 vs a16; skew1 vs skew2; st_sessionize vs
 # st_hourly; ts3 vs ts5/ts6; ev1 vs ev2-ev6; d1 vs d3/d7/d10; x5 vs
-# x2/x8/x9+x13; pipe1 vs pipe3+pipe5/pipe6). All 165 registry entries
+# x2/x8/x9+x13; pipe1 vs pipe3+pipe5/pipe6). All 185 registry entries
 # remain locally verified via tools/check_oracle.py.
 # Late-round-6 swap: five of the new batch-7/8/9 operators rotate in for
 # their closest driver-green family twins (q10 -> ord1 global ordinal;
