@@ -490,3 +490,32 @@ def compact_parquet(
     df = spark.read.parquet(src)
     df.repartition(n_out).write.mode("overwrite").parquet(dst)
     return {"before": before, "after": parquet_file_stats(dst), "n_target": n_out}
+
+
+def read_binary_assets(spark, path: str, glob: str | None = None):
+    """Multimodal asset ingestion via Spark's built-in ``binaryFile``
+    source: one row per file with (path, modificationTime, length,
+    content) — the actual on-ramp for image/audio/video payloads that the
+    multimodal operators (operators/multimodal.py) process as opaque
+    binary columns. ``glob`` filters by pattern (e.g. ``*.jpg``) INSIDE
+    the reader via pathGlobFilter, so non-matching files are never opened.
+
+    Scale notes: binaryFile is non-splittable (one task per file — correct
+    for media, where a file IS the record); Spark caps per-file size via
+    spark.sql.sources.binaryFile.maxLength (2 GB default). Derives a
+    deterministic ``asset_id`` = md5 of the path (stable across re-reads,
+    unlike any row-order id) and ``ext`` from the filename."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.md5(F.col("path")).alias("asset_id"),
+        F.col("path"),
+        F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1).alias("ext"),
+        F.col("length"),
+        F.col("modificationTime").alias("modified_at"),
+        F.col("content"),
+    )

@@ -278,3 +278,37 @@ def test_read_binary_files_feeds_payload_metadata(spark, tmp_path):
     assert meta["a.png"]["format"] == "png"
     assert meta["b.jpg"]["format"] == "jpeg"
     assert meta["a.png"]["n_bytes"] == len(b"\x89PNG\r\n\x1a\nrest-of-png")
+
+
+class TestBinaryAssetIngest:
+    def test_reads_files_with_metadata(self, spark, tmp_path):
+        from end_to_end_ml_spark.operators.multimodal import payload_metadata
+        from end_to_end_ml_spark.sources.io import read_binary_assets
+
+        d = tmp_path / "assets"
+        d.mkdir()
+        (d / "a.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"x" * 100)
+        (d / "b.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"y" * 50)
+        (d / "notes.txt").write_bytes(b"skip me")
+
+        out = read_binary_assets(spark, str(d)).orderBy("path").collect()
+        assert len(out) == 3
+        assert [r["ext"] for r in out] == ["jpg", "png", "txt"]
+        assert out[0]["length"] == 104 and len(out[0]["content"]) == 104
+        assert len({r["asset_id"] for r in out}) == 3
+
+        # glob pushdown: only jpg files are surfaced
+        jpg = read_binary_assets(spark, str(d), glob="*.jpg").collect()
+        assert len(jpg) == 1 and jpg[0]["ext"] == "jpg"
+
+        # plumbs straight into the multimodal metadata operator
+        meta = payload_metadata(
+            spark.createDataFrame(
+                [(r["asset_id"], r["content"]) for r in out],
+                "asset_id string, payload binary",
+            ),
+            "asset_id",
+            "payload",
+        ).collect()
+        fmts = {m["format"] for m in meta}
+        assert "jpeg" in fmts and "png" in fmts
