@@ -519,3 +519,59 @@ def read_binary_assets(spark, path: str, glob: str | None = None):
         F.col("modificationTime").alias("modified_at"),
         F.col("content"),
     )
+
+
+def read_text_corpus(spark, path: str, glob: str | None = None):
+    """Raw text-line corpus ingestion (the LLM on-ramp for *.txt / one-
+    doc-per-line dumps): Spark's built-in ``text`` source, one row per
+    line, with file provenance (``input_file_name``) and a deterministic
+    content-derived ``doc_id`` = md5(line). Identical lines therefore
+    share an id BY CONTRACT — exact duplicates are the first thing a
+    corpus pipeline removes anyway (d1), and a content id is the only row
+    identity that is stable across re-reads, splits, and file moves
+    (line numbers are not a distributed concept on splittable text).
+    Empty lines are dropped. Splittable source: big files parallelize by
+    range, unlike binaryFile."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.text(path)
+    return (
+        df.filter(F.length(F.trim("value")) > 0)
+        .select(
+            F.md5(F.col("value")).alias("doc_id"),
+            F.input_file_name().alias("file"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
+def read_jsonl_quarantine(spark, path: str, schema: str):
+    """Error-tolerant JSON-lines ingest: PERMISSIVE mode with an explicit
+    ``_corrupt_record`` column splits the stream into (good, quarantined)
+    — the production ingest contract where one malformed producer line
+    must neither kill the job (FAILFAST) nor vanish silently (DROPMALFORMED).
+    Returns (good_df without the corrupt column, bad_df of raw corrupt
+    lines). The schema is caller-declared — schema inference over corrupt
+    data is the bug this helper exists to avoid. Note Spark requires the
+    corrupt column to be part of the declared schema; it is appended
+    here, callers pass only their data columns."""
+    from pyspark.sql import functions as F
+
+    full_schema = schema + ", _corrupt_record STRING"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # Spark requires materialization before filtering on
+        # the corrupt column (SPARK-21610: referencing only the corrupt
+        # column of an unmaterialized json scan is disallowed)
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

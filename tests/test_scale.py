@@ -408,3 +408,38 @@ def test_compact_parquet_empty_source_raises(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(ValueError):
         compact_parquet(spark, str(empty), str(tmp_path / "out"))
+
+
+def test_read_text_corpus_content_ids(spark, tmp_path):
+    from end_to_end_ml_spark.sources.io import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world\n\nsecond doc\n")
+    (d / "b.txt").write_text("hello world\nthird doc\n")
+    out = read_text_corpus(spark, str(d)).collect()
+    assert len(out) == 4  # empty line dropped
+    ids = {}
+    for r in out:
+        ids.setdefault(r["text"], set()).add(r["doc_id"])
+    # identical content -> identical id (by contract), distinct otherwise
+    assert len(ids["hello world"]) == 1
+    assert len({list(v)[0] for v in ids.values()}) == 3
+    assert all(r["file"].endswith((".txt",)) for r in out)
+
+
+def test_read_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    from end_to_end_ml_spark.sources.io import read_jsonl_quarantine
+
+    f = tmp_path / "in.jsonl"
+    f.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        '{"id": 2, "v": "also ok"}\n'
+        "{broken json!!\n"
+        '{"id": "not-an-int", "v": 3}\n'
+    )
+    good, bad = read_jsonl_quarantine(spark, str(f), "id BIGINT, v STRING")
+    g = good.orderBy("id").collect()
+    assert [r["id"] for r in g if r["id"] is not None] == [1, 2]
+    b = bad.collect()
+    assert any("broken json" in r["raw_line"] for r in b)
