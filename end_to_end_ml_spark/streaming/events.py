@@ -17,7 +17,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 def read_event_stream(spark: SparkSession, directory: str, glob: str = "events.parquet") -> DataFrame:
@@ -535,3 +535,80 @@ def read_latest_snapshot(spark: SparkSession, path: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no snapshot versions under {path}")
     return spark.read.parquet(os.path.join(path, f"v={versions[-1]}"))
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    out_path: str,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    query_name: str = "dedup_ingest",
+):
+    """Streaming twin of the batch incremental-dedup ingest (pipe6): each
+    micro-batch of documents is deduplicated (a) within itself by content
+    fingerprint (keep-min on id) and (b) against the PERSISTENT
+    fingerprint store by LEFT ANTI join; only never-seen content is
+    appended to ``out_path``, and the store gains the accepted
+    fingerprints. Fingerprint = md5 of the normalized first-8-token
+    prefix, the same convention as pipe6.
+
+    The store is VERSIONED like stream_upsert_snapshot (``store_path/
+    v=<epoch>`` written from the previous version, never overwriting what
+    it reads), and accepted docs land in per-epoch directories
+    (``out_path/epoch=<id>``, overwritten on replay) — so a crashed
+    epoch's retry rewrites its own outputs and the ingest is exactly-once
+    at the directory level without a table format. Cross-batch state is
+    16 bytes per EVER-ACCEPTED doc (fingerprints only, never text), the
+    anti-join broadcasts while the store is small and co-partitions
+    after. Synchronous drain (processAllAvailable), like the other
+    foreachBatch sinks here."""
+    import os
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), 1, 8)
+            )
+        )
+        batch = batch_df.withColumn("__fp", fp)
+        w = Window.partitionBy("__fp").orderBy(id_col)
+        within = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        versions = _snapshot_versions(store_path)
+        prior = [v for v in versions if v < epoch_id]
+        if prior:
+            store = spark.read.parquet(
+                os.path.join(store_path, f"v={max(prior)}")
+            )
+            accepted = within.join(
+                store, within["__fp"] == store["fp"], "left_anti"
+            )
+            new_store = store.unionByName(
+                accepted.select(F.col("__fp").alias("fp"))
+            ).distinct()
+        else:
+            accepted = within
+            new_store = accepted.select(F.col("__fp").alias("fp")).distinct()
+        accepted.drop("__fp").write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch={epoch_id}")
+        )
+        new_store.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"v={epoch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

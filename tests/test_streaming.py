@@ -454,3 +454,48 @@ def test_interval_join_outer_matches_batch(spark, stream, batch):
     }
     assert not (got_null & matched_ids)
     assert expected_null <= got_null
+
+
+def test_stream_dedup_ingest_accepts_each_fingerprint_once(spark, tmp_path):
+    """Incremental-dedup ingest sink: stream documents in multiple micro-
+    batches; across ALL epochs exactly one doc per distinct content
+    fingerprint is accepted, every fingerprint is covered, and the final
+    store holds exactly the accepted fingerprint set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    # 12 distinct 8-token prefixes, each appearing 3 times across docs
+    for i in range(36):
+        prefix = " ".join([f"tok{i % 12}"] * 8)
+        rows.append((i, f"{prefix} tail{i}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "accepted")
+    store_path = str(tmp_path / "store")
+    SE.stream_dedup_ingest(
+        stream, out_path, store_path, "doc_id", "text", str(tmp_path / "ck")
+    )
+
+    accepted = spark.read.parquet(out_path)
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
+    )
+    acc = accepted.withColumn("__fp", fp).collect()
+    fps = [r["__fp"] for r in acc]
+    assert len(fps) == 12 and len(set(fps)) == 12  # one winner per prefix
+    store = spark.read.parquet(
+        os.path.join(store_path, f"v={max(SE._snapshot_versions(store_path))}")
+    )
+    assert {r["fp"] for r in store.collect()} == set(fps)
+    # multiple epochs actually ran (incremental, not one batch)
+    assert len(SE._snapshot_versions(store_path)) >= 2
