@@ -5828,3 +5828,48 @@ ORDER BY "column", bucket
 """
 
 REGISTRY["f12_feature_hash_audit"] = (f12_feature_hash_audit, F12_SQL)
+
+
+def x20_length_quantiles(spark, sf_dir):
+    """Exact per-group discrete quantiles (p50/p90/p99 of n_chars per
+    lang) — the corpus-report table: rank = row_number PARTITIONED by
+    lang (never a global window), per-group counts joined back, the
+    quantile row selected at rank floor(p*(n-1))+1 under the total order
+    (n_chars, doc_id). All integer selection — engine-exact; the same
+    order-statistic discipline as p14's winsorize bounds, grouped."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = (
+        docs.select("lang", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .drop("doc_id")
+    )
+    counts = ranked.groupBy("lang").agg(F.max("rn").alias("n"))
+    j = ranked.join(F.broadcast(counts), "lang")
+    sel = None
+    for p_name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        pick = j.filter(
+            F.col("rn") == F.floor(F.lit(p) * (F.col("n") - 1)) + 1
+        ).select("lang", F.lit(p_name).alias("q"), F.col("n_chars").alias("value"))
+        sel = pick if sel is None else sel.unionByName(pick)
+    return sel.orderBy("lang", "q")
+
+
+X20_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, q, value FROM (
+  SELECT lang, 'p50' AS q, n_chars AS value FROM ranked WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+  UNION ALL
+  SELECT lang, 'p90', n_chars FROM ranked WHERE rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+  UNION ALL
+  SELECT lang, 'p99', n_chars FROM ranked WHERE rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+)
+ORDER BY lang, q
+"""
+
+REGISTRY["x20_length_quantiles"] = (x20_length_quantiles, X20_SQL)
