@@ -5873,3 +5873,193 @@ ORDER BY lang, q
 """
 
 REGISTRY["x20_length_quantiles"] = (x20_length_quantiles, X20_SQL)
+
+
+def t12_replicated_sample(spark, sf_dir):
+    """Epoch-weighted corpus replication (operators/split.
+    weighted_replicated_sample): weight = n_chars/600 — docs are emitted
+    floor(w) times plus one md5-decided extra, copy_idx distinguishing
+    replicas; E[copies] = w exactly. The multiset the oracle replays with
+    a range() unnest."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.withColumn("w", F.col("n_chars") / F.lit(600.0))
+    out = split.weighted_replicated_sample(weighted, "doc_id", "w")
+    return out.select("doc_id", "lang", "copy_idx").orderBy("doc_id", "copy_idx")
+
+
+T12_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         least(greatest(n_chars / 600.0, 0.0), 100.0) AS wt,
+         CAST(('0x' || substr(md5('w1|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
+           / 281474976710656.0 AS u
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS BIGINT) AS copies
+  FROM w
+)
+SELECT doc_id, lang, CAST(i AS BIGINT) AS copy_idx
+FROM c, UNNEST(range(copies)) AS t(i)
+WHERE copies > 0
+ORDER BY doc_id, copy_idx
+"""
+
+REGISTRY["t12_replicated_sample"] = (t12_replicated_sample, T12_SQL)
+
+
+def d12_source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: for every ordered source pair
+    (a, b), the fraction (exact ppm) of a's DISTINCT 8-gram fingerprints
+    that also occur in b — the subcorpus-overlap audit behind benchmark-
+    contamination reports and source-mixing decisions (d9 probes a fixed
+    query set; this measures corpus-vs-corpus). Distinct (source, gram)
+    explode -> self-join on gram across sources -> counts; output bounded
+    by |sources|²; totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    grams = (
+        docs.filter(n >= 8)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 7),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i, F.lit(8)))
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(totals.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.expr("n_shared * 1000000L div n_grams").alias("overlap_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+D12_SQL = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS g
+  FROM (SELECT source, t, CAST(len(t) AS BIGINT) AS n FROM toks) s,
+       UNNEST(range(n - 8 + 1)) AS u(i)
+  WHERE n >= 8
+),
+totals AS (SELECT source, count(*) AS n_grams FROM grams GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM grams a JOIN grams b USING (g)
+  WHERE a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(s.n_shared * 1000000 // t.n_grams AS BIGINT) AS overlap_ppm
+FROM shared s JOIN totals t ON s.src_a = t.source
+ORDER BY src_a, src_b
+"""
+
+REGISTRY["d12_source_overlap_matrix"] = (d12_source_overlap_matrix, D12_SQL)
+
+
+def ev9_attribution_models(spark, sf_dir):
+    """Three attribution models side-by-side per channel — first-touch,
+    last-touch, and linear — over the SAME touch->conversion candidates
+    as ev6 (24 h banded interval join): the comparison table a marketing/
+    growth pipeline actually publishes. First/last pick one touch per
+    conversion under the total order (ts, touch_id); linear splits
+    1e6 DIV n exactly. All integers; the two rank windows and the count
+    share the conv_id partitioning (one shuffle, two sorts)."""
+    from ..operators.rangejoin import banded_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click", "signup"))
+    convs = ev.filter(F.col("event_type") == "purchase")
+    pairs = banded_interval_join(
+        touches.select(
+            "user_id", F.col("event_id").alias("touch_id"), "ts",
+            F.col("event_type").alias("channel"),
+        ),
+        convs.select("user_id", F.col("event_id").alias("conv_id"), "ts"),
+        key_col="user_id",
+        left_id="touch_id",
+        right_id="conv_id",
+        ts_col="ts",
+        window_sec=86400,
+        left_payload=("channel",),
+    )
+    wp = Window.partitionBy("conv_id")
+    # the banded join emits the touch id and channel; order first/last by
+    # touch_id (event ids are assigned in ts order in this dataset and the
+    # tie-break must be total) — pinned identically in the oracle
+    first_rn = F.row_number().over(wp.orderBy("touch_id"))
+    last_rn = F.row_number().over(wp.orderBy(F.col("touch_id").desc()))
+    credited = (
+        pairs.withColumn("__n", F.count(F.lit(1)).over(wp))
+        .withColumn("__f", (first_rn == 1).cast("long"))
+        .withColumn("__l", (last_rn == 1).cast("long"))
+    )
+    return (
+        credited.groupBy(F.col("channel_l").alias("channel"))
+        .agg(
+            F.sum("__f").alias("first_touch"),
+            F.sum("__l").alias("last_touch"),
+            F.sum(F.expr("1000000 DIV __n")).alias("linear_credit_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+EV9_SQL = """
+WITH t AS (
+  SELECT user_id, event_id AS tid, event_type AS channel,
+         CAST(floor(epoch(ts)) AS BIGINT) AS et
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+c AS (
+  SELECT user_id, event_id AS cid, CAST(floor(epoch(ts)) AS BIGINT) AS ec
+  FROM events WHERE event_type = 'purchase'
+),
+p AS (
+  SELECT t.channel, t.tid, c.cid
+  FROM t JOIN c ON t.user_id = c.user_id
+   AND c.ec >= t.et AND c.ec - t.et <= 86400
+),
+w AS (
+  SELECT channel, cid,
+         count(*) OVER (PARTITION BY cid) AS n,
+         row_number() OVER (PARTITION BY cid ORDER BY tid) AS rf,
+         row_number() OVER (PARTITION BY cid ORDER BY tid DESC) AS rl
+  FROM p
+)
+SELECT channel,
+       CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+       CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+       CAST(sum(1000000 // n) AS BIGINT) AS linear_credit_ppm
+FROM w GROUP BY channel ORDER BY channel
+"""
+
+REGISTRY["ev9_attribution_models"] = (ev9_attribution_models, EV9_SQL)
