@@ -95,6 +95,10 @@ R6 = [
     "a18_spearman_components",
     "ev7_event_transitions",
     "pipe7_curated_shards",
+    # heavy late additions: cross-source gram containment (distinct-gram
+    # aggregation), count-frame join-cardinality estimate
+    "d12_source_overlap_matrix",
+    "skew4_join_cardinality",
 ]
 
 

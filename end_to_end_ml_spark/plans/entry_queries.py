@@ -5936,10 +5936,12 @@ def d12_source_overlap_matrix(spark, sf_dir):
         .distinct()
     )
     totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.select(F.col("source").alias("src_a"), "g")
-    b = grams.select(F.col("source").alias("src_b"), "g")
+    # per-gram source set (bounded by |sources|) + pair explode: one
+    # gram-keyed aggregation instead of a two-sided self-join shuffle
+    src_sets = grams.groupBy("g").agg(F.collect_set("source").alias("__ss"))
     shared = (
-        a.join(b, "g")
+        src_sets.select(F.explode("__ss").alias("src_a"), "__ss")
+        .select("src_a", F.explode("__ss").alias("src_b"))
         .filter(F.col("src_a") != F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
