@@ -557,7 +557,14 @@ def read_jsonl_quarantine(spark, path: str, schema: str):
     lines). The schema is caller-declared — schema inference over corrupt
     data is the bug this helper exists to avoid. Note Spark requires the
     corrupt column to be part of the declared schema; it is appended
-    here, callers pass only their data columns."""
+    here, callers pass only their data columns.
+
+    Cache note: the parsed frame is cache()d (Spark disallows filtering
+    on only the corrupt column of an unmaterialized json scan,
+    SPARK-21610) and BOTH returned frames read through that cache; after
+    materializing/writing both sides, callers ingesting huge files should
+    release it (``good.unpersist()`` reaches the shared parent, or
+    ``spark.catalog.clearCache()``)."""
     from pyspark.sql import functions as F
 
     full_schema = schema + ", _corrupt_record STRING"
