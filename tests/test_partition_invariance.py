@@ -1,0 +1,115 @@
+"""Metamorphic partition-invariance suite: the determinism-critical
+operators claim their results are independent of physical partitioning
+(md5 draws, frozen boundaries, explicit tie-breaks). Re-running each under
+different repartitionings must give IDENTICAL results — the property that
+makes them reproducible on any cluster layout and oracle-checkable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=300):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(f"w{(i * 7 + j) % 40}" for j in range(10 + i % 5)),
+                ["en", "de", "fr"][i % 3],
+                i * 13 % 997,
+            )
+            for i in range(n)
+        ],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+PARTITIONINGS = [1, 3, 17]
+
+
+class TestPartitionInvariance:
+    def _invariant(self, spark, fn):
+        base = _docs(spark)
+        results = [_rows(fn(base.repartition(p))) for p in PARTITIONINGS]
+        assert results[0] == results[1] == results[2]
+        assert len(results[0]) > 0
+
+    def test_temperature_sample(self, spark):
+        from end_to_end_ml_spark.operators.split import temperature_sample
+
+        self._invariant(
+            spark,
+            lambda df: temperature_sample(df, "doc_id", "lang").select(
+                "doc_id", "lang"
+            ),
+        )
+
+    def test_shard_shuffle(self, spark):
+        from end_to_end_ml_spark.operators.pack import shard_shuffle
+
+        self._invariant(
+            spark,
+            lambda df: shard_shuffle(df.select("doc_id"), "doc_id", 4),
+        )
+
+    def test_global_ordinal(self, spark):
+        from end_to_end_ml_spark.operators.ordinal import global_ordinal
+
+        self._invariant(
+            spark,
+            lambda df: global_ordinal(
+                df.select("doc_id", "n_chars"), "n_chars", "doc_id", n_buckets=6
+            ),
+        )
+
+    def test_group_split(self, spark):
+        from end_to_end_ml_spark.operators.split import group_split
+
+        self._invariant(
+            spark,
+            lambda df: group_split(df, "lang", 0.4).select("doc_id", "split"),
+        )
+
+    def test_stratified_split_column(self, spark):
+        from end_to_end_ml_spark.operators.split import stratified_split_column
+
+        self._invariant(
+            spark,
+            lambda df: stratified_split_column(df, "lang", "doc_id", 0.7).select(
+                "doc_id", "split"
+            ),
+        )
+
+    def test_minhash_pairs(self, spark):
+        from end_to_end_ml_spark.operators.dedup import minhash_dedup_pairs
+
+        base = _docs(spark, 120)
+        results = [
+            _rows(
+                minhash_dedup_pairs(
+                    base.repartition(p), "doc_id", "text", threshold=0.3
+                ).select("id_a", "id_b")
+            )
+            for p in PARTITIONINGS
+        ]
+        assert results[0] == results[1] == results[2]
+
+    def test_negative_pairs(self, spark):
+        from end_to_end_ml_spark.operators.similarity import negative_pairs
+
+        self._invariant(
+            spark,
+            lambda df: negative_pairs(df.select("doc_id"), "doc_id", k=2),
+        )
+
+    def test_feature_hash_audit(self, spark):
+        from end_to_end_ml_spark.operators.prep import feature_hash_audit
+
+        self._invariant(
+            spark, lambda df: feature_hash_audit(df, ["lang"], n_buckets=8)
+        )
