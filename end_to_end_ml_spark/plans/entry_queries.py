@@ -6065,3 +6065,117 @@ FROM w GROUP BY channel ORDER BY channel
 """
 
 REGISTRY["ev9_attribution_models"] = (ev9_attribution_models, EV9_SQL)
+
+
+def t13_four_way_carve(spark, sf_dir):
+    """The reference's full train/validation/calibration/test carve chain
+    (T3+T5+T6, operators/split.train_valid_calib_test) as ONE assignment
+    table: dev->(train,test) then train->(train,valid) then
+    train->(train,calib), each an exact stratified percent-rank carve over
+    the deterministic hash key — disjoint and exhaustive by construction,
+    and the oracle replays all three carves as chained rank CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = split.train_valid_calib_test(docs, "lang", "doc_id", 0.8, 0.8, 0.8)
+    out = None
+    for name, frame in parts.items():
+        piece = frame.select("doc_id", "lang", F.lit(name).alias("subset"))
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("doc_id")
+
+
+T13_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, (doc_id * 2654435761) % 1000000007 AS k FROM documents
+),
+c1 AS (
+  SELECT doc_id, lang, k,
+         CASE WHEN cnt = 1 THEN 0.0
+              ELSE (rn - 1) * 1.0 / (cnt - 1) END AS pr
+  FROM (SELECT doc_id, lang, k,
+               row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS cnt
+        FROM keyed)
+),
+l1 AS (SELECT doc_id, lang, k, pr < 0.8 AS in_train1 FROM c1),
+c2 AS (
+  SELECT doc_id, lang, k,
+         CASE WHEN cnt = 1 THEN 0.0
+              ELSE (rn - 1) * 1.0 / (cnt - 1) END AS pr
+  FROM (SELECT doc_id, lang, k,
+               row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS cnt
+        FROM l1 WHERE in_train1)
+),
+l2 AS (SELECT doc_id, lang, k, pr < 0.8 AS in_train2 FROM c2),
+c3 AS (
+  SELECT doc_id, lang, k,
+         CASE WHEN cnt = 1 THEN 0.0
+              ELSE (rn - 1) * 1.0 / (cnt - 1) END AS pr
+  FROM (SELECT doc_id, lang, k,
+               row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS cnt
+        FROM l2 WHERE in_train2)
+)
+SELECT doc_id, lang,
+       CASE WHEN doc_id IN (SELECT doc_id FROM c3 WHERE pr < 0.8) THEN 'train'
+            WHEN doc_id IN (SELECT doc_id FROM c3) THEN 'calibration'
+            WHEN doc_id IN (SELECT doc_id FROM l2 WHERE NOT in_train2) THEN 'validation'
+            ELSE 'test' END AS subset
+FROM keyed
+ORDER BY doc_id
+"""
+
+REGISTRY["t13_four_way_carve"] = (t13_four_way_carve, T13_SQL)
+
+
+def a11_champion_leaderboard(spark, sf_dir):
+    """Champion selection (A11, train/workflow.select_champion's argmax)
+    as an oracled leaderboard: three deterministic pseudo-models (the OVR
+    multiplier fixtures) are each evaluated for accuracy@0.5 in ONE
+    aggregation pass (exact integer correct-counts), and the champion is
+    the argmax with a lexicographic tie-break — the reference's model-
+    selection rule (optimizer comparison by metric) in exact arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    label = F.when(F.col("event_id") % 7 < 3, 1).otherwise(0)
+    rows = None
+    for name, mult in (("m37", 37), ("m59", 59), ("m83", 83)):
+        score = ((F.col("event_id") * mult) % 1024) / F.lit(1024.0)
+        pred = (score >= 0.5).cast("int")
+        r = ev.select(label.alias("y"), pred.alias("p")).agg(
+            F.lit(name).alias("model"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("y") == F.col("p")).cast("long")).alias("n_correct"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    w = Window.orderBy(F.col("n_correct").desc(), "model")
+    return (
+        rows.withColumn("rank", F.row_number().over(w))
+        .withColumn("is_champion", (F.col("rank") == 1).cast("int"))
+        .drop("rank")
+        .orderBy("model")
+    )
+
+
+A11_SQL = """
+WITH s AS (
+  SELECT event_id, CASE WHEN event_id % 7 < 3 THEN 1 ELSE 0 END AS y FROM events
+),
+m AS (
+  SELECT 'm37' AS model, count(*) AS n,
+         sum(CASE WHEN (CASE WHEN ((event_id * 37) % 1024) / 1024.0 >= 0.5 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END) AS n_correct
+  FROM s
+  UNION ALL
+  SELECT 'm59', count(*),
+         sum(CASE WHEN (CASE WHEN ((event_id * 59) % 1024) / 1024.0 >= 0.5 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END)
+  FROM s
+  UNION ALL
+  SELECT 'm83', count(*),
+         sum(CASE WHEN (CASE WHEN ((event_id * 83) % 1024) / 1024.0 >= 0.5 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END)
+  FROM s
+)
+SELECT model, CAST(n AS BIGINT) AS n, CAST(n_correct AS BIGINT) AS n_correct,
+       CASE WHEN row_number() OVER (ORDER BY n_correct DESC, model) = 1 THEN 1 ELSE 0 END AS is_champion
+FROM m ORDER BY model
+"""
+
+REGISTRY["a11_champion_leaderboard"] = (a11_champion_leaderboard, A11_SQL)
