@@ -6179,3 +6179,54 @@ FROM m ORDER BY model
 """
 
 REGISTRY["a11_champion_leaderboard"] = (a11_champion_leaderboard, A11_SQL)
+
+
+def f13_robust_scale(spark, sf_dir):
+    """RobustScaler — the reference's DEFAULT numeric scaler
+    (src/feature/utils/data.py:42-43) — in exact oracled form: center and
+    scale n_chars by the EXACT discrete median and IQR found as order
+    statistics at ranks floor(p*(n-1)) under (value, pk) (the p14
+    machinery): (x - med) / (q75 - q25) is integer subtraction + ONE IEEE
+    division, bit-identical on both engines. MLlib's RobustScaler uses
+    approximate quantiles — this is the exact-contract form that makes
+    the transform itself verifiable."""
+    from ..operators.ordinal import global_ordinal
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ords = global_ordinal(
+        docs.select("doc_id", "n_chars"), "n_chars", "doc_id", n_buckets=8
+    )
+    import math
+
+    ks = {p: int(math.floor(p * (n - 1))) for p in (0.25, 0.5, 0.75)}
+    rows = ords.filter(F.col("ordinal").isin(*ks.values())).collect()
+    byord = {r["ordinal"]: r["n_chars"] for r in rows}
+    q25, med, q75 = byord[ks[0.25]], byord[ks[0.5]], byord[ks[0.75]]
+    iqr = q75 - q25
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        ((F.col("n_chars") - F.lit(med)) / F.lit(float(iqr))).alias("scaled"),
+    ).orderBy("doc_id")
+
+
+F13_SQL = """
+WITH ranked AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS ord
+  FROM documents
+),
+nn AS (SELECT count(*) AS n FROM documents),
+q AS (
+  SELECT min(CASE WHEN ord = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN n_chars END) AS q25,
+         min(CASE WHEN ord = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN n_chars END) AS med,
+         min(CASE WHEN ord = CAST(floor(0.75 * (n - 1)) AS BIGINT) THEN n_chars END) AS q75
+  FROM ranked CROSS JOIN nn
+)
+SELECT d.doc_id, d.n_chars,
+       (d.n_chars - q.med) / CAST(q.q75 - q.q25 AS DOUBLE) AS scaled
+FROM documents d CROSS JOIN q
+ORDER BY d.doc_id
+"""
+
+REGISTRY["f13_robust_scale"] = (f13_robust_scale, F13_SQL)
