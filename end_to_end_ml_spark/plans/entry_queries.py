@@ -6230,3 +6230,84 @@ ORDER BY d.doc_id
 """
 
 REGISTRY["f13_robust_scale"] = (f13_robust_scale, F13_SQL)
+
+
+def dq4_volume_anomaly(spark, sf_dir):
+    """Day-over-day ingest-volume anomaly gate: events per day, the
+    previous day's count (lag), the exact ppm delta, and an anomaly flag
+    at |delta| > 30% — the arrival-volume monitor that catches a broken
+    producer before it poisons downstream aggregates. Integer arithmetic
+    throughout (signed ppm via integer division toward negative infinity
+    pinned by DuckDB-// semantics match: both sides compute FLOOR
+    division on a possibly-negative numerator via explicit floor)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.withColumn("prev_n", F.lag("n").over(w))
+        .filter(F.col("prev_n").isNotNull())
+        .select(
+            "day",
+            "n",
+            "prev_n",
+            F.floor((F.col("n") - F.col("prev_n")) * 1000000 / F.col("prev_n"))
+            .cast("long")
+            .alias("delta_ppm"),
+        )
+        .withColumn(
+            "anomaly", (F.abs(F.col("delta_ppm")) > 300000).cast("int")
+        )
+        .orderBy("day")
+    )
+
+
+DQ4_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT day, n, lag(n) OVER (ORDER BY day) AS prev_n FROM daily
+)
+SELECT day, CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(floor((n - prev_n) * 1000000.0 / prev_n) AS BIGINT) AS delta_ppm,
+       CASE WHEN abs(floor((n - prev_n) * 1000000.0 / prev_n)) > 300000 THEN 1 ELSE 0 END AS anomaly
+FROM lagged WHERE prev_n IS NOT NULL
+ORDER BY day
+"""
+
+REGISTRY["dq4_volume_anomaly"] = (dq4_volume_anomaly, DQ4_SQL)
+
+
+def w7_pivot_matrix(spark, sf_dir):
+    """Relational pivot: order counts as a status × priority matrix
+    (Spark's first-class ``pivot()`` with an EXPLICIT value list — the
+    two-phase auto-discovery variant is a scale antipattern; pinning the
+    columns also pins the schema). Oracle = conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = {p: "p" + p[0] for p in pri}
+    sel = [F.col("o_orderstatus").alias("status")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(a)
+        for p, a in cols.items()
+    ]
+    return out.select(*sel).orderBy("status")
+
+
+W7_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+       CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+FROM orders GROUP BY o_orderstatus ORDER BY status
+"""
+
+REGISTRY["w7_pivot_matrix"] = (w7_pivot_matrix, W7_SQL)
