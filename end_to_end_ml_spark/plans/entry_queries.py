@@ -6311,3 +6311,130 @@ FROM orders GROUP BY o_orderstatus ORDER BY status
 """
 
 REGISTRY["w7_pivot_matrix"] = (w7_pivot_matrix, W7_SQL)
+
+
+def agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (the hierarchy companion to agg_cube): order
+    counts and decimal-exact revenue per (status), (status, priority),
+    and the grand total — the drill-down report shape; one pass, |sets|
+    bounded output."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+REGISTRY["agg_rollup"] = (agg_rollup, AGG_ROLLUP_SQL)
+
+
+def ts9_arrival_completeness(spark, sf_dir):
+    """Data-arrival completeness audit: for each day, how many of the 24
+    expected hour buckets actually received events, and which count is
+    missing — the per-partition-arrival monitor (a day with 23/24 hours
+    means a producer gap, visible BEFORE any downstream agg is wrong).
+    Expected hours come from a generated sequence (bounded explode: 24 ×
+    days), observed from one groupBy; integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    observed = (
+        ev.select(
+            F.to_date("ts").alias("day"), F.hour("ts").alias("hod")
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("hours_present"))
+    )
+    return observed.select(
+        "day",
+        "hours_present",
+        (F.lit(24) - F.col("hours_present")).cast("long").alias("hours_missing"),
+        (F.col("hours_present") == 24).cast("int").alias("complete"),
+    ).orderBy("day")
+
+
+TS9_SQL = """
+SELECT day, CAST(hours_present AS BIGINT) AS hours_present,
+       CAST(24 - hours_present AS BIGINT) AS hours_missing,
+       CASE WHEN hours_present = 24 THEN 1 ELSE 0 END AS complete
+FROM (
+  SELECT CAST(ts AS DATE) AS day, count(DISTINCT hour(ts)) AS hours_present
+  FROM events GROUP BY 1
+)
+ORDER BY day
+"""
+
+REGISTRY["ts9_arrival_completeness"] = (ts9_arrival_completeness, TS9_SQL)
+
+
+def x21_lang_mismatch_audit(spark, sf_dir):
+    """Declared-vs-detected language audit: confusion counts between the
+    corpus's `lang` column and the stopword-heuristic prediction (x3) —
+    the provenance-vs-content disagreement report that catches mislabeled
+    subcorpora before language-conditioned sampling trusts the label.
+    One narrow lang-ID pass + a |langs|²-bounded groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.language_id(docs, "doc_id", "text").select(
+        "doc_id", "predicted_lang"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "mismatch",
+            (
+                (F.col("predicted_lang") != F.col("lang"))
+                & (F.col("predicted_lang") != "und")
+            ).cast("int"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+X21_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x))) AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    CAST(len(list_intersect(t, {de})) AS INTEGER) AS score_de,
+    CAST(len(list_intersect(t, {en})) AS INTEGER) AS score_en,
+    CAST(len(list_intersect(t, {es})) AS INTEGER) AS score_es,
+    CAST(len(list_intersect(t, {fr})) AS INTEGER) AS score_fr
+  FROM toks
+), pred AS (
+  SELECT doc_id, lang,
+    CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+         WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+         WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+         WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+         ELSE 'fr' END AS predicted_lang
+  FROM scored
+)
+SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n,
+       CASE WHEN predicted_lang <> lang AND predicted_lang <> 'und' THEN 1 ELSE 0 END AS mismatch
+FROM pred GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+""".format(**_STOP_SQL)
+
+REGISTRY["x21_lang_mismatch_audit"] = (x21_lang_mismatch_audit, X21_SQL)
