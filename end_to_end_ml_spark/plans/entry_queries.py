@@ -6313,37 +6313,6 @@ FROM orders GROUP BY o_orderstatus ORDER BY status
 REGISTRY["w7_pivot_matrix"] = (w7_pivot_matrix, W7_SQL)
 
 
-def agg_rollup(spark, sf_dir):
-    """ROLLUP grouping sets (the hierarchy companion to agg_cube): order
-    counts and decimal-exact revenue per (status), (status, priority),
-    and the grand total — the drill-down report shape; one pass, |sets|
-    bounded output."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("sum_price"),
-        )
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
-    )
-
-
-AGG_ROLLUP_SQL = """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
-FROM orders
-GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-"""
-
-REGISTRY["agg_rollup"] = (agg_rollup, AGG_ROLLUP_SQL)
 
 
 def ts9_arrival_completeness(spark, sf_dir):
