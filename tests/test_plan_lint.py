@@ -139,3 +139,22 @@ def test_entire_registry_is_lint_clean(spark):
         if hazards:
             dirty[name] = hazards
     assert dirty == {}, dirty
+
+
+def test_registry_keys_never_shadowed():
+    """A late REGISTRY["name"] = ... assignment silently replaces an
+    existing entry (dicts don't complain) — the bug that once swallowed
+    the lineitem rollup query. Source-level tripwire: every late
+    registration name is unique and absent from the initial literal."""
+    import re
+
+    import end_to_end_ml_spark.plans.entry_queries as eq
+
+    src = open(eq.__file__.replace(".pyc", ".py")).read()
+    late = re.findall(r'^REGISTRY\["([A-Za-z0-9_]+)"\] = ', src, re.M)
+    assert len(late) == len(set(late)), sorted(
+        {n for n in late if late.count(n) > 1}
+    )
+    literal = re.findall(r'^    "([A-Za-z0-9_]+)": \(', src, re.M)
+    shadowed = set(late) & set(literal)
+    assert not shadowed, sorted(shadowed)
