@@ -6407,3 +6407,95 @@ ORDER BY lang, predicted_lang
 """.format(**_STOP_SQL)
 
 REGISTRY["x21_lang_mismatch_audit"] = (x21_lang_mismatch_audit, X21_SQL)
+
+
+def ev10_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — the engagement ratio dashboards lead
+    with: DAU = distinct users that day, MAU = distinct users over the
+    trailing 30 days (the ts5 bounded-explode rolling-distinct shape),
+    stickiness as exact ppm (DAU·1e6 DIV MAU). Both counts from ONE
+    (user, day) dedup; everything integer."""
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    dau = (
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.countDistinct("u").alias("dau"))
+    )
+    mau = TS.rolling_distinct_users(ev, "ts", "user_id", window_days=30).select(
+        "day", F.col("n_users").alias("mau")
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("dau * 1000000L div mau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+EV10_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM pairs),
+dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM pairs GROUP BY d),
+mau AS (
+  SELECT dy.d AS day,
+         (SELECT count(DISTINCT p.u) FROM pairs p
+           WHERE p.d > dy.d - 30 AND p.d <= dy.d) AS mau
+  FROM days dy
+)
+SELECT d1.day, CAST(d1.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+       CAST(d1.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+FROM dau d1 JOIN mau m ON d1.day = m.day
+ORDER BY d1.day
+"""
+
+REGISTRY["ev10_stickiness"] = (ev10_stickiness, EV10_SQL)
+
+
+def s15_orc_roundtrip(spark, sf_dir):
+    """ORC sink path as an oracled flow (the columnar-format sibling of
+    s2's parquet roundtrip): write orders as ORC, read back through the
+    ORC scan, aggregate per status with decimal-exact revenue. If the
+    format roundtrip dropped, duplicated, or coerced anything, the hashes
+    diverge from DuckDB reading the source parquet directly."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"s15_orc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    o.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).orc(target)
+    back = spark.read.orc(target)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+S15_SQL = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+REGISTRY["s15_orc_roundtrip"] = (s15_orc_roundtrip, S15_SQL)
