@@ -6499,3 +6499,130 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 REGISTRY["s15_orc_roundtrip"] = (s15_orc_roundtrip, S15_SQL)
+
+
+def mm4_payload_dup_groups(spark, sf_dir):
+    """Asset-level exact dedup: group binary payloads by content hash and
+    report groups with >1 asset (the media twin of d1's text dedup — at
+    100 TB the groupBy carries 16-byte hashes, never payload bytes). Over
+    the deterministic text-derived payload shim, so the oracle replays
+    the same md5; 500 synthetic dup pairs injected via doc_id%250
+    aliasing of the payload source."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators import multimodal as MM
+
+    # alias every doc's payload to its doc_id%250 representative — a
+    # deterministic way to create dup groups on this corpus
+    src = docs.select(
+        "doc_id", (F.col("doc_id") % 250).alias("rep")
+    ).join(
+        docs.select(F.col("doc_id").alias("rep"), "text"), "rep"
+    )
+    with_payload = MM.attach_binary_payload(src, "text")
+    meta = MM.payload_metadata(with_payload, "doc_id", "payload")
+    return (
+        meta.groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_assets") > 1)
+        .orderBy("content_md5")
+    )
+
+
+MM4_SQL = """
+WITH src AS (
+  SELECT a.doc_id, b.text
+  FROM (SELECT doc_id, doc_id % 250 AS rep FROM documents) a
+  JOIN documents b ON b.doc_id = a.rep
+)
+SELECT md5(text) AS content_md5,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM src GROUP BY md5(text) HAVING count(*) > 1
+ORDER BY content_md5
+"""
+
+REGISTRY["mm4_payload_dup_groups"] = (mm4_payload_dup_groups, MM4_SQL)
+
+
+def h7_asha_schedule(spark, sf_dir):
+    """Successive-halving (ASHA, eta=3) promotion audit as a relational
+    query: 27 deterministic trials (md5-derived integer losses) are
+    ranked per rung and the top third promotes, three rounds — emitting
+    each trial's final rung. The schedule table is trial-count-sized
+    metadata (the heavy part of HPO is the trial EXECUTION, H4's FAIR
+    pools); expressing the promotion rule relationally makes the
+    scheduler itself oracle-checkable, the same way t13 oracles the carve
+    chain. Ties break on trial_id — total order, engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    trials = (
+        ev.select((F.col("event_id") % 27).alias("trial_id"))
+        .distinct()
+        .withColumn(
+            "loss_milli",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("h7|"), F.col("trial_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000,
+        )
+    )
+    cur = trials.withColumn("rung", F.lit(0).cast("long"))
+    keep = [27, 9, 3, 1]
+    for r in range(1, 4):
+        w = Window.orderBy("loss_milli", "trial_id")
+        promoted = (
+            cur.filter(F.col("rung") == r - 1)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= keep[r])
+            .drop("__rk")
+            .withColumn("rung", F.lit(r).cast("long"))
+        )
+        cur = cur.unionByName(promoted)
+    return (
+        cur.groupBy("trial_id", "loss_milli")
+        .agg(F.max("rung").alias("max_rung"))
+        .orderBy("trial_id")
+    )
+
+
+H7_SQL = """
+WITH trials AS (
+  SELECT trial_id,
+         ('0x' || substr(md5('h7|' || CAST(trial_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS loss_milli
+  FROM (SELECT DISTINCT event_id % 27 AS trial_id FROM events)
+),
+r1 AS (
+  SELECT trial_id FROM (
+    SELECT trial_id, row_number() OVER (ORDER BY loss_milli, trial_id) AS rk FROM trials
+  ) WHERE rk <= 9
+),
+r2 AS (
+  SELECT t.trial_id FROM (
+    SELECT t.trial_id, row_number() OVER (ORDER BY t.loss_milli, t.trial_id) AS rk
+    FROM trials t JOIN r1 USING (trial_id)
+  ) t WHERE rk <= 3
+),
+r3 AS (
+  SELECT t.trial_id FROM (
+    SELECT t.trial_id, row_number() OVER (ORDER BY t.loss_milli, t.trial_id) AS rk
+    FROM trials t JOIN r2 USING (trial_id)
+  ) t WHERE rk <= 1
+)
+SELECT t.trial_id, CAST(t.loss_milli AS BIGINT) AS loss_milli,
+       CAST(CASE WHEN t.trial_id IN (SELECT trial_id FROM r3) THEN 3
+            WHEN t.trial_id IN (SELECT trial_id FROM r2) THEN 2
+            WHEN t.trial_id IN (SELECT trial_id FROM r1) THEN 1
+            ELSE 0 END AS BIGINT) AS max_rung
+FROM trials t
+ORDER BY trial_id
+"""
+
+REGISTRY["h7_asha_schedule"] = (h7_asha_schedule, H7_SQL)
