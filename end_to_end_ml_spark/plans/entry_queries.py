@@ -6574,23 +6574,25 @@ def h7_asha_schedule(spark, sf_dir):
             % 1000,
         )
     )
-    cur = trials.withColumn("rung", F.lit(0).cast("long"))
-    keep = [27, 9, 3, 1]
-    for r in range(1, 4):
-        w = Window.orderBy("loss_milli", "trial_id")
-        promoted = (
-            cur.filter(F.col("rung") == r - 1)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= keep[r])
-            .drop("__rk")
-            .withColumn("rung", F.lit(r).cast("long"))
-        )
-        cur = cur.unionByName(promoted)
-    return (
-        cur.groupBy("trial_id", "loss_milli")
-        .agg(F.max("rung").alias("max_rung"))
-        .orderBy("trial_id")
-    )
+    # With a FIXED loss per trial, ranking among each rung's survivors
+    # preserves the global (loss, trial) order, so the three chained
+    # promotions collapse to one rank + thresholds (rank<=1 -> rung 3,
+    # <=3 -> 2, <=9 -> 1). Real ASHA re-measures loss per rung — the
+    # chained form (kept in the oracle SQL) is the general shape; the
+    # collapse here is what makes the audit a single bounded window over
+    # the distinct-trials aggregate.
+    w = Window.orderBy("loss_milli", "trial_id")
+    ranked = trials.withColumn("__rk", F.row_number().over(w))
+    return ranked.select(
+        "trial_id",
+        "loss_milli",
+        F.when(F.col("__rk") <= 1, 3)
+        .when(F.col("__rk") <= 3, 2)
+        .when(F.col("__rk") <= 9, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("max_rung"),
+    ).orderBy("trial_id")
 
 
 H7_SQL = """
