@@ -6628,3 +6628,74 @@ ORDER BY trial_id
 """
 
 REGISTRY["h7_asha_schedule"] = (h7_asha_schedule, H7_SQL)
+
+
+def d13_url_canonical_dupes(spark, sf_dir):
+    """URL-canonicalization dedup — the crawl-frontier step that runs
+    BEFORE any content dedup (two fetches of ?utm=...-decorated links are
+    the same page): extract URLs (x7's corpus), canonicalize (lowercase
+    scheme+host, strip query string and fragment, drop trailing slash),
+    and report canonical URLs reached by >1 distinct raw form with the
+    doc count. Pure codegen regex; groupBy carries canonical strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    # decorate x7's synthetic URLs with uppercase-host / trailing-slash variants of the
+    # SAME pages (query strings never survive URL_PATTERN extraction) so canonicalization has real collisions to find
+    aug = _augment_urls(docs).withColumn(
+        "text2",
+        F.concat(
+            F.col("text2"),
+            F.when(
+                F.col("doc_id") % 8 == 0,
+                F.concat(
+                    F.lit(" https://SITE"),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".EXAMPLE.ORG/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("/"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    urls = text.extract_urls(aug, "doc_id", "text2")
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("url")), r"[?#].*$", ""),
+        r"/$",
+        "",
+    )
+    return (
+        urls.select("doc_id", "url", canon.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_raw_forms") > 1)
+        .orderBy("canonical")
+    )
+
+
+D13_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 4 = 0 THEN ' see https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0 THEN ' https://cdn.example.net/img' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         CASE WHEN doc_id % 8 = 0 THEN ' https://SITE' || CAST(doc_id % 10 AS VARCHAR) || '.EXAMPLE.ORG/p/' || CAST(doc_id AS VARCHAR) || '/' ELSE '' END AS text2
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text2, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._~/%-]*)?')) AS url
+  FROM aug
+),
+c AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(lower(url), '[?#].*$', ''), '/$', '') AS canonical
+  FROM urls
+)
+SELECT canonical, CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM c GROUP BY canonical HAVING count(DISTINCT url) > 1
+ORDER BY canonical
+"""
+
+REGISTRY["d13_url_canonical_dupes"] = (d13_url_canonical_dupes, D13_SQL)
