@@ -483,6 +483,8 @@ def compact_parquet(
     fails mid-write destroys the source — the caller swaps directories
     after success (the same reason table formats commit new files then
     flip a manifest). Returns {before, after} file stats."""
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
     before = parquet_file_stats(src)
     if before["n_files"] == 0:
         raise ValueError(f"compact_parquet: no parquet files under {src}")
