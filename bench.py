@@ -167,11 +167,10 @@ def main() -> None:
         try:
             fn = REGISTRY[name][0]
             best = float("inf")
-            # min of 5: the heavy generated aggregates (d4's 16-lane packed
-            # sums) need 2-3 executions before C2 JIT reaches steady state;
-            # min-of-3 was still measuring compilation on the big plans.
-            # (HEAVY/R5 queries run min-of-3: one execution is seconds, and
-            # the second rep already reflects warmed codegen.)
+            # min-of-N with N from the list above (HEADLINE/HEAVY 5,
+            # R5/R6 4, d4 8): the heavy generated aggregates need 2-3
+            # executions before C2 JIT reaches steady state; min-of-3 was
+            # still measuring compilation on the big plans.
             for _ in range(reps):
                 t0 = time.perf_counter()
                 force(fn(spark, SF_DIR))

@@ -681,14 +681,6 @@ def ks_stat_exact(
     )
 
 
-def _dedup_boundaries(raw) -> list[float]:
-    out: list[float] = []
-    for bv in raw:
-        if bv is not None and (not out or bv != out[-1]):
-            out.append(float(bv))
-    return out
-
-
 def _doubled_tie_ranks(
     df: DataFrame,
     col: str,
@@ -721,12 +713,13 @@ def _doubled_tie_ranks(
                 ).collect()[0]["b"]
                 or []
             )
-        boundaries = _dedup_boundaries(raw)
+        from ..operators.ordinal import dedup_boundaries
+
+        boundaries = dedup_boundaries(raw)
+    from ..operators.ordinal import bucket_expr
+
     key = F.col(col).cast("double")
-    bucket = F.lit(0)
-    for bv in boundaries:
-        bucket = bucket + F.when(key >= F.lit(bv), 1).otherwise(0)
-    counts = counts.withColumn("__bkt", bucket)
+    counts = counts.withColumn("__bkt", bucket_expr(key, boundaries))
 
     totals = counts.groupBy("__bkt").agg(F.sum("__cnt").alias("__bn"))
     off_w = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -770,17 +763,24 @@ def spearman_components(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     those BOUNDED aggregates, two join-backs on the value (Zipf-skewed
     values split by AQE), one final 1-row aggregation."""
     dec = "decimal(38,0)"
+    # LISTWISE DELETION first (standard Spearman): a row with a NULL in
+    # either column must not contribute to EITHER rank table — ranking
+    # before pairing would let half-missing rows shift the other column's
+    # ranks non-uniformly and bias rho
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     # one pass sketches both columns' bucket boundaries (frozen literals)
     probs = [i / 32 for i in range(1, 32)]
     brow = df.agg(
         F.percentile_approx(F.col(x_col).cast("double"), probs).alias("bx"),
         F.percentile_approx(F.col(y_col).cast("double"), probs).alias("by"),
     ).collect()[0]
+    from ..operators.ordinal import dedup_boundaries
+
     rx = _doubled_tie_ranks(
-        df, x_col, "__r2x", boundaries=_dedup_boundaries(brow["bx"] or [])
+        df, x_col, "__r2x", boundaries=dedup_boundaries(brow["bx"])
     )
     ry = _doubled_tie_ranks(
-        df, y_col, "__r2y", boundaries=_dedup_boundaries(brow["by"] or [])
+        df, y_col, "__r2y", boundaries=dedup_boundaries(brow["by"])
     )
     ranked = df.select(x_col, y_col).join(rx, x_col).join(ry, y_col)
     r2x = F.col("__r2x").cast(dec)

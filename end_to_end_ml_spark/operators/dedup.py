@@ -800,111 +800,15 @@ def canonical_per_group(
 # ---------------------------------------------------------------------------
 
 
-def duplicated_span_stats(
-    df: DataFrame, id_col: str, text_col: str, n: int = 10
-) -> DataFrame:
-    """Span-level dedup statistics: for every document, find all length-``n``
-    token windows whose exact content occurs >= 2 times ANYWHERE in the
-    corpus (cross-doc boilerplate or within-doc repetition), merge the
-    overlapping hits into maximal intervals, and report how much of the doc
-    they cover. The word-level approximation of Lee et al.'s ExactSubstr —
-    their suffix array is a single-node structure; positional n-grams +
-    a gram-frequency join is the distributed shape of the same computation
-    (reference scope: the dedup family in SURVEY.md §2; no counterpart in
-    the reference pipeline — LLM-corpus extension).
-
-    Policy: ALL occurrences of a duplicated span are flagged (including the
-    'first' — electing one global keeper per span would serialize on a
-    global order; Lee et al. note the choice barely moves the corpus).
-    Docs shorter than ``n`` tokens contribute no windows and are untouched.
-    Touching intervals (pos == prev_end) merge, so span counts are
-    deterministic and removed-token counts are unaffected.
-
-    Scale shape: the positional-gram explode is O(total tokens) rows — the
-    inherent cost of substring-level comparison. Grams ship as their
-    16-hex-char md5 prefix (64 bits), not the ~n·6-byte text, so the
-    groupBy(gram) shuffle carries ~16 B/row; the corpus frequency pass is
-    a partial-agg groupBy (Zipf head absorbed map-side), the hit join is
-    an equi-join on the hash (AQE skew-split applies), and the interval
-    merge is a per-doc window (rows per doc <= doc length). A 2^-64 hash
-    collision merges two unrelated spans — same accepted convention as the
-    md5 content fingerprints in exact_duplicate_groups.
-
-    Output: (id, n_tokens, n_spans, n_removed_tokens, kept_frac) for EVERY
-    input doc (zeros when clean); integer counts + one IEEE division, so
-    engine-exact and oracle-checkable."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
-    ).select("id", "__toks", F.size("__toks").alias("n_tokens"))
-    grams = toks.filter(F.col("n_tokens") >= n).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_tokens") - n),
-                lambda i: F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))), 1, 16
-                ),
-            )
-        ).alias("pos", "g"),
-    )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__occ"))
-        .filter(F.col("__occ") >= 2)
-        .select("g")
-    )
-    hits = grams.join(dup, "g").select("id", "pos")
-    w = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + n).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = (
-        hits.withColumn(
-            "__new", F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
-        )
-        .withColumn(
-            "__isl", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .groupBy("id", "__isl")
-        .agg((F.max("pos") + n - F.min("pos")).alias("__removed"))
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum("__removed").alias("n_removed_tokens"),
-        )
-    )
-    return (
-        toks.select("id", "n_tokens")
-        .join(islands, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_tokens",
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("n_removed_tokens", F.lit(0))
-            .cast("long")
-            .alias("n_removed_tokens"),
-            (
-                (F.col("n_tokens") - F.coalesce("n_removed_tokens", F.lit(0)))
-                / F.col("n_tokens")
-            ).alias("kept_frac"),
-        )
-    )
-
-
-def remove_duplicated_spans(
-    df: DataFrame, id_col: str, text_col: str, n: int = 10
-) -> DataFrame:
-    """The cutting half of :func:`duplicated_span_stats`: re-emit each
-    document with every duplicated length-``n`` token span excised
-    (whitespace normalized to single spaces — the tokenization is the
-    unit of surgery, byte-exact whitespace is not preserved). Same dup
-    policy and scale shape as the stats pass, plus one join of the
-    per-doc interval list (tiny: merged intervals, not hits) back onto
-    the token arrays and a JVM-side filter over (token, index) pairs —
-    no Python in the row path.
-
-    Output: (id, clean_text, n_tokens, n_removed_tokens)."""
+def _span_intervals(df: DataFrame, id_col: str, text_col: str, n: int):
+    """Shared front half of the span-dedup pair (stats + cutting): tokenize,
+    explode positional n-gram md5 prefixes, keep grams occurring >= 2 times
+    corpus-wide, and merge touching/overlapping hits into maximal
+    intervals. Returns (toks, intervals) where toks = (id, __toks,
+    n_tokens) and intervals = (id, __isl, s, e) with e exclusive. The two
+    public operators MUST share this (same tokenization, gram hash width,
+    and pos == prev_end merge rule) — their outputs are asserted
+    consistent by tests, and a drifted copy would desynchronize them."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
@@ -940,8 +844,85 @@ def remove_duplicated_spans(
         )
         .groupBy("id", "__isl")
         .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
-        .groupBy("id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("__cuts"))
+    )
+    return toks, intervals
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 10
+) -> DataFrame:
+    """Span-level dedup statistics: for every document, find all length-``n``
+    token windows whose exact content occurs >= 2 times ANYWHERE in the
+    corpus (cross-doc boilerplate or within-doc repetition), merge the
+    overlapping hits into maximal intervals, and report how much of the doc
+    they cover. The word-level approximation of Lee et al.'s ExactSubstr —
+    their suffix array is a single-node structure; positional n-grams +
+    a gram-frequency join is the distributed shape of the same computation
+    (reference scope: the dedup family in SURVEY.md §2; no counterpart in
+    the reference pipeline — LLM-corpus extension).
+
+    Policy: ALL occurrences of a duplicated span are flagged (including the
+    'first' — electing one global keeper per span would serialize on a
+    global order; Lee et al. note the choice barely moves the corpus).
+    Docs shorter than ``n`` tokens contribute no windows and are untouched.
+    Touching intervals (pos == prev_end) merge, so span counts are
+    deterministic and removed-token counts are unaffected.
+
+    Scale shape: the positional-gram explode is O(total tokens) rows — the
+    inherent cost of substring-level comparison. Grams ship as their
+    16-hex-char md5 prefix (64 bits), not the ~n·6-byte text, so the
+    groupBy(gram) shuffle carries ~16 B/row; the corpus frequency pass is
+    a partial-agg groupBy (Zipf head absorbed map-side), the hit join is
+    an equi-join on the hash (AQE skew-split applies), and the interval
+    merge is a per-doc window (rows per doc <= doc length). A 2^-64 hash
+    collision merges two unrelated spans — same accepted convention as the
+    md5 content fingerprints in exact_duplicate_groups.
+
+    Output: (id, n_tokens, n_spans, n_removed_tokens, kept_frac) for EVERY
+    input doc (zeros when clean); integer counts + one IEEE division, so
+    engine-exact and oracle-checkable."""
+    toks, intervals = _span_intervals(df, id_col, text_col, n)
+    islands = (
+        intervals.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("n_removed_tokens"),
+        )
+    )
+    return (
+        toks.select("id", "n_tokens")
+        .join(islands, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_removed_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_removed_tokens"),
+            (
+                (F.col("n_tokens") - F.coalesce("n_removed_tokens", F.lit(0)))
+                / F.col("n_tokens")
+            ).alias("kept_frac"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 10
+) -> DataFrame:
+    """The cutting half of :func:`duplicated_span_stats`: re-emit each
+    document with every duplicated length-``n`` token span excised
+    (whitespace normalized to single spaces — the tokenization is the
+    unit of surgery, byte-exact whitespace is not preserved). Same dup
+    policy and scale shape as the stats pass, plus one join of the
+    per-doc interval list (tiny: merged intervals, not hits) back onto
+    the token arrays and a JVM-side filter over (token, index) pairs —
+    no Python in the row path.
+
+    Output: (id, clean_text, n_tokens, n_removed_tokens)."""
+    toks, spans = _span_intervals(df, id_col, text_col, n)
+    intervals = spans.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__cuts")
     )
     cut = toks.join(intervals, "id", "left")
     keep = F.filter(

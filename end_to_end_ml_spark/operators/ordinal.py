@@ -40,6 +40,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def dedup_boundaries(raw) -> list[float]:
+    """Drop NULL and consecutive-duplicate split points from a collected
+    approx-percentile sketch (duplicates only create empty buckets, but
+    pruning them keeps the codegen comparison chain short on
+    low-cardinality keys)."""
+    out: list[float] = []
+    for bv in raw or []:
+        if bv is not None and (not out or bv != out[-1]):
+            out.append(float(bv))
+    return out
+
+
+def bucket_expr(key, boundaries: list[float]):
+    """Row-local bucket id for frozen boundary literals: a chain of
+    ``key >= b`` comparisons (whole-stage codegen, no shuffle); NULL keys
+    land in bucket 0 (every comparison is null -> otherwise(0))."""
+    bucket = F.lit(0)
+    for bv in boundaries:
+        bucket = bucket + F.when(key >= F.lit(bv), 1).otherwise(0)
+    return bucket
+
+
 def global_ordinal(
     df: DataFrame,
     key_col: str,
@@ -60,23 +83,14 @@ def global_ordinal(
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    boundaries = []
+    boundaries: list[float] = []
     if probs:
         row = df.agg(
             F.percentile_approx(F.col(key_col).cast("double"), probs).alias("b")
         ).collect()[0]
-        raw = row["b"] or []
-        # dedup equal split points: comparisons against duplicates would
-        # only create empty buckets, but keeping them tidy keeps the
-        # codegen chain short on low-cardinality keys
-        for b in raw:
-            if b is not None and (not boundaries or b != boundaries[-1]):
-                boundaries.append(float(b))
+        boundaries = dedup_boundaries(row["b"])
     key = F.col(key_col).cast("double")
-    bucket = F.lit(0)
-    for b in boundaries:
-        bucket = bucket + F.when(key >= F.lit(b), 1).otherwise(0)
-    staged = df.withColumn("__bucket", bucket)
+    staged = df.withColumn("__bucket", bucket_expr(key, boundaries))
 
     counts = staged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
     # prefix-sum over the BOUNDED aggregate (<= n_buckets rows): the global

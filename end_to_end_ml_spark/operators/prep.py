@@ -298,20 +298,29 @@ def winsorize(
 
     if not 0.0 <= p_lo <= p_hi <= 1.0:
         raise ValueError("need 0 <= p_lo <= p_hi <= 1")
-    n = df.count()
+    # Bounds come from NON-NULL values only: NULLs occupy the lowest
+    # ordinals (Spark NULLS FIRST), so ranking them would displace both
+    # order statistics and could select a NULL lo that silently disables
+    # the lower clamp (greatest(v, NULL) = v). NULL rows still pass
+    # through the output with a NULL clamped value.
+    non_null = df.select(pk_col, value_col).filter(
+        F.col(value_col).isNotNull()
+    )
+    n = non_null.count()
     if n == 0:
-        raise ValueError("winsorize: empty input")
+        raise ValueError("winsorize: no non-null values")
     k_lo = int(math.floor(p_lo * (n - 1)))
     k_hi = int(math.floor(p_hi * (n - 1)))
-    ords = global_ordinal(
-        df.select(pk_col, value_col), value_col, pk_col, n_buckets=n_buckets
-    )
+    ords = global_ordinal(non_null, value_col, pk_col, n_buckets=n_buckets)
     rows = ords.filter(F.col("ordinal").isin(k_lo, k_hi)).collect()
     vals = {r["ordinal"]: r[value_col] for r in rows}
     lo, hi = vals[k_lo], vals[k_hi]
     out = out_col or f"{value_col}_w"
+    clamp = F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi))
+    # least/greatest SKIP nulls (a NULL value would clamp to lo); keep
+    # null in -> null out explicitly
     return df.withColumn(
-        out, F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi))
+        out, F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(clamp)
     )
 
 
@@ -336,9 +345,13 @@ def quantile_uniform(
 
     from .ordinal import global_ordinal
 
+    # NULL values are excluded from the rank space (they would occupy
+    # the lowest ordinals and skew the non-null marginal off uniform);
+    # their rows are dropped from the output — explicit contract.
+    df = df.filter(F.col(value_col).isNotNull())
     n = df.count()
     if n == 0:
-        raise ValueError("quantile_uniform: empty input")
+        raise ValueError("quantile_uniform: no non-null values")
     out = out_col or f"{value_col}_q"
     ords = global_ordinal(df, value_col, pk_col, n_buckets=n_buckets)
     if n == 1:

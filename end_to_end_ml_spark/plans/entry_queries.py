@@ -5092,7 +5092,9 @@ def mix1_temperature_sample(spark, sf_dir):
 
 MIX1_SQL = """
 WITH counts AS (
-  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+  -- NULL lang is excluded to mirror temperature_sample's up-front filter
+  -- (a null pseudo-group must not become nmin)
+  SELECT lang, count(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang
 ),
 nmin AS (SELECT min(n) AS nmin FROM counts),
 rates AS (
@@ -5151,7 +5153,10 @@ def t11_group_split(spark, sf_dir):
 
 T11_SQL = """
 SELECT doc_id, source,
-       CASE WHEN CAST(('0x' || substr(md5('g1|' || source), 1, 12))::BIGINT AS DOUBLE)
+       -- NULL source mirrors Spark's concat_ws (null key folds to the
+       -- bare salt, so all null-group rows share one deterministic draw)
+       CASE WHEN CAST(('0x' || substr(md5(CASE WHEN source IS NULL THEN 'g1'
+                                                ELSE 'g1|' || source END), 1, 12))::BIGINT AS DOUBLE)
                  / 281474976710656.0 < 0.3
             THEN 'test' ELSE 'train' END AS split
 FROM documents
@@ -5503,6 +5508,12 @@ def pipe7_curated_shards(spark, sf_dir):
         .filter(F.col("__rn") <= 60)
         .drop("__rn")
     )
+    # temperature_sample evaluates `capped` three times (counts, min,
+    # probe). Deliberately NOT persisted: measured at sf0.1, caching the
+    # chain costs 1.21 s vs 0.48 s recomputed — the filter +
+    # WindowGroupLimit-pruned cap re-runs cheaper than its blocks
+    # materialize. Persist only when the upstream is expensive relative
+    # to its size (see temperature_sample's docstring).
     mixed = split.temperature_sample(capped, "doc_id", "lang", salt="pipe7")
     out = pack.shard_shuffle(mixed, "doc_id", n_shards=4, salt="p7")
     return out.select("doc_id", "lang", "source", "shard", "pos").orderBy(
@@ -5521,7 +5532,7 @@ capped AS (
     FROM gated
   ) WHERE rn <= 60
 ),
-counts AS (SELECT lang, count(*) AS n FROM capped GROUP BY lang),
+counts AS (SELECT lang, count(*) AS n FROM capped WHERE lang IS NOT NULL GROUP BY lang),
 nmin AS (SELECT min(n) AS nmin FROM counts),
 rates AS (
   SELECT lang, sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS f

@@ -302,3 +302,23 @@ class TestSpearmanComponents:
             * (r["n"] * r["sum_ryry"] - r["sum_ry"] ** 2)
         )
         assert abs(rho - 1.0) < 1e-12
+
+
+class TestSpearmanNulls:
+    def test_half_missing_rows_do_not_bias_ranks(self, spark):
+        import math
+
+        from end_to_end_ml_spark.functions.metrics import spearman_components
+
+        df = spark.createDataFrame(
+            [(1, 1), (2, None), (3, 3), (4, 4), (None, 7)],
+            "x long, y long",
+        )
+        r = spearman_components(df, "x", "y").collect()[0]
+        rho = (r["n"] * r["sum_rxry"] - r["sum_rx"] * r["sum_ry"]) / math.sqrt(
+            (r["n"] * r["sum_rxrx"] - r["sum_rx"] ** 2)
+            * (r["n"] * r["sum_ryry"] - r["sum_ry"] ** 2)
+        )
+        # surviving complete pairs are perfectly monotone; a NULL-biased
+        # rank table would give ~0.98 instead of exactly 1.0
+        assert r["n"] == 3 and abs(rho - 1.0) < 1e-12

@@ -245,3 +245,30 @@ class TestBrierComponents:
         brier = r["sum_sq_num"] / (r["n"] * r["scale"] ** 2)
         direct = sum((s - y) ** 2 for _, y, s in rows) / 500
         assert abs(brier - direct) < 1e-6  # quantization-level agreement
+
+
+class TestNullValueContracts:
+    def test_winsorize_bounds_ignore_nulls(self, spark):
+        from end_to_end_ml_spark.operators.prep import winsorize
+
+        rows = [(i, None) for i in range(10)] + [
+            (100 + i, i + 1) for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "pk long, v long")
+        out = {r["pk"]: r["v_w"] for r in winsorize(df, "v", "pk", 0.05, 0.95).collect()}
+        ordered = list(range(1, 91))
+        lo = ordered[int(0.05 * 89)]
+        hi = ordered[int(0.95 * 89)]
+        assert out[100] == lo          # below-lo value clamps UP (null lo would skip this)
+        assert out[100 + 89] == hi
+        assert all(out[i] is None for i in range(10))  # nulls pass through as null
+
+    def test_quantile_uniform_drops_nulls_and_stays_uniform(self, spark):
+        from end_to_end_ml_spark.operators.prep import quantile_uniform
+
+        rows = [(0, None)] + [(i, i) for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "pk long, v long")
+        out = quantile_uniform(df, "v", "pk").collect()
+        assert {r["pk"] for r in out} == {1, 2, 3, 4, 5}
+        qs = sorted(r["v_q"] for r in out)
+        assert qs == [0.0, 0.25, 0.5, 0.75, 1.0]
