@@ -179,6 +179,15 @@ def diff_snapshots(
     snapshots diff co-located."""
     keys = list(key_cols)
     cols = compare_cols or [c for c in old.columns if c not in keys]
+    if not cols:
+        # every column is a key: F.concat(*[]) would raise deep inside the
+        # plan; fail here with the actionable message instead. (A key-only
+        # existence diff is diff_snapshots(old, new, keys, [lit-column]) or
+        # simply an anti-join each way.)
+        raise ValueError(
+            "diff_snapshots: no compare columns (all columns are keys); "
+            "use an anti-join for a key-only existence diff"
+        )
 
     def fp(df):
         parts = [

@@ -79,7 +79,17 @@ def global_ordinal(
     null -> otherwise(0)) and Spark's default ascending sort puts NULLS
     FIRST, so nulls occupy ordinals 0..n_null-1 deterministically. Note
     DuckDB defaults to NULLS LAST — an oracle over nullable keys must say
-    ``ORDER BY key NULLS FIRST`` explicitly to match."""
+    ``ORDER BY key NULLS FIRST`` explicitly to match.
+
+    MULTI-EVALUATION CAVEAT (as for temperature_sample): the input plan
+    is evaluated more than once (percentile sketch, bucket counts, final
+    rank pass) — and so are the callers built on this machinery
+    (winsorize, quantile_uniform, negative_pairs). A NONDETERMINISTIC
+    upstream (rand()-derived sample, non-idempotent source) can therefore
+    yield boundaries/offsets inconsistent with the rows they are applied
+    to. Persist (or checkpoint) such an input first; deterministic inputs
+    are usually cheaper re-scanned than cached (see the measured note in
+    temperature_sample)."""
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
     probs = [i / n_buckets for i in range(1, n_buckets)]

@@ -128,12 +128,17 @@ def write_shuffled_shards(
 ) -> None:
     """Materialize :func:`shard_shuffle` as a parquet layout partitioned by
     shard, rows sorted by ``pos`` inside each file — the on-disk form a
-    sequential trainer reads shard-by-shard. ``repartition(n_shards,
-    shard)`` co-locates each shard's rows before the sorted write, so a
-    shard is one writer task and its file carries rows in training order."""
+    sequential trainer reads shard-by-shard. ``repartitionByRange(n_shards,
+    shard)`` co-locates each shard's rows before the sorted write —
+    range partitioning on the dense 0..n_shards-1 ids gives approximately
+    one shard per writer task (hash repartition could co-locate colliding
+    shard ids while leaving other tasks empty; range boundaries come from
+    a sampling pass, so 1:1 is the norm, not a guarantee). Output files
+    are correct either way (partitionBy + sortWithinPartitions), this
+    only balances writer parallelism."""
     shuffled = shard_shuffle(df, id_col, n_shards=n_shards, salt=salt)
     (
-        shuffled.repartition(n_shards, "shard")
+        shuffled.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")

@@ -289,7 +289,11 @@ def winsorize(
     2-value collect is a bounded driver fold; the clamp itself is a narrow
     projection against two literals. The rank indices use IEEE double
     ``p*(n-1)`` + floor, reproducible on any engine, so a DuckDB oracle
-    replays the identical clamp."""
+    replays the identical clamp.
+
+    Evaluates the input plan multiple times (count, ordinal machinery,
+    final clamp) — nondeterministic upstreams must be persisted first;
+    see the multi-evaluation caveat on global_ordinal."""
     import math
 
     from pyspark.sql import functions as F
@@ -340,7 +344,11 @@ def quantile_uniform(
     bucketed :func:`~end_to_end_ml_spark.operators.ordinal.global_ordinal`
     (no single-task sort); the division is one correctly-rounded IEEE op,
     so a DuckDB oracle reproduces every output bit. A single-row input
-    maps to 0.0 (explicit contract)."""
+    maps to 0.0 (explicit contract).
+
+    Evaluates the input plan multiple times (count + ordinal machinery) —
+    nondeterministic upstreams must be persisted first; see the
+    multi-evaluation caveat on global_ordinal."""
     from pyspark.sql import functions as F
 
     from .ordinal import global_ordinal

@@ -598,7 +598,11 @@ def negative_pairs(
     explode, one equi-join on the ordinal (hash shuffle of (anchor, draw)
     pairs against the n-row ordinal map — O(kN), AQE-skewable). The n used
     in the modulus is a 1-row driver fold embedded as a literal, so both
-    passes see the same constant."""
+    passes see the same constant.
+
+    Evaluates the input plan multiple times (count, ordinal machinery,
+    draw explode) — nondeterministic upstreams must be persisted first;
+    see the multi-evaluation caveat on global_ordinal."""
     if k <= 0:
         raise ValueError("k must be positive")
     from .ordinal import global_ordinal

@@ -152,6 +152,97 @@ def rollup_distinct_from_sketches(hourly, group_col: str = "event_type"):
     )
 
 
+def hll_registers(
+    df,
+    key_col: str,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    p: int = 6,
+):
+    """Engine-portable HLL register table — the ORACLE-CHECKABLE twin of
+    :func:`hourly_distinct_sketches` (which stores opaque Apache
+    DataSketches binaries no other engine can rebuild). Same trick as the
+    Count-Min family (:func:`countmin_sketch`): derive the sketch's
+    randomness from md5 so ANY engine computes the identical sketch, and
+    keep it relational so merging is plain SQL.
+
+    Per key: h = md5(key); register index = first-8-hex(h) mod m (m=2^p);
+    rho = position of the first 1-bit in the NEXT 15 hex chars (60 bits)
+    = 61 - bit_length(v), with the all-zero tail mapping to 61. bit length
+    comes from ``conv(hex, 16, 2)`` — base conversion drops leading
+    zeros, so string length IS the bit length; DuckDB reproduces it with
+    ``length(bin(v))``. Register value = max(rho) per (hour, group, idx):
+    pure integers, exactly comparable across engines.
+
+    Only NON-EMPTY registers appear (relational sparse form, <= m rows
+    per bucket·group regardless of cardinality); the harmonic-mean
+    estimate (which needs the empty count = m - rows) lives in
+    :func:`hll_estimate_registers` and is pytest-verified — a float
+    estimate would NOT be bit-portable (sums of 2^-rho need > 53 mantissa
+    bits), which is exactly why the registry query emits registers, not
+    estimates.
+
+    Scale shape: one narrow projection + one partial-agg groupBy (max
+    absorbs map-side); the register table is the mergeable hypertable
+    pre-aggregate — answer any coarser rollup by re-maxing, never
+    rescanning raw data."""
+    from pyspark.sql import functions as F
+
+    m = 1 << p
+    h = F.md5(F.col(key_col).cast("string"))
+    idx = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    v = F.conv(F.substring(h, 9, 15), 16, 10).cast("long")
+    bitlen = F.length(F.conv(F.substring(h, 9, 15), 16, 2))
+    rho = F.when(v == 0, F.lit(61)).otherwise(F.lit(61) - bitlen)
+    return (
+        df.select(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+            F.col(group_col),
+            idx.alias("idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("hour", group_col, "idx")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_registers_rollup(hourly, group_col: str = "event_type"):
+    """Merge hourly HLL register tables to daily — registers max-combine
+    (the HLL union law), a pure groupBy over <= m rows per bucket·group.
+    Identical to building the daily sketch from raw data (max is
+    associative): the mergeability invariant pinned by tests and by the
+    ts4b oracle."""
+    from pyspark.sql import functions as F
+
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"),
+            F.col(group_col),
+            F.col("idx"),
+        )
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_registers(register_rows: list, p: int = 6) -> float:
+    """Driver-side HLL estimate from one group's collected (idx, max_rho)
+    rows (<= 2^p of them — a bounded fold, never data-sized). Standard
+    HLL: alpha_m * m^2 / (sum over ALL m registers of 2^-M_j) with
+    linear counting for the small-range correction. Python floats here
+    are fine — this is the analytics consumer, not the oracle surface."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    seen = {int(r[0]): int(r[1]) for r in register_rows}
+    s = sum(2.0 ** -seen.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(seen)
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est
+
+
 def rolling_distinct_users(
     events: DataFrame,
     ts_col: str = "ts",

@@ -1879,7 +1879,13 @@ def fn_array_suite(spark, sf_dir):
         F.size(F.filter(ints, lambda v: v > 0)).alias("n_pos"),
         F.aggregate(ints, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_milli"),
         F.array_max(ints).alias("max_milli"),
-        F.slice(F.array_sort(ints), 1, 3).alias("bottom3"),
+        # array outputs flattened to a joined string: the driver's value
+        # compare canonicalizes scalars only, so list-typed columns hash
+        # differently between Spark rows and DuckDB->pandas rows (the r4
+        # skew2 / r6 fn_array red class). Same flatten on the oracle side.
+        F.array_join(F.slice(F.array_sort(ints), 1, 3).cast("array<string>"), ",").alias(
+            "bottom3"
+        ),
     ).orderBy("vec_id")
 
 
@@ -1893,7 +1899,7 @@ SELECT vec_id, CAST(dim AS INTEGER) AS dim,
        CAST(len(list_filter(iv, v -> v > 0)) AS INTEGER) AS n_pos,
        list_reduce(list_prepend(CAST(0 AS BIGINT), iv), (a, x) -> a + x) AS sum_milli,
        list_max(iv) AS max_milli,
-       list_sort(iv)[1:3] AS bottom3
+       array_to_string(list_sort(iv)[1:3], ',') AS bottom3
 FROM ints ORDER BY vec_id
 """
 
@@ -3371,26 +3377,26 @@ def prof1_column_profile(spark, sf_dir):
 
 PROF1_SQL = """
 SELECT 'o_custkey' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        count(DISTINCT o_custkey) AS n_distinct,
        CAST(min(o_custkey) AS VARCHAR) AS min_value,
        CAST(max(o_custkey) AS VARCHAR) AS max_value
 FROM orders
 UNION ALL
 SELECT 'o_orderdate', count(*),
-       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_orderdate),
        CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority', count(*),
-       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_orderpriority),
        min(o_orderpriority), max(o_orderpriority)
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus', count(*),
-       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT o_orderstatus),
        min(o_orderstatus), max(o_orderstatus)
 FROM orders
@@ -3423,7 +3429,7 @@ def pipe4_shard_stats(spark, sf_dir):
 PIPE4_SHARD_SQL = """
 SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM documents GROUP BY shard ORDER BY shard
@@ -3494,7 +3500,7 @@ WITH tok AS (
         FROM documents)
 ),
 v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token)
-SELECT doc_id, count(*) AS n_tokens, sum(tf) AS tf_sum,
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(tf) AS BIGINT) AS tf_sum,
        CAST(sum(tf) AS DOUBLE) / count(*) AS mean_token_tf,
        CAST(sum(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
 FROM tok JOIN v USING (token)
@@ -3557,7 +3563,7 @@ PACK2_SQL = (
     "WITH packed AS ("
     + PACK1_SQL.replace("ORDER BY shard, doc_id", "")
     + """)
-SELECT shard, bin_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+SELECT shard, bin_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(floor(sum(n_tokens) * 1000000 / 256) AS BIGINT) AS fill_ppm
 FROM packed GROUP BY shard, bin_id ORDER BY shard, bin_id
 """
@@ -3753,7 +3759,7 @@ grams AS (
 ),
 gd AS (SELECT g, count(*) AS nd FROM grams GROUP BY g)
 SELECT doc_id, count(*) AS n_grams,
-       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_gram_frac
 FROM grams JOIN gd USING (g)
 GROUP BY doc_id ORDER BY doc_id
@@ -3785,7 +3791,7 @@ def s13_incremental_agg(spark, sf_dir):
 
 
 S13_INCR_AGG_SQL = """
-SELECT user_id, count(*) AS n_events, sum(event_id) AS sum_ids,
+SELECT user_id, count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_ids,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM events GROUP BY user_id ORDER BY user_id
 """
@@ -4012,7 +4018,7 @@ WITH per_type AS (
 ),
 u AS (
   SELECT user_id, count(*) AS n_types,
-         coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0) AS click_count
+         CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS click_count
   FROM per_type GROUP BY user_id
 )
 SELECT p.user_id, CAST(u.n_types AS INTEGER) AS n_types, u.click_count,
@@ -4355,7 +4361,7 @@ WITH tok AS (
         FROM documents)
 ),
 pt AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token)
-SELECT lang, sum(n) AS n_tokens, count(*) AS n_types,
+SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
        CAST(count(*) AS DOUBLE) / sum(n) AS type_token_ratio,
        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_frac
 FROM pt GROUP BY lang ORDER BY lang
@@ -4494,7 +4500,8 @@ WITH per AS (
   FROM documents GROUP BY lang, source
 ),
 tot AS (SELECT sum(n_tokens) AS t FROM per)
-SELECT lang, source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, n_chars,
+SELECT lang, source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
        CAST(floor(n_tokens * 1000000 / tot.t) AS BIGINT) AS token_share_ppm
 FROM per CROSS JOIN tot
 ORDER BY lang, source
@@ -5021,7 +5028,19 @@ def skew3_key_skew_report(spark, sf_dir):
     from ..operators.skew import skew_report
 
     li = load_table(spark, sf_dir, "lineitem")
-    return skew_report(li, ["l_orderkey"], top_k=5)
+    rep = skew_report(li, ["l_orderkey"], top_k=5)
+    # Flatten the two array columns to joined strings for the driver's
+    # value compare (list-typed outputs hash differently between Spark
+    # rows and DuckDB->pandas — the r4 skew2 red class); the skew_report
+    # operator itself keeps its array API.
+    return rep.select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        F.array_join("top_keys", ",").alias("top_keys"),
+        F.array_join(F.col("top_counts").cast("array<string>"), ",").alias("top_counts"),
+        "skew_ratio_ppm",
+    )
 
 
 SKEW3_REPORT_SQL = """
@@ -5035,8 +5054,8 @@ summary AS (
   FROM counts
 ),
 top AS (
-  SELECT list(key ORDER BY n DESC, key) AS top_keys,
-         list(n ORDER BY n DESC, key) AS top_counts
+  SELECT array_to_string(list(key ORDER BY n DESC, key), ',') AS top_keys,
+         array_to_string(list(n ORDER BY n DESC, key), ',') AS top_counts
   FROM (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 5)
 )
 SELECT s.n_keys, s.n_rows, s.max_count, t.top_keys, t.top_counts,
@@ -5258,116 +5277,6 @@ ORDER BY doc_id
 REGISTRY["f11_quantile_uniform"] = (f11_quantile_uniform, F11_SQL)
 
 
-# ---------------------------------------------------------------------------
-# Driver window (first 50 registry entries) — deliberate round-6 rotation.
-#
-# The driver's correctness snapshot covers the FIRST 50 entries only, so the
-# window is re-picked each round to (a) stay all-oracled, (b) span every
-# operator family, and (c) rotate in queries that have never had a driver
-# row. Round-6 swaps IN eleven of the fifteen round-5-tail queries that
-# never had a driver row (q23 market-basket, t9/t10 samplers, s13
-# incremental agg, dq1 expectations gate, ts6 EWMA, ev4 session paths,
-# ev5 daily state snapshot, x13 lexical audit, pipe5 eval set,
-# fn_map_suite) plus four round-6 flagships (d10 span-level dedup, ts7
-# CountMin heavy hitters, ev6 multi-touch attribution, pipe6 incremental
-# ingest); the four r5-tail siblings left out (q24/dq2/x14/s14) each have
-# their family twin in-window and stay locally verified. Swapped OUT are
-# slots that were ALL driver-green in r5 with family coverage retained
-# (q18/q20 vs q1-q21+q23; w1 vs w4; p5/p8 vs p3_p4+p6; s5 vs s2/s3+s13;
-# a12 vs a6/a8/m8; a15 vs a16; skew1 vs skew2; st_sessionize vs
-# st_hourly; ts3 vs ts5/ts6; ev1 vs ev2-ev6; d1 vs d3/d7/d10; x5 vs
-# x2/x8/x9+x13; pipe1 vs pipe3+pipe5/pipe6). All 185 registry entries
-# remain locally verified via tools/check_oracle.py.
-# Late-round-6 swap: five of the new batch-7/8/9 operators rotate in for
-# their closest driver-green family twins (q10 -> ord1 global ordinal;
-# ev2 -> mix1 temperature mixture; ev5 -> t11 group split; d3 -> emb4
-# negative pairs, d7+d10 keep dedup covered; x2 -> pack3 shard shuffle,
-# quality columns stay covered by pipe3's fused scan). p14/f11 (winsorize,
-# quantile-uniform) share ord1's rank machinery and stay locally verified.
-# ---------------------------------------------------------------------------
-
-DRIVER_WINDOW = [
-    # flagship relational
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_supplier_volume",
-    "q9_product_profit",
-    "ord1_global_ordinal",
-    "q21_sole_failing_supplier",
-    "q23_copurchase_pairs",
-    "ts7_countmin_heavy_hitters",
-    # windows
-    "w4_running_total",
-    # prep
-    "p3_p4_clean_documents",
-    "p6_latest_order_per_customer",
-    # splits / sampling
-    "t1_stratified_split",
-    "t2_time_split",
-    "t9_weighted_sample",
-    "t10_fixed_count_sample",
-    # sources / sinks / incremental maintenance
-    "s2_partitioned_roundtrip",
-    "s3_pit_join",
-    "s13_incremental_agg",
-    "ev6_linear_attribution",
-    # metrics
-    "a6_roc_auc",
-    "a8_auc_ovr_macro",
-    "m8_threshold_sweep",
-    # drift
-    "a16_ks_drift",
-    # multi-dimensional aggregates
-    "agg_cube",
-    # skew handling
-    "skew2_salted_collect",
-    # data-quality gates
-    "dq1_expectations",
-    "pipe6_incremental_ingest",
-    # events / timeseries
-    "st_hourly_window",
-    "ts5_rolling_distinct_users",
-    "ts6_ewma",
-    "mix1_temperature_sample",
-    "ev3_scd2_history",
-    "ev4_top_session_paths",
-    "t11_group_split",
-    # dedup (LLM-data-pipeline)
-    "d7_near_dup_groups",
-    "emb4_negative_pairs",
-    # text analysis
-    "pack3_shard_shuffle",
-    "x8_winnow_fingerprints",
-    "x9_chunk_documents",
-    "x13_lexical_stats",
-    "d10_span_dedup",
-    # pipeline / multimodal
-    "pipe3_pretrain_corpus",
-    "pipe5_eval_set",
-    "mm1_payload_metadata",
-    # similarity search
-    "sim1_topk_bruteforce",
-    # embeddings / packing / range join
-    "emb1_random_projection",
-    "pack1_sequence_packing",
-    "rj1_event_pairs",
-    # feature engineering
-    "f4_infrequent_collapse",
-    # function-library suite
-    "fn_map_suite",
-]
-
-assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
-assert len(set(DRIVER_WINDOW)) == 50, "driver window has duplicates"
-_missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
-assert not _missing, f"driver window names not in REGISTRY: {_missing}"
-_unoracled = [n for n in DRIVER_WINDOW if REGISTRY[n][1] is None]
-assert not _unoracled, f"driver window entries must all be oracled: {_unoracled}"
-
-REGISTRY = {
-    name: REGISTRY[name]
-    for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
-}
 
 
 def x17_bm25_components(spark, sf_dir):
@@ -5388,7 +5297,7 @@ WITH toks AS (
   FROM documents
 ),
 dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-consts AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dls),
+consts AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dls),
 terms(term) AS (VALUES ('data'), ('model'), ('learning')),
 matches AS (
   SELECT t.doc_id, te.term, count(*) AS tf
@@ -5743,16 +5652,16 @@ def p15_profile_columns(spark, sf_dir):
 P15_SQL = """
 WITH s AS (
   SELECT count(*) AS n,
-         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
          count(DISTINCT o_orderkey) AS nd1,
          CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
-         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
          count(DISTINCT o_custkey) AS nd2,
          CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
-         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu3,
          count(DISTINCT o_orderstatus) AS nd3,
          CAST(min(o_orderstatus) AS VARCHAR) AS mn3, CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
-         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu4,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu4,
          count(DISTINCT o_orderpriority) AS nd4,
          CAST(min(o_orderpriority) AS VARCHAR) AS mn4, CAST(max(o_orderpriority) AS VARCHAR) AS mx4
   FROM orders
@@ -6710,3 +6619,153 @@ ORDER BY canonical
 """
 
 REGISTRY["d13_url_canonical_dupes"] = (d13_url_canonical_dupes, D13_SQL)
+
+
+def ts4b_hll_registers(spark, sf_dir):
+    """ORACLE-EXACT HLL rollup (r6 verdict #7): the md5-derived register
+    sketch (operators/timeseries.hll_registers) built hourly and merged
+    to daily via the max-combine union law — the same sketch DuckDB
+    rebuilds in pure SQL, closing the evidence gap ts4's opaque
+    DataSketches binaries cannot (ts4 stays rows-only for the native-HLL
+    path; mergeability + estimate accuracy are pytest-pinned for both)."""
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = TS.hll_registers(ev, "user_id", "ts", "event_type", p=6)
+    return TS.hll_registers_rollup(hourly).orderBy("day", "event_type", "idx")
+
+
+TS4B_SQL = """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+),
+v AS (
+  SELECT day, event_type,
+         list_reduce(list_transform(split(substr(hx, 1, 8), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, x) -> a * 16 + x) % 64 AS idx,
+         list_reduce(list_transform(split(substr(hx, 9, 15), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+           (a, x) -> a * 16 + x) AS tail
+  FROM h
+)
+SELECT day, event_type, idx,
+       CAST(max(CASE WHEN tail = 0 THEN 61 ELSE 61 - length(bin(tail)) END) AS INTEGER) AS max_rho
+FROM v GROUP BY day, event_type, idx
+ORDER BY day, event_type, idx
+"""
+
+REGISTRY["ts4b_hll_registers"] = (ts4b_hll_registers, TS4B_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Driver window (first 50 registry entries) — deliberate round-7 rotation.
+#
+# The driver's correctness snapshot covers the FIRST 50 entries only, so the
+# window is re-picked each round to (a) stay all-oracled, (b) span every
+# operator family, and (c) rotate in queries that have never had a driver
+# row. Round-7 keeps the three r6 hash-reds IN PLACE (s13_incremental_agg,
+# x13_lexical_stats, fn_map_suite — their oracles' HUGEINT sums are now
+# CAST to BIGINT, so the driver proves the fix) and additionally rotates IN
+# the two array-output queries whose oracles were flattened to joined
+# strings this round (fn_array_suite, skew3_key_skew_report — proving the
+# second red class at the driver). The other fifteen swap-ins are the
+# round-6-tail flagships that never had a driver row: pipe7 curated shards,
+# a18 Spearman, x17 BM25, skew4 join-cardinality preflight, dq3 referential
+# integrity, ev8 time-to-conversion, ts8 weekly profile, p14 winsorize,
+# f11 quantile-uniform, p15 column profile, f13 robust scale, t13 four-way
+# carve, a11 champion leaderboard, d12 source-overlap matrix, h7 ASHA
+# schedule. Swapped OUT are seventeen r6 driver-GREEN slots with family
+# coverage retained (q5 vs q1/q3/q9/q21/q23; ord1 vs p14/f11 which share
+# its rank machinery; ts7 vs ts5/ts6/ts8; t9/t10 vs t1/t2/t11/t13; ev6 vs
+# ev8+rj1; a6/a16 vs a8/m8/a18/a11; skew2 vs skew3/skew4; dq1 vs dq3;
+# pipe5 vs pipe3/pipe6/pipe7; x8 vs x9/x13/x17; emb4 vs emb1/sim1; mix1
+# vs t-samplers+h7; pack3 vs pack1; ev3/ev4 vs ev8/st_hourly). All
+# registry entries remain locally verified via tools/check_oracle.py; the
+# registry/window counts are asserted below and in tests (no hand-written
+# totals — see tests/test_plan_lint.py::test_registry_count_claims).
+# ---------------------------------------------------------------------------
+
+DRIVER_WINDOW = [
+    # flagship relational
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q9_product_profit",
+    "q21_sole_failing_supplier",
+    "q23_copurchase_pairs",
+    # windows
+    "w4_running_total",
+    # prep / profiling
+    "p3_p4_clean_documents",
+    "p6_latest_order_per_customer",
+    "p14_winsorize",
+    "p15_profile_columns",
+    # splits / sampling
+    "t1_stratified_split",
+    "t2_time_split",
+    "t11_group_split",
+    "t13_four_way_carve",
+    # sources / sinks / incremental maintenance
+    "s2_partitioned_roundtrip",
+    "s3_pit_join",
+    "s13_incremental_agg",
+    # metrics
+    "a8_auc_ovr_macro",
+    "m8_threshold_sweep",
+    "a11_champion_leaderboard",
+    "a18_spearman_components",
+    # multi-dimensional aggregates
+    "agg_cube",
+    # skew handling
+    "skew3_key_skew_report",
+    "skew4_join_cardinality",
+    # data-quality gates
+    "dq3_referential_integrity",
+    "pipe6_incremental_ingest",
+    # events / timeseries
+    "st_hourly_window",
+    "ts5_rolling_distinct_users",
+    "ts6_ewma",
+    "ts8_weekly_profile",
+    "ev8_time_to_conversion",
+    "rj1_event_pairs",
+    # dedup (LLM-data-pipeline)
+    "d7_near_dup_groups",
+    "d10_span_dedup",
+    "d12_source_overlap_matrix",
+    # text analysis
+    "x9_chunk_documents",
+    "x13_lexical_stats",
+    "x17_bm25_components",
+    # pipeline / multimodal
+    "pipe3_pretrain_corpus",
+    "pipe7_curated_shards",
+    "mm1_payload_metadata",
+    # similarity search / embeddings / packing
+    "sim1_topk_bruteforce",
+    "emb1_random_projection",
+    "pack1_sequence_packing",
+    # feature engineering
+    "f4_infrequent_collapse",
+    "f11_quantile_uniform",
+    "f13_robust_scale",
+    # tuning
+    "h7_asha_schedule",
+    # function-library suites
+    "fn_map_suite",
+    "fn_array_suite",
+]
+
+assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
+assert len(set(DRIVER_WINDOW)) == 50, "driver window has duplicates"
+_missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+assert not _missing, f"driver window names not in REGISTRY: {_missing}"
+_unoracled = [n for n in DRIVER_WINDOW if REGISTRY[n][1] is None]
+assert not _unoracled, f"driver window entries must all be oracled: {_unoracled}"
+
+REGISTRY = {
+    name: REGISTRY[name]
+    for name in DRIVER_WINDOW + [n for n in REGISTRY if n not in DRIVER_WINDOW]
+}

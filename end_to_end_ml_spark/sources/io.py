@@ -445,8 +445,23 @@ def parquet_file_stats(path: str) -> dict:
     {n_files, total_bytes, min_bytes, max_bytes}. The input to a
     compaction decision — a table with thousands of KB-sized files wastes
     a scheduler task + an open/seek per file at read time (the classic
-    small-files problem of streaming/incremental sinks)."""
+    small-files problem of streaming/incremental sinks).
+
+    LOCAL PATHS ONLY: sizing walks the OS filesystem, so a remote URI
+    (s3://, hdfs://) that spark.read.parquet would accept is rejected
+    loudly here instead of silently reporting 0 files (remote sizing
+    belongs to the Hadoop FileSystem API, not os.walk)."""
     import os
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path) and not path.startswith(
+        "file://"
+    ):
+        raise ValueError(
+            f"parquet_file_stats/compact_parquet size via the local "
+            f"filesystem; got non-local path {path!r}"
+        )
+    path = path.removeprefix("file://")
 
     sizes = []
     for root, _dirs, files in os.walk(path):

@@ -563,7 +563,22 @@ def stream_dedup_ingest(
     16 bytes per EVER-ACCEPTED doc (fingerprints only, never text), the
     anti-join broadcasts while the store is small and co-partitions
     after. Synchronous drain (processAllAvailable), like the other
-    foreachBatch sinks here."""
+    foreachBatch sinks here.
+
+    LIFECYCLE CONTRACT: ``checkpoint_dir`` and ``store_path`` live and
+    die together. Epoch ids come from the checkpoint; the store is
+    versioned by epoch (``v=<epoch>``), and each batch seeds its
+    anti-join from the newest version STRICTLY BELOW its epoch id (the
+    state before this epoch — what makes crash-replay idempotent: a
+    retry of epoch N ignores the v=N its failed attempt may have
+    written). Restarting against an existing store with a FRESH
+    checkpoint resets epoch ids to 0, which would silently ignore the
+    store and overwrite its early versions — so any store version
+    AHEAD of the current epoch (v > epoch_id, impossible under a
+    consistent checkpoint) raises instead of corrupting the chain. A
+    store whose only version is v=0 paired with a fresh checkpoint is
+    indistinguishable from a replay of epoch 0 and cannot be caught —
+    hence the contract above, not just the guard."""
     import os
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -581,6 +596,14 @@ def stream_dedup_ingest(
             .drop("__rn")
         )
         versions = _snapshot_versions(store_path)
+        ahead = [v for v in versions if v > epoch_id]
+        if ahead:
+            raise RuntimeError(
+                f"fingerprint store {store_path} has versions {ahead} ahead "
+                f"of epoch {epoch_id}: the checkpoint was reset against an "
+                "existing store (checkpoint_dir and store_path must live/die "
+                "together). Refusing to overwrite the version chain."
+            )
         prior = [v for v in versions if v < epoch_id]
         if prior:
             store = spark.read.parquet(

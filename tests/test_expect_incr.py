@@ -165,3 +165,15 @@ def test_empty_input_fails_range_gates(spark):
     assert not rep["row_count>=1"].passed
     assert not rep["min(v)>=0"].passed and rep["min(v)>=0"].measured is None
     assert not rep["max(v)<=10"].passed
+
+
+def test_diff_snapshots_all_key_columns_raises(spark):
+    """Every column a key -> no compare columns: explicit ValueError, not
+    an opaque F.concat() failure (r6 advisory)."""
+    import pytest
+
+    from end_to_end_ml_spark.operators.merge import diff_snapshots
+
+    df = spark.createDataFrame([(1, "a")], ["k1", "k2"])
+    with pytest.raises(ValueError, match="no compare columns"):
+        diff_snapshots(df, df, ["k1", "k2"])

@@ -158,3 +158,27 @@ def test_registry_keys_never_shadowed():
     literal = re.findall(r'^    "([A-Za-z0-9_]+)": \(', src, re.M)
     shadowed = set(late) & set(literal)
     assert not shadowed, sorted(shadowed)
+
+
+def test_registry_count_claims():
+    """Registry-count claims drifted repeatedly in r6 (185 vs 201 in
+    comments/README). One source of truth: README's stated totals must
+    equal the live registry; the DRIVER_WINDOW must be exactly the first
+    50 registry entries and all-oracled."""
+    import re
+
+    import __spark_entry__ as entry_mod
+    from end_to_end_ml_spark.plans.entry_queries import DRIVER_WINDOW
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    readme = open("README.md").read()
+    claims = re.findall(r"(\d+)-query registry|(\d+) registry queries", readme)
+    totals = {int(a or b) for a, b in claims}
+    assert totals, "README must state the registry size"
+    assert totals == {len(q)}, f"README claims {totals}, registry has {len(q)}"
+    m = re.search(r"(\d+) carry an ANSI-SQL oracle", readme)
+    assert m, "README must state the oracled count"
+    assert int(m.group(1)) == len(o), f"README says {m.group(1)}, oracled {len(o)}"
+    assert list(q)[:50] == DRIVER_WINDOW
+    assert all(n in o for n in DRIVER_WINDOW), "window must be all-oracled"

@@ -443,3 +443,18 @@ def test_read_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
     assert [r["id"] for r in g if r["id"] is not None] == [1, 2]
     b = bad.collect()
     assert any("broken json" in r["raw_line"] for r in b)
+
+
+def test_compact_parquet_rejects_remote_uri(spark, tmp_path):
+    """os.walk sizing is local-only: a remote URI must fail loudly, not
+    report n_files=0 (r6 advisory)."""
+    import pytest
+
+    from end_to_end_ml_spark.sources.io import parquet_file_stats
+
+    with pytest.raises(ValueError, match="non-local path"):
+        parquet_file_stats("s3://bucket/table")
+    # file:// is local — stripped, not rejected
+    local = tmp_path / "t"
+    spark.range(10).write.parquet(str(local))
+    assert parquet_file_stats(f"file://{local}")["n_files"] >= 1

@@ -499,3 +499,41 @@ def test_stream_dedup_ingest_accepts_each_fingerprint_once(spark, tmp_path):
     assert {r["fp"] for r in store.collect()} == set(fps)
     # multiple epochs actually ran (incremental, not one batch)
     assert len(SE._snapshot_versions(store_path)) >= 2
+
+
+def test_stream_dedup_ingest_refuses_fresh_checkpoint_on_old_store(spark, tmp_path):
+    """Restart with a FRESH checkpoint against an existing multi-version
+    store resets epoch ids to 0; the sink must refuse (store versions
+    ahead of the epoch) instead of silently ignoring the store and
+    overwriting its early versions (r6 advisory)."""
+    import pyspark.sql.utils
+
+    rows = [(i, " ".join([f"tok{i % 6}"] * 8) + f" tail{i}") for i in range(18)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def make_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    out_path = str(tmp_path / "accepted")
+    store_path = str(tmp_path / "store")
+    SE.stream_dedup_ingest(
+        make_stream(), out_path, store_path, "doc_id", "text", str(tmp_path / "ck1")
+    )
+    versions_before = SE._snapshot_versions(store_path)
+    assert len(versions_before) >= 2  # multi-version store
+
+    with pytest.raises(pyspark.sql.utils.StreamingQueryException) as exc:
+        SE.stream_dedup_ingest(
+            make_stream(), out_path, store_path, "doc_id", "text",
+            str(tmp_path / "ck2"),  # fresh checkpoint, same store
+        )
+    assert "ahead of epoch" in str(exc.value)
+    # the version chain was not touched
+    assert SE._snapshot_versions(store_path) == versions_before

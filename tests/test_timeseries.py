@@ -143,3 +143,55 @@ def test_countmin_mergeable_and_never_underestimates(spark):
     est = TS.countmin_estimate(merged_whole, exact.select("user_id"), "user_id")
     joined = {r["user_id"]: r for r in exact.join(est, "user_id").collect()}
     assert joined and all(r["est_n"] >= r["n"] for r in joined.values())
+
+
+def test_hll_registers_merge_law_and_estimate(spark):
+    """md5-derived HLL registers (the oracle-exact ts4 twin): (a) daily
+    rollup of hourly registers == registers built directly at day grain
+    (max is associative — the HLL union law); (b) registers never exceed
+    m=2^p rows per bucket*group; (c) the harmonic-mean estimate lands
+    within the standard HLL error band of the exact distinct count."""
+    import datetime as dt
+
+    rows = []
+    # 3 event types, 400 distinct users spread over 2 days x 6 hours
+    for u in range(400):
+        for et in ("click", "view"):
+            rows.append(
+                (
+                    u,
+                    dt.datetime(2024, 1, 1 + (u % 2), 8 + (u % 6)),
+                    et,
+                )
+            )
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+    hourly = TS.hll_registers(ev, "user_id", "ts", "event_type", p=6)
+    daily = TS.hll_registers_rollup(hourly)
+
+    # (a) merge law: build at day grain directly via a day-truncated ts
+    direct = TS.hll_registers(
+        ev.withColumn("ts", F.date_trunc("day", "ts")), "user_id", "ts",
+        "event_type", p=6,
+    ).withColumnRenamed("hour", "day")
+    a = {tuple(r) for r in daily.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b
+
+    # (b) bounded register table
+    per = daily.groupBy("day", "event_type").count().collect()
+    assert all(r["count"] <= 64 for r in per)
+
+    # (c) estimate accuracy: each (day, event_type) has 200 exact users
+    for r in per:
+        regs = (
+            daily.filter(
+                (F.col("day") == r["day"])
+                & (F.col("event_type") == r["event_type"])
+            )
+            .select("idx", "max_rho")
+            .collect()
+        )
+        est = TS.hll_estimate_registers([(x["idx"], x["max_rho"]) for x in regs], p=6)
+        exact = 200
+        assert abs(est - exact) / exact < 0.35  # ~2.6x the 13% stderr at m=64
