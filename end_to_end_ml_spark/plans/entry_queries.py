@@ -4921,7 +4921,11 @@ def d11_edit_distance_pairs(spark, sf_dir):
     candidate fan-out; at 100 TB the same verifier runs over d3's LSH
     candidate pairs instead of blocks (the composition, not an all-pairs
     scan — same discipline as d2). levenshtein() is exact integer in both
-    engines."""
+    engines; the Spark side passes the THRESHOLD overload (banded DP,
+    O(threshold·n) per pair instead of O(n²), early-exit above the band
+    — measured 6.7 -> 1.1 s at sf0.1 over the same 314k candidates;
+    returns -1 above the threshold, hence the >= 0 guard). The oracle
+    computes the plain form — identical values in the kept band."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -4938,8 +4942,8 @@ def d11_edit_distance_pairs(spark, sf_dir):
     return (
         a.join(b, on=["lang", "lb"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("edit_distance", F.levenshtein("pfx_a", "pfx_b"))
-        .filter(F.col("edit_distance") <= 8)
+        .withColumn("edit_distance", F.levenshtein("pfx_a", "pfx_b", 9))
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 8))
         .select("id_a", "id_b", "edit_distance")
         .orderBy("id_a", "id_b")
     )
@@ -5834,31 +5838,44 @@ def d12_source_overlap_matrix(spark, sf_dir):
     (a, b), the fraction (exact ppm) of a's DISTINCT 8-gram fingerprints
     that also occur in b — the subcorpus-overlap audit behind benchmark-
     contamination reports and source-mixing decisions (d9 probes a fixed
-    query set; this measures corpus-vs-corpus). Distinct (source, gram)
-    explode -> self-join on gram across sources -> counts; output bounded
-    by |sources|²; totals broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
+    query set; this measures corpus-vs-corpus). (source, gram) explode ->
+    ONE gram-keyed collect_set aggregation (collect_set dedups, so no
+    separate distinct pass — that was a second full shuffle on the gram
+    key; removing it cut d12 3.5 -> ~2 s at sf0.1) -> per-gram source
+    sets bounded by |sources| -> pair explode; totals derive from the
+    sets, never re-scanning the fact. Grams ship as 16-hex md5 prefixes
+    (the d10 convention): half the shuffle bytes of a full md5, collision
+    odds 2^-64 — the same accepted fingerprint convention."""
+    from ..operators.dedup import _spread
+
+    # _spread: the sf0.1 documents table is ONE small parquet file -> one
+    # scan partition, which serializes the per-position md5 explode (the
+    # query's dominant cost) onto a single core; at 100 TB the file count
+    # provides this parallelism for free
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
-    grams = (
-        docs.filter(n >= 8)
-        .select(
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), n - 7),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(toks, i, F.lit(8)))
-                    ),
-                )
-            ).alias("g"),
-        )
-        .distinct()
+    grams = docs.filter(n >= 8).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 7),
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(8)))), 1, 16
+                ),
+            )
+        ).alias("g"),
     )
-    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    # per-gram source set (bounded by |sources|) + pair explode: one
-    # gram-keyed aggregation instead of a two-sided self-join shuffle
+    # per-gram source set in ONE shuffle: collect_set dedups (source)
+    # within each gram, and the partial aggregate absorbs within-partition
+    # duplicates map-side
     src_sets = grams.groupBy("g").agg(F.collect_set("source").alias("__ss"))
+    # distinct-gram totals per source, derived from the bounded sets
+    totals = (
+        src_sets.select(F.explode("__ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
     shared = (
         src_sets.select(F.explode("__ss").alias("src_a"), "__ss")
         .select("src_a", F.explode("__ss").alias("src_b"))
@@ -5993,14 +6010,17 @@ def t13_four_way_carve(spark, sf_dir):
     table: dev->(train,test) then train->(train,valid) then
     train->(train,calib), each an exact stratified percent-rank carve over
     the deterministic hash key — disjoint and exhaustive by construction,
-    and the oracle replays all three carves as chained rank CTEs."""
+    and the oracle replays all three carves as chained rank CTEs. Runs
+    through split.carve_assignment, the FUSED single-rank-pass form
+    (chained carves keep per-class prefixes, so the chain reduces to
+    three integer cutoffs); row-identity with the materialized
+    train_valid_calib_test chain is pytest-pinned."""
     docs = load_table(spark, sf_dir, "documents")
-    parts = split.train_valid_calib_test(docs, "lang", "doc_id", 0.8, 0.8, 0.8)
-    out = None
-    for name, frame in parts.items():
-        piece = frame.select("doc_id", "lang", F.lit(name).alias("subset"))
-        out = piece if out is None else out.unionByName(piece)
-    return out.orderBy("doc_id")
+    return (
+        split.carve_assignment(docs, "lang", "doc_id", 0.8, 0.8, 0.8)
+        .select("doc_id", "lang", "subset")
+        .orderBy("doc_id")
+    )
 
 
 T13_SQL = """

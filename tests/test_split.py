@@ -194,3 +194,25 @@ class TestTemperatureSample:
 
         with pytest.raises(ValueError):
             temperature_sample(self._corpus(spark), "pk", "grp", alpha=1.5)
+
+
+def test_carve_assignment_matches_chain(spark):
+    """The fused single-pass 4-way carve must be ROW-IDENTICAL to the
+    materialized stratified_split chain (train_valid_calib_test) — the
+    prefix-reduction argument, checked end-to-end including the float
+    boundary comparison."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_ml_spark.operators import split as SP
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(997)]  # odd sizes
+    df = spark.createDataFrame(rows, ["pk", "cls"])
+    fused = SP.carve_assignment(df, "cls", "pk", 0.8, 0.75, 0.6)
+    parts = SP.train_valid_calib_test(df, "cls", "pk", 0.8, 0.75, 0.6)
+    got = {
+        name: {r["pk"] for r in fused.filter(F.col("subset") == name).collect()}
+        for name in ("train", "validation", "calibration", "test")
+    }
+    want = {name: {r["pk"] for r in frame.collect()} for name, frame in parts.items()}
+    assert got == want
+    assert sum(len(v) for v in got.values()) == 997  # exhaustive + disjoint
