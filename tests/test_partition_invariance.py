@@ -113,3 +113,42 @@ class TestPartitionInvariance:
         self._invariant(
             spark, lambda df: feature_hash_audit(df, ["lang"], n_buckets=8)
         )
+
+    def test_carve_assignment(self, spark):
+        from end_to_end_ml_spark.operators.split import carve_assignment
+
+        self._invariant(
+            spark,
+            lambda df: carve_assignment(df, "lang", "doc_id").select(
+                "doc_id", "subset"
+            ),
+        )
+
+    def test_hll_registers(self, spark):
+        from end_to_end_ml_spark.operators.timeseries import (
+            hll_registers,
+            hll_registers_rollup,
+        )
+
+        self._invariant(
+            spark,
+            lambda df: hll_registers_rollup(
+                hll_registers(
+                    df.withColumn("ts", F.to_timestamp(F.lit("2024-01-02 03:00:00"))),
+                    "doc_id",
+                    "ts",
+                    "lang",
+                ),
+                group_col="lang",
+            ),
+        )
+
+    def test_winsorize(self, spark):
+        from end_to_end_ml_spark.operators.prep import winsorize
+
+        self._invariant(
+            spark,
+            lambda df: winsorize(df, "n_chars", "doc_id").select(
+                "doc_id", "n_chars_w"
+            ),
+        )
