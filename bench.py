@@ -111,6 +111,14 @@ R7 = [
     "d11_edit_distance_pairs",
     "t13_four_way_carve",
     "p15_profile_columns",
+    # round-7 operators + previously-invisible iterative trainer: the
+    # oracle-exact HLL register rollup, URL-canonicalization dedup, and
+    # the per-round distributed BPE merge trainer (8 rounds of pair
+    # count + argmax + localCheckpoint — the registry's only multi-round
+    # iterative text algorithm besides d7)
+    "ts4b_hll_registers",
+    "d13_url_canonical_dupes",
+    "x16_bpe_merges",
 ]
 
 
