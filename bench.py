@@ -119,6 +119,8 @@ R7 = [
     "ts4b_hll_registers",
     "d13_url_canonical_dupes",
     "x16_bpe_merges",
+    # incremental LSH probe (batch-vs-history near-dup maintenance)
+    "pipe8_incremental_near_dup",
 ]
 
 

@@ -404,6 +404,128 @@ def minhash_dedup_pairs(
     return verified.orderBy("id_a", "id_b") if sort_result else verified
 
 
+def minhash_probe_pairs(
+    new_df: DataFrame,
+    hist_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    estimator_margin: float = 0.15,
+) -> DataFrame:
+    """Incremental LSH near-dup probe — pipe6's batch-vs-history pattern
+    for NEAR duplicates: candidates are NEW-batch docs meeting a HISTORY
+    doc in >= 1 MinHash band; history×history pairs are never generated.
+    That is the maintenance shape a 100 TB pipeline actually runs: per
+    ingest batch, cost scales with |batch| · band collisions, not with
+    |corpus|² — re-running full-corpus LSH (d3) per batch would rescan
+    everything.
+
+    The history side's band rows ((id, band, bucket) — O(bands) fixed-
+    width rows/doc) and signature sidecar ((id, 64×8 B)) are pure
+    functions of the text and recomputed here from ``hist_df``; a
+    production pipeline reads them from the persisted index store instead
+    (both are exactly what minhash_signatures_agg + the banding explode
+    emit, so the plans are identical from the join onward). Same
+    verification ladder as minhash_dedup_pairs: signature-agreement
+    estimator prunes, exact shingle Jaccard confirms.
+
+    Output: (new_id, hist_id, jaccard_sim), exact values. Uses the same
+    hash family/seed as d3, so probe results equal the cross-partition
+    slice of the full pairs — pinned by
+    tests/test_dedup_text.py::test_minhash_probe_matches_full_pairs."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def banded(sig):
+        return sig.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda j: F.struct(
+                        j.alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.slice(F.col("sig"), j * r + 1, r)), j
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("id", "bb.band", "bb.bucket")
+
+    # persisted (not unpersisted here): each signature frame feeds both the
+    # banding explode and the estimator join of the LAZY result — an
+    # unpersist before the caller executes would silently drop the cache
+    # (minhash_dedup_pairs' convention; the bench's clearCache reclaims)
+    sig_new = _persist(
+        minhash_signatures_agg(
+            _spread(new_df), id_col, char_shingles(text_col, shingle_size),
+            num_hashes, seed,
+        )
+    )
+    sig_hist = _persist(
+        minhash_signatures_agg(
+            _spread(hist_df), id_col, char_shingles(text_col, shingle_size),
+            num_hashes, seed,
+        )
+    )
+    cands = (
+        banded(sig_new)
+        .select(F.col("id").alias("new_id"), "band", "bucket")
+        .join(
+            banded(sig_hist).select(F.col("id").alias("hist_id"), "band", "bucket"),
+            on=["band", "bucket"],
+        )
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    est = (
+        cands.join(
+            sig_new.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_a")),
+            "new_id",
+        )
+        .join(
+            sig_hist.select(F.col("id").alias("hist_id"), F.col("sig").alias("sig_b")),
+            "hist_id",
+        )
+        .withColumn(
+            "est_sim",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda b: b,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_sim") >= threshold - estimator_margin)
+        .select("new_id", "hist_id")
+    )
+    sh_new = _spread(new_df).select(
+        F.col(id_col).alias("new_id"),
+        hashed_shingles(text_col, shingle_size).alias("sh_a"),
+    )
+    sh_hist = _spread(hist_df).select(
+        F.col(id_col).alias("hist_id"),
+        hashed_shingles(text_col, shingle_size).alias("sh_b"),
+    )
+    out = (
+        est.join(sh_new, "new_id")
+        .join(sh_hist, "hist_id")
+        .select(
+            "new_id",
+            "hist_id",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .orderBy("new_id", "hist_id")
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -6680,6 +6680,40 @@ ORDER BY day, event_type, idx
 REGISTRY["ts4b_hll_registers"] = (ts4b_hll_registers, TS4B_SQL)
 
 
+def pipe8_incremental_near_dup(spark, sf_dir):
+    """Incremental NEAR-dup maintenance (dedup.minhash_probe_pairs):
+    probe the NEW ingest batch (doc_id%4==0, pipe6's split) against the
+    HISTORY corpus's LSH band index + signature sidecar — candidates only
+    where batch and history meet in a band, never history×history. The
+    at-scale counterpart of full-corpus d3: per-batch cost is
+    |batch|·collisions. Same hash family/seed/threshold as d3, so the
+    brute-force cross-split exact-Jaccard SQL is the oracle by d3's
+    equivalence argument (every true pair here has J >= 0.93; a 16-band
+    r=4 signature misses with P < 1e-9)."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    return dedup.minhash_probe_pairs(
+        batch, hist, "doc_id", "text", threshold=0.6, shingle_size=5
+    )
+
+
+PIPE8_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents
+)
+SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+ORDER BY new_id, hist_id
+"""
+
+REGISTRY["pipe8_incremental_near_dup"] = (pipe8_incremental_near_dup, PIPE8_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver window (first 50 registry entries) — deliberate round-7 rotation.
 #

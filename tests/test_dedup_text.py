@@ -580,3 +580,28 @@ class TestBpeEncode:
         docs = spark.createDataFrame([(1, "ab c")], ["doc_id", "text"])
         out = bpe_encode(docs, "text", []).collect()[0]
         assert out["bpe_tokens"] == ["a", "b", "c"]
+
+
+def test_minhash_probe_matches_full_pairs(spark, docs):
+    """Incremental probe (batch vs history) must equal the cross-split
+    slice of the FULL minhash pair set — same hash family/seed, so a doc
+    pair meets in the same bands regardless of which side it arrives on."""
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    hist = docs.filter(F.col("doc_id") % 2 == 1)
+    probe = dedup.minhash_probe_pairs(
+        batch, hist, "doc_id", "text", threshold=0.5
+    )
+    got = {
+        (r["new_id"], r["hist_id"], round(r["jaccard_sim"], 9))
+        for r in probe.collect()
+    }
+    full = dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    want = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        j = round(r["jaccard_sim"], 9)
+        if a % 2 == 0 and b % 2 == 1:
+            want.add((a, b, j))
+        elif b % 2 == 0 and a % 2 == 1:
+            want.add((b, a, j))
+    assert got == want and got  # non-vacuous: (1,2) crosses the split
