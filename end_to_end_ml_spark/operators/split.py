@@ -237,6 +237,25 @@ def train_valid_calib_test(
     return {"train": train, "validation": valid, "calibration": calib, "test": test}
 
 
+def _kept_count(m: int, frac: float) -> int:
+    """Number of rows a stratified carve keeps from a class of size ``m``:
+    #{r in [1..m] : (r-1)/(m-1) < frac}, replaying the operator's EXACT
+    IEEE-double comparison (not a closed form — (r-1)/(m-1) can round
+    across frac at the boundary). Monotone in r, so only the ~5-candidate
+    neighborhood of frac*(m-1) needs the float check; property-tested
+    against the O(m) brute force in tests/test_properties.py."""
+    if m <= 1:
+        return m  # a single row has pr 0.0 < frac
+    start = max(1, int(frac * (m - 1)) - 2)
+    c = start - 1
+    for r in range(start, m + 1):
+        if (r - 1) / (m - 1) < frac:
+            c = r
+        else:
+            break
+    return c
+
+
 def carve_assignment(
     df: DataFrame,
     class_col: str,
@@ -267,19 +286,7 @@ def carve_assignment(
     cutoff table (|classes| rows). The chained form re-executes up to 3
     upstream carves per leaf (~9 window passes + 4 scans); this is 1
     pass, measured 3.6 -> ~1 s at sf0.1."""
-
-    def kept(m: int, frac: float) -> int:
-        if m <= 1:
-            return m  # a single row has pr 0.0 < frac
-        start = max(1, int(frac * (m - 1)) - 2)
-        c = start - 1
-        for r in range(start, m + 1):
-            if (r - 1) / (m - 1) < frac:
-                c = r
-            else:
-                break
-        return c
-
+    kept = _kept_count
     for frac, label in (
         (train_size, "train_size"),
         (valid_size, "valid_size"),

@@ -285,3 +285,19 @@ def test_temperature_sample_invariants(spark, groups):
     kept_counts = Counter(r["grp"] for r in kept)
     smallest = [g for g, c in counts.items() if c == nmin]
     assert any(kept_counts[g] == counts[g] for g in smallest)
+
+
+@given(
+    m=st.integers(min_value=0, max_value=5000),
+    frac=st.floats(min_value=0.01, max_value=0.99, allow_nan=False),
+)
+@settings(**{k: v for k, v in SETTINGS.items() if k != "suppress_health_check"},
+          suppress_health_check=list(HealthCheck))
+def test_kept_count_matches_bruteforce(m, frac):
+    """The carve cutoff's 5-candidate boundary scan must equal the O(m)
+    brute force of the operator's float comparison for ANY (m, frac) —
+    including boundary cases where (r-1)/(m-1) rounds across frac."""
+    from end_to_end_ml_spark.operators.split import _kept_count
+
+    brute = m if m <= 1 else sum(1 for r in range(1, m + 1) if (r - 1) / (m - 1) < frac)
+    assert _kept_count(m, frac) == brute
