@@ -635,3 +635,73 @@ def stream_dedup_ingest(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_hll_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    key_col: str,
+    ts_col: str,
+    group_col: str,
+    checkpoint_dir: str,
+    p: int = 6,
+    query_name: str = "hll_ingest",
+):
+    """Streaming distinct-count maintenance via the md5-derived HLL
+    register sketch (operators/timeseries.hll_registers): each
+    micro-batch's register rows MAX-merge into a versioned store — the
+    mergeable-sketch pattern that makes streaming distinct counts O(2^p)
+    state per (day, group) at ANY cardinality, where exact distinct
+    would hold every key ever seen. Because HLL union is max-combine
+    (associative, commutative, IDEMPOTENT), the final store equals the
+    batch-built sketch over all events regardless of how the source
+    splits into micro-batches, which arrives first, or whether an epoch
+    replays — parity with the batch operator is pytest-pinned.
+
+    Store layout/versioning follows stream_upsert_snapshot (``store_path/
+    v=<epoch>``, write-next-from-previous, crash replays rewrite their
+    own version); same lifecycle contract as stream_dedup_ingest — the
+    guard refuses a fresh checkpoint against a store with versions ahead
+    of the current epoch. Synchronous drain, like the other foreachBatch
+    sinks here."""
+    import os
+
+    from ..operators.timeseries import hll_registers, hll_registers_rollup
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = _snapshot_versions(store_path)
+        ahead = [v for v in versions if v > epoch_id]
+        if ahead:
+            raise RuntimeError(
+                f"HLL register store {store_path} has versions {ahead} ahead "
+                f"of epoch {epoch_id}: the checkpoint was reset against an "
+                "existing store (checkpoint_dir and store_path must live/die "
+                "together)."
+            )
+        daily = hll_registers_rollup(
+            hll_registers(batch_df, key_col, ts_col, group_col, p=p),
+            group_col=group_col,
+        )
+        prior = [v for v in versions if v < epoch_id]
+        if prior:
+            base = spark.read.parquet(os.path.join(store_path, f"v={max(prior)}"))
+            daily = (
+                base.unionByName(daily)
+                .groupBy("day", group_col, "idx")
+                .agg(F.max("max_rho").alias("max_rho"))
+            )
+        daily.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"v={epoch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -537,3 +537,38 @@ def test_stream_dedup_ingest_refuses_fresh_checkpoint_on_old_store(spark, tmp_pa
     assert "ahead of epoch" in str(exc.value)
     # the version chain was not touched
     assert SE._snapshot_versions(store_path) == versions_before
+
+
+def test_stream_hll_ingest_matches_batch_sketch(spark, batch, tmp_path):
+    """Streaming HLL register maintenance: stream events in 3 micro-batches;
+    the final max-merged store must equal the batch-built daily register
+    sketch over ALL events (HLL union is associative + commutative +
+    idempotent, so the result is micro-batch-split independent), and
+    intermediate versions must exist (the merge ran incrementally)."""
+    from end_to_end_ml_spark.operators.timeseries import (
+        hll_registers,
+        hll_registers_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    batch.repartition(3).write.parquet(src)
+    file_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "hll")
+    SE.stream_hll_ingest(
+        stream, store, "user_id", "ts", "event_type", str(tmp_path / "ck")
+    )
+    versions = SE._snapshot_versions(store)
+    assert len(versions) >= 2, "expected multiple incremental merge epochs"
+    got = {tuple(r) for r in SE.read_latest_snapshot(spark, store).collect()}
+    want = {
+        tuple(r)
+        for r in hll_registers_rollup(
+            hll_registers(batch, "user_id", "ts", "event_type")
+        ).collect()
+    }
+    assert got == want and got
