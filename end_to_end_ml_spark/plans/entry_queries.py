@@ -6441,6 +6441,43 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 REGISTRY["s15_orc_roundtrip"] = (s15_orc_roundtrip, S15_SQL)
 
 
+def s16_csv_roundtrip(spark, sf_dir):
+    """CSV sink (S6, sources/io.write_csv — the reference's interchange
+    export, src/feature/prep_data.py save path) upgraded from test-only
+    to an oracled flow, like s15 did for ORC: write orders as CSV, read
+    back with the EXPLICIT schema (inference could legally widen types),
+    aggregate per status with decimal-exact revenue. Text roundtrip is
+    exact here by construction: bigint/short-string columns are trivially
+    textual, and Spark prints doubles round-trippable (Java
+    Double.toString), so a value drift means the sink, not the format."""
+    import tempfile
+
+    from ..sources.io import write_csv
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"s16_csv_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_csv(o, target)
+    back = spark.read.schema(o.schema).option("header", "true").csv(target)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+REGISTRY["s16_csv_roundtrip"] = (s16_csv_roundtrip, S15_SQL)
+
+
 def mm4_payload_dup_groups(spark, sf_dir):
     """Asset-level exact dedup: group binary payloads by content hash and
     report groups with >1 asset (the media twin of d1's text dedup — at
