@@ -285,7 +285,11 @@ def carve_assignment(
     — no one-partition-per-class window) + a BROADCAST of the per-class
     cutoff table (|classes| rows). The chained form re-executes up to 3
     upstream carves per leaf (~9 window passes + 4 scans); this is 1
-    pass, measured 3.6 -> ~1 s at sf0.1."""
+    pass, measured 3.6 -> ~1 s at sf0.1.
+
+    Evaluates the input plan multiple times (validation agg, per-class
+    totals, final assignment pass) — nondeterministic upstreams must be
+    persisted first; see the multi-evaluation caveat on global_ordinal."""
     kept = _kept_count
     for frac, label in (
         (train_size, "train_size"),

@@ -194,6 +194,10 @@ def hll_registers(
     v = F.conv(F.substring(h, 9, 15), 16, 10).cast("long")
     bitlen = F.length(F.conv(F.substring(h, 9, 15), 16, 2))
     rho = F.when(v == 0, F.lit(61)).otherwise(F.lit(61) - bitlen)
+    # NULL keys don't count toward a distinct estimate (COUNT(DISTINCT x)
+    # semantics); without the filter they would hash to a junk NULL
+    # register group
+    df = df.filter(F.col(key_col).isNotNull())
     return (
         df.select(
             F.date_trunc("hour", F.col(ts_col)).alias("hour"),
