@@ -458,3 +458,46 @@ def test_compact_parquet_rejects_remote_uri(spark, tmp_path):
     local = tmp_path / "t"
     spark.range(10).write.parquet(str(local))
     assert parquet_file_stats(f"file://{local}")["n_files"] >= 1
+
+
+def test_write_csv_roundtrip_adversarial_content(spark, tmp_path):
+    """The CSV sink must round-trip content that stresses the format:
+    embedded commas, double quotes, newlines, NULLs, unicode, and
+    doubles needing full precision — read back with the explicit schema
+    (default Spark CSV quoting/escaping both ways)."""
+    from end_to_end_ml_spark.sources.io import write_csv
+
+    rows = [
+        (1, "plain", 1.5),
+        (2, "comma, inside", -0.1),
+        (3, 'quote " inside', 3.141592653589793),
+        (4, "new\nline", 1e-300),
+        (5, None, None),
+        (6, "unicodé ✓ 中文", 0.1 + 0.2),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s", "x"])
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    back = (
+        spark.read.schema(df.schema)
+        .option("header", "true")
+        .option("multiLine", "true")  # embedded newlines span physical lines
+        .csv(path)
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(rows)
+    assert got == want
+
+
+def test_minhash_probe_empty_batch(spark):
+    """An empty ingest batch probes to an empty result (no job failure) —
+    the idle-tick case of the incremental near-dup pipeline."""
+    from end_to_end_ml_spark.operators.dedup import minhash_probe_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    empty = docs.filter("doc_id < 0")
+    out = minhash_probe_pairs(empty, docs, "doc_id", "text", threshold=0.5)
+    assert out.count() == 0
