@@ -575,6 +575,64 @@ def quantize_embeddings_int8(
     )
 
 
+def pairwise_cosine_histogram(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    n_bins: int = 40,
+    salt: str = "hist1",
+) -> DataFrame:
+    """Embedding-space similarity-distribution audit: cosine over a
+    DETERMINISTIC uniform pair sample, bucketed into ``n_bins``
+    equal-width bins on [-1, 1] — the diagnostic a pipeline runs BEFORE
+    tuning LSH bands / IVF n_probe / near-dup thresholds (where does the
+    corpus's similarity mass sit relative to the cut?). An all-pairs
+    histogram is O(N²); the sample reuses :func:`negative_pairs`' md5-
+    ordinal draws, so it is k·N pairs, reproducible on any engine and
+    partitioning, and the oracle regenerates the identical sample.
+
+    Exactness: cosine = same sequential double folds as sim1's oracle-
+    proven brute force (dot and norms left-to-right, correctly-rounded
+    IEEE ops → bit-identical cross-engine); bin = floor((cos+1)/2·bins)
+    clamped to the top bin for cos == 1.0. Output (bin, lo_milli,
+    n_pairs, share_ppm) — integers only.
+
+    Scale shape: negative_pairs' two ordinal joins + one narrow cosine
+    projection + a partial-agg groupBy over <= n_bins keys. Evaluates
+    the input multiple times via the ordinal machinery — see the
+    multi-evaluation caveat on global_ordinal."""
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    pairs = negative_pairs(df.select(id_col), id_col, k=k, salt=salt)
+    emb = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    joined = (
+        pairs.join(emb.withColumnRenamed("__id", "anchor_id").withColumnRenamed("__v", "__va"), "anchor_id")
+        .join(emb.withColumnRenamed("__id", "neg_id").withColumnRenamed("__v", "__vb"), "neg_id")
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    binned = joined.select(
+        F.least(
+            F.floor((cos + 1.0) / 2.0 * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    total = counts.agg(F.sum("n_pairs").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            F.expr(f"bin * 2000L div {n_bins} - 1000").alias("lo_milli"),
+            "n_pairs",
+            F.expr("n_pairs * 1000000L div __t").alias("share_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
 def negative_pairs(
     df: DataFrame, pk_col: str, k: int = 4, salt: str = "neg1"
 ) -> DataFrame:

@@ -6482,6 +6482,68 @@ def s16_csv_roundtrip(spark, sf_dir):
 REGISTRY["s16_csv_roundtrip"] = (s16_csv_roundtrip, S15_SQL)
 
 
+def emb5_cosine_histogram(spark, sf_dir):
+    """Similarity-distribution audit (similarity.pairwise_cosine_histogram):
+    cosine over emb4's md5-ordinal deterministic pair sample, bucketed
+    into 40 bins on [-1, 1] — the pre-tuning diagnostic for LSH bands /
+    IVF n_probe / near-dup thresholds. O(kN) pairs, never all-pairs; the
+    oracle regenerates the identical sample and the identical sequential
+    double folds (sim1's proven cosine convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pairwise_cosine_histogram(
+        emb, "vec_id", "embedding", k=4, n_bins=40, salt="hist1"
+    )
+
+
+EMB5_SQL = """
+WITH ords AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS ord FROM embeddings
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+cand AS (
+  SELECT e.vec_id AS anchor_id, k.k_idx,
+         ('0x' || substr(md5('hist1|' || CAST(e.vec_id AS VARCHAR) || '|' || CAST(k.k_idx AS VARCHAR)), 1, 12))::BIGINT % nn.n AS neg_ord
+  FROM embeddings e
+  CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(range(4)) AS k_idx) k
+),
+pairs AS (
+  SELECT c.anchor_id, o.vec_id AS neg_id
+  FROM cand c JOIN ords o ON c.neg_ord = o.ord
+  WHERE o.vec_id <> c.anchor_id
+),
+vn AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         (a, x) -> a + x)) AS nrm
+  FROM embeddings
+),
+cosines AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+         (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cs
+  FROM pairs p
+  JOIN vn a ON p.anchor_id = a.vec_id
+  JOIN vn b ON p.neg_id = b.vec_id
+),
+binned AS (
+  SELECT least(CAST(floor((cs + 1.0) / 2.0 * 40) AS BIGINT), 39) AS bin
+  FROM cosines
+),
+counts AS (SELECT bin, count(*) AS n_pairs FROM binned GROUP BY bin),
+tot AS (SELECT sum(n_pairs) AS t FROM counts)
+SELECT bin, bin * 2000 // 40 - 1000 AS lo_milli,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_pairs * 1000000 // tot.t AS BIGINT) AS share_ppm
+FROM counts CROSS JOIN tot
+ORDER BY bin
+"""
+
+REGISTRY["emb5_cosine_histogram"] = (emb5_cosine_histogram, EMB5_SQL)
+
+
 def mm4_payload_dup_groups(spark, sf_dir):
     """Asset-level exact dedup: group binary payloads by content hash and
     report groups with >1 asset (the media twin of d1's text dedup — at
