@@ -121,6 +121,8 @@ R7 = [
     "x16_bpe_merges",
     # incremental LSH probe (batch-vs-history near-dup maintenance)
     "pipe8_incremental_near_dup",
+    # cosine-distribution audit over the md5 pair sample
+    "emb5_cosine_histogram",
 ]
 
 

@@ -605,14 +605,26 @@ def pairwise_cosine_histogram(
     if n_bins <= 0:
         raise ValueError("n_bins must be positive")
     pairs = negative_pairs(df.select(id_col), id_col, k=k, salt=salt)
-    emb = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    joined = (
-        pairs.join(emb.withColumnRenamed("__id", "anchor_id").withColumnRenamed("__v", "__va"), "anchor_id")
-        .join(emb.withColumnRenamed("__id", "neg_id").withColumnRenamed("__v", "__vb"), "neg_id")
+    # norms once per VECTOR before the pair join (k pairs share an
+    # anchor; recomputing the norm inside the pair row repeats the
+    # O(dim) fold k+1 times per vector)
+    emb = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
     )
-    cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    a = emb.select(
+        F.col("__id").alias("anchor_id"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
+    b = emb.select(
+        F.col("__id").alias("neg_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    joined = pairs.join(a, "anchor_id").join(b, "neg_id")
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     binned = joined.select(
         F.least(
             F.floor((cos + 1.0) / 2.0 * n_bins).cast("long"),
