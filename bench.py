@@ -123,6 +123,8 @@ R7 = [
     "pipe8_incremental_near_dup",
     # cosine-distribution audit over the md5 pair sample
     "emb5_cosine_histogram",
+    # oracle-exact md5-family SimHash pairs (vs d4's xxhash64 family)
+    "d4b_simhash_md5_pairs",
 ]
 
 

@@ -531,9 +531,23 @@ def minhash_probe_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: tokens → xxhash64 → per-bit counts →
-    sign bits reassembled. One explode + one groupBy, no UDFs.
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """64-bit SimHash per document: tokens → 64-bit token hash → per-bit
+    counts → sign bits reassembled. One explode + one groupBy, no UDFs.
+
+    ``hash_family``: "xxhash64" (default — fastest, JVM-intrinsic) or
+    "md5" (engine-portable: h = first-8-hex << 32 | next-8-hex of
+    md5(token), so DuckDB rebuilds the IDENTICAL fingerprints and the
+    near-pair set gets an exact brute-force oracle — the ts7/ts4b trick
+    applied to SimHash; see d4b in entry_queries). Everything downstream
+    of the token hash (SWAR packing, majority vote, banding) is
+    family-independent.
 
     The per-bit counts are PACKED four-to-a-long in 16-bit lanes, so the
     groupBy carries bits/4 sum aggregations instead of ``bits`` (4× less
@@ -554,11 +568,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     latency PER CALL (measured: 1.7 s → 0.78 s at sf0.1 for the identical
     plan). One string parse happens JVM-side; the optimized plan, codegen,
     and results are bit-identical."""
+    if hash_family == "md5":
+        hcol = F.shiftleft(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long"))
+    elif hash_family == "xxhash64":
+        hcol = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     df = _spread(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hcol)
     n_words = bits // 4
     # word w, lane l holds count of bit i = 4w + l. Per token the 4-bit
     # nibble x = (h >> 4w) & 0xF is spread into the four 16-bit lanes with
@@ -595,7 +617,11 @@ def sum_fold_longs(cols):
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4×16-bit
     chunks (any pair within hamming<=3 shares at least one chunk exactly —
@@ -607,7 +633,7 @@ def simhash_near_pairs(
     hit ReusedExchange). The cached frame is one (id, fingerprint) long
     per document — tiny at any scale (same pattern as the MinHash path's
     ``sig.persist()``)."""
-    fps = _persist(simhash(df, id_col, text_col))
+    fps = _persist(simhash(df, id_col, text_col, hash_family=hash_family))
     chunked = fps.select(
         "id",
         "simhash",

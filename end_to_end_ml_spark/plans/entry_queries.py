@@ -6544,6 +6544,63 @@ ORDER BY bin
 REGISTRY["emb5_cosine_histogram"] = (emb5_cosine_histogram, EMB5_SQL)
 
 
+def d4b_simhash_md5_pairs(spark, sf_dir):
+    """ORACLE-EXACT SimHash near-pairs: the md5 hash family
+    (dedup.simhash hash_family="md5") makes the token hashes — and so
+    the fingerprints and the whole near-pair set — reproducible in pure
+    SQL, upgrading the SimHash family from rows-only+recall-twin (d4 /
+    d4r, xxhash64 — DuckDB has no xxhash64) to hash-exact evidence.
+    Unlike the MinHash oracle (corpus-specific equivalence argument),
+    the SimHash banding guarantee is UNCONDITIONAL pigeonhole: hamming
+    <= 3 over four disjoint 16-bit chunks forces >= 1 chunk equal, so
+    banded candidates provably cover every qualifying pair and the
+    brute-force all-pairs SQL is the oracle with no corpus assumption.
+    The oracle rebuilds fingerprints as (hi, lo) 32-bit halves — bit 63
+    via 1<<63 would overflow a signed BIGINT literal sum; the Spark
+    side's single long and the halves have identical popcount algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3, hash_family="md5"
+    )
+
+
+D4B_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+hv AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS v1,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS v2
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN b.i < 32 THEN (v2 >> b.i) & 1
+                  ELSE (v1 >> (b.i - 32)) & 1 END) AS n_set,
+         count(*) AS n_tok
+  FROM hv CROSS JOIN (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, b.i
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN i < 32 AND 2 * n_set > n_tok
+                       THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN i >= 32 AND 2 * n_set > n_tok
+                       THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+ORDER BY id_a, id_b
+"""
+
+REGISTRY["d4b_simhash_md5_pairs"] = (d4b_simhash_md5_pairs, D4B_SQL)
+
+
 def mm4_payload_dup_groups(spark, sf_dir):
     """Asset-level exact dedup: group binary payloads by content hash and
     report groups with >1 asset (the media twin of d1's text dedup — at

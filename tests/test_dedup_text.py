@@ -605,3 +605,19 @@ def test_minhash_probe_matches_full_pairs(spark, docs):
         elif b % 2 == 0 and a % 2 == 1:
             want.add((b, a, j))
     assert got == want and got  # non-vacuous: (1,2) crosses the split
+
+
+def test_simhash_md5_family_basics(spark, docs):
+    """The engine-portable md5 hash family: exact dups at hamming 0, the
+    near-dup at small hamming, unrelated docs not within 3."""
+    out = dedup.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3, hash_family="md5"
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got.get((1, 2)) == 0  # exact dup
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_simhash_rejects_unknown_family(spark, docs):
+    with pytest.raises(ValueError, match="hash_family"):
+        dedup.simhash(docs, "doc_id", "text", hash_family="sha9")
