@@ -253,7 +253,15 @@ def main() -> None:
                 force(fn(spark, SF_DIR))
                 timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
         except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # the query DID complete in pass 1 (its timing stands); a
+            # failed warm re-run must not also mark it failed — that
+            # would double-count it in both queries and errors (round-7
+            # review finding). Non-fatal: note on stderr only.
+            print(
+                f"[bench] second-pass re-run of {name} failed "
+                f"({type(exc).__name__}); keeping pass-1 timing",
+                file=sys.stderr,
+            )
         finally:
             spark.catalog.clearCache()
     # Soak probe: a long-lived driver must not degrade. Re-time the first
@@ -295,6 +303,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — diagnostics only
         print(f"[jvm-pool] unavailable: {exc}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+
+    # The r1-r6 baselines were measured WITHOUT the end-of-run warm pass,
+    # so the *_comparable_totals must use the FIRST-PASS headline numbers
+    # (slot1) or the round-over-round delta would mix a methodology
+    # change into the code-change signal (round-7 review finding). The
+    # warm-folded totals are reported separately as *_warm — the
+    # steady-state view a long-lived production driver would see.
+    def seg(names, first_pass):
+        src = {**timings, **slot1} if first_pass else timings
+        return round(sum(v for k, v in src.items() if k in names), 3)
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -304,18 +323,15 @@ def main() -> None:
         "cpus": CPUS,
         "completed": len(timings),
         "failed": len(errors),
-        # sum over the pre-round-5 18-query set, for r1-r4 comparability
-        "r4_comparable_total": round(
-            sum(v for k, v in timings.items() if k in HEADLINE), 3
-        ),
-        # sum over the round-5 25-query set, for r5 comparability
-        "r5_comparable_total": round(
-            sum(v for k, v in timings.items() if k in HEADLINE + HEAVY + R5), 3
-        ),
-        # sum over the round-6 41-query set, for r6 comparability
-        "r6_comparable_total": round(
-            sum(v for k, v in timings.items() if k in HEADLINE + HEAVY + R5 + R6), 3
-        ),
+        # sums over the pre-round-5 18 / round-5 25 / round-6 41 query
+        # sets, methodology-matched to those rounds' baselines
+        "r4_comparable_total": seg(HEADLINE, True),
+        "r5_comparable_total": seg(HEADLINE + HEAVY + R5, True),
+        "r6_comparable_total": seg(HEADLINE + HEAVY + R5 + R6, True),
+        # same sets with the warm-pass fold (not baseline-comparable)
+        "r4_comparable_warm": seg(HEADLINE, False),
+        "r5_comparable_warm": seg(HEADLINE + HEAVY + R5, False),
+        "r6_comparable_warm": seg(HEADLINE + HEAVY + R5 + R6, False),
     }
     if soak:
         out["soak"] = soak

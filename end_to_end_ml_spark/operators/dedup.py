@@ -266,6 +266,70 @@ def minhash_signatures_agg(
     )
 
 
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) band rows of a (id, sig) signature frame — THE
+    banding projection, shared by the full self-join path
+    (_band_candidates) and the incremental probe (minhash_probe_pairs):
+    the probe-equals-full-pairs guarantee requires both sides to band
+    with the identical hash (a drifted copy would silently break
+    incremental-vs-full parity — round-7 review finding)."""
+    r = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), j * r + 1, r)), j
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def _estimator_prune(
+    cands: DataFrame,
+    sig_left: DataFrame,
+    sig_right: DataFrame,
+    left_id: str,
+    right_id: str,
+    num_hashes: int,
+    threshold: float,
+    margin: float,
+) -> DataFrame:
+    """Signature-agreement estimator over candidate pairs (unbiased for
+    Jaccard): join each side's persisted signature, keep pairs whose
+    agreeing-component fraction >= threshold - margin. Shared by the
+    full and incremental paths for the same drift reason as _banded."""
+    return (
+        cands.join(
+            sig_left.select(F.col("id").alias(left_id), F.col("sig").alias("sig_a")),
+            left_id,
+        )
+        .join(
+            sig_right.select(
+                F.col("id").alias(right_id), F.col("sig").alias("sig_b")
+            ),
+            right_id,
+        )
+        .withColumn(
+            "est_sim",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda b: b,
+                )
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_sim") >= threshold - margin)
+        .select(left_id, right_id)
+    )
+
+
 def _band_candidates(
     sig: DataFrame,
     num_hashes: int,
@@ -286,21 +350,7 @@ def _band_candidates(
     (no cap) keeps candidate generation exhaustive for oracle checks; the
     cap costs one extra count-per-bucket aggregation reusing the same
     shuffle key."""
-    r = num_hashes // bands
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice(F.col("sig"), j * r + 1, r)), j
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _banded(sig, num_hashes, bands)
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("band", "bucket")
@@ -374,23 +424,8 @@ def minhash_dedup_pairs(
     )
     sig = _persist(sig)
     cands = _band_candidates(sig, num_hashes, bands)
-    est = (
-        cands.join(
-            sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
-        )
-        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
-        .withColumn(
-            "est_sim",
-            F.size(
-                F.filter(
-                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                    lambda b: b,
-                )
-            )
-            / F.lit(num_hashes),
-        )
-        .filter(F.col("est_sim") >= threshold - estimator_margin)
-        .select("id_a", "id_b")
+    est = _estimator_prune(
+        cands, sig, sig, "id_a", "id_b", num_hashes, threshold, estimator_margin
     )
     sh = _spread(df).select(
         F.col(id_col).alias("id"), hashed_shingles(text_col, shingle_size).alias("sh")
@@ -438,24 +473,6 @@ def minhash_probe_pairs(
     slice of the full pairs — pinned by
     tests/test_dedup_text.py::test_minhash_probe_matches_full_pairs."""
     assert num_hashes % bands == 0
-    r = num_hashes // bands
-
-    def banded(sig):
-        return sig.select(
-            "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda j: F.struct(
-                        j.alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", F.slice(F.col("sig"), j * r + 1, r)), j
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select("id", "bb.band", "bb.bucket")
-
     # persisted (not unpersisted here): each signature frame feeds both the
     # banding explode and the estimator join of the LAZY result — an
     # unpersist before the caller executes would silently drop the cache
@@ -473,36 +490,20 @@ def minhash_probe_pairs(
         )
     )
     cands = (
-        banded(sig_new)
+        _banded(sig_new, num_hashes, bands)
         .select(F.col("id").alias("new_id"), "band", "bucket")
         .join(
-            banded(sig_hist).select(F.col("id").alias("hist_id"), "band", "bucket"),
+            _banded(sig_hist, num_hashes, bands).select(
+                F.col("id").alias("hist_id"), "band", "bucket"
+            ),
             on=["band", "bucket"],
         )
         .select("new_id", "hist_id")
         .distinct()
     )
-    est = (
-        cands.join(
-            sig_new.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_a")),
-            "new_id",
-        )
-        .join(
-            sig_hist.select(F.col("id").alias("hist_id"), F.col("sig").alias("sig_b")),
-            "hist_id",
-        )
-        .withColumn(
-            "est_sim",
-            F.size(
-                F.filter(
-                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                    lambda b: b,
-                )
-            )
-            / F.lit(num_hashes),
-        )
-        .filter(F.col("est_sim") >= threshold - estimator_margin)
-        .select("new_id", "hist_id")
+    est = _estimator_prune(
+        cands, sig_new, sig_hist, "new_id", "hist_id",
+        num_hashes, threshold, estimator_margin,
     )
     sh_new = _spread(new_df).select(
         F.col(id_col).alias("new_id"),

@@ -72,6 +72,34 @@ def _validate_stratify(df: DataFrame, class_col: str, train_size: float) -> None
         raise ValueError(f"need >=2 classes in {class_col!r}, found {stats['k']}")
 
 
+def _bucketed_rank(df: DataFrame, class_col: str, pk_col: str):
+    """The SHARED per-class bucketed rank: hash key -> high-bit bucket
+    (order-preserving, ~15k buckets) -> row_number within (class, bucket)
+    -> per-bucket offsets from the tiny count frame. Global per-class
+    rank of a row = __off + __r_in. stratified_split_column and
+    carve_assignment both consume THIS helper — their fused-equals-
+    chained row-identity guarantee requires one rank implementation,
+    not two copies that could drift (round-7 review finding).
+
+    Returns (ranked rows with __k/__b/__r_in, counts (class,__b,__cnt),
+    offsets (class,__b,__off))."""
+    keyed = df.withColumn("__k", deterministic_key(pk_col)).withColumn(
+        "__b", F.shiftright(F.col("__k"), 16)
+    )
+    w_in = Window.partitionBy(class_col, "__b").orderBy("__k", pk_col)
+    ranked = keyed.withColumn("__r_in", F.row_number().over(w_in))
+    counts = ranked.groupBy(class_col, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(class_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).select(class_col, "__b", "__cnt", "__off")
+    return ranked, counts, offsets
+
+
 def stratified_split_column(
     df: DataFrame,
     class_col: str,
@@ -93,24 +121,10 @@ def stratified_split_column(
     identical to the former single-window percent_rank (the PK tie-break
     makes rank ≡ row_number)."""
     _validate_stratify(df, class_col, train_size)
-    keyed = df.withColumn("__k", deterministic_key(pk_col)).withColumn(
-        "__b", F.shiftright(F.col("__k"), 16)
-    )
-    w_in = Window.partitionBy(class_col, "__b").orderBy("__k", pk_col)
-    ranked = keyed.withColumn("__r_in", F.row_number().over(w_in))
-    counts = ranked.groupBy(class_col, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = (
-        Window.partitionBy(class_col)
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    meta = (
-        counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
-        .join(
-            counts.groupBy(class_col).agg(F.sum("__cnt").alias("__n")), class_col
-        )
-        .select(class_col, "__b", "__off", "__n")
-    )
+    ranked, counts, offsets = _bucketed_rank(df, class_col, pk_col)
+    meta = offsets.join(
+        counts.groupBy(class_col).agg(F.sum("__cnt").alias("__n")), class_col
+    ).select(class_col, "__b", "__off", "__n")
     out = ranked.join(meta, on=[class_col, "__b"])
     pr = F.when(
         F.col("__n") > 1,
@@ -300,25 +314,25 @@ def carve_assignment(
             raise ValueError(f"{label} must be in (0, 1), got {frac}")
     _validate_stratify(df, class_col, train_size)
 
-    keyed = df.withColumn("__k", deterministic_key(pk_col)).withColumn(
-        "__b", F.shiftright(F.col("__k"), 16)
-    )
-    w_in = Window.partitionBy(class_col, "__b").orderBy("__k", pk_col)
-    ranked = keyed.withColumn("__r_in", F.row_number().over(w_in))
-    counts = ranked.groupBy(class_col, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = (
-        Window.partitionBy(class_col)
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.withColumn(
-        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-    ).select(class_col, "__b", "__off")
-    # bounded driver fold: one row per class
-    totals = {
-        r[class_col]: r["__n"]
-        for r in ranked.groupBy(class_col).agg(F.count(F.lit(1)).alias("__n")).collect()
-    }
+    ranked, counts, _offsets = _bucketed_rank(df, class_col, pk_col)
+    # ONE bounded driver fold: collect the (class x bucket) COUNT frame
+    # (<= |classes| * ~15k rows) and derive BOTH the per-class totals and
+    # the per-bucket offsets from it in Python. Collecting totals with a
+    # separate aggregation — and joining the lazily-derived offsets frame
+    # — would each rescan the fact table (the offsets branch re-executed
+    # inside the final job; round-7 review finding): this way the final
+    # assignment plan scans df exactly once and joins two small
+    # createDataFrame broadcasts.
+    count_rows = counts.collect()
+    totals: dict = {}
+    for r in count_rows:
+        totals[r[class_col]] = totals.get(r[class_col], 0) + r["__cnt"]
+    off_rows = []
+    by_class: dict = {}
+    for r in sorted(count_rows, key=lambda r: (str(r[class_col]), r["__b"])):
+        off = by_class.get(r[class_col], 0)
+        off_rows.append((r[class_col], r["__b"], off))
+        by_class[r[class_col]] = off + r["__cnt"]
     cut_rows = []
     for cls, n in totals.items():
         c1 = kept(n, train_size)
@@ -326,6 +340,7 @@ def carve_assignment(
         c3 = kept(c2, calib_size)
         cut_rows.append((cls, c1, c2, c3))
     spark = df.sparkSession
+    offsets = spark.createDataFrame(off_rows, [class_col, "__b", "__off"])
     cuts = spark.createDataFrame(cut_rows, [class_col, "__c1", "__c2", "__c3"])
     rank = F.col("__off") + F.col("__r_in")
     subset = (

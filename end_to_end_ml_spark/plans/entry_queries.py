@@ -6824,6 +6824,7 @@ WITH h AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
          md5(CAST(user_id AS VARCHAR)) AS hx
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 v AS (
   SELECT day, event_type,

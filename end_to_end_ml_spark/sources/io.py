@@ -454,14 +454,21 @@ def parquet_file_stats(path: str) -> dict:
     import os
     import re
 
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path) and not path.startswith(
-        "file://"
-    ):
-        raise ValueError(
-            f"parquet_file_stats/compact_parquet size via the local "
-            f"filesystem; got non-local path {path!r}"
-        )
-    path = path.removeprefix("file://")
+    # Any scheme-prefixed form is parsed, not just '://' (Hadoop accepts
+    # the single-slash 'file:/x' too — the round-7 review caught that it
+    # slipped past the first guard and silently walked nothing). file
+    # URIs resolve to their path component; anything else — including a
+    # file URI with a non-local host — is rejected loudly.
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+        from urllib.parse import urlparse
+
+        parsed = urlparse(path)
+        if parsed.scheme != "file" or parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"parquet_file_stats/compact_parquet size via the local "
+                f"filesystem; got non-local path {path!r}"
+            )
+        path = parsed.path
 
     sizes = []
     for root, _dirs, files in os.walk(path):

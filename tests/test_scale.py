@@ -454,10 +454,14 @@ def test_compact_parquet_rejects_remote_uri(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-local path"):
         parquet_file_stats("s3://bucket/table")
-    # file:// is local — stripped, not rejected
+    with pytest.raises(ValueError, match="non-local path"):
+        parquet_file_stats("file://remotehost/tmp/t")  # non-local file URI
+    # local file URIs resolve — both slash forms Hadoop accepts
     local = tmp_path / "t"
     spark.range(10).write.parquet(str(local))
     assert parquet_file_stats(f"file://{local}")["n_files"] >= 1
+    assert parquet_file_stats(f"file:{local}")["n_files"] >= 1  # single-slash
+    assert parquet_file_stats(f"file://localhost{local}")["n_files"] >= 1
 
 
 def test_write_csv_roundtrip_adversarial_content(spark, tmp_path):
