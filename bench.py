@@ -177,6 +177,21 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for t in ("lineitem", "orders", "customer", "events"):
         load_table(spark, SF_DIR, t).count()
+    # One untimed warm lap over the HEADLINE segment (round-7 verdict #5):
+    # HEADLINE runs first, so its slot-1 min-of-5 was paying the session's
+    # initial C2-compilation slope that every later segment gets for free
+    # (driver r7: headline 10.07 s vs 9.5 s solo). One end-to-end execution
+    # per headline query compiles the hot plans before any timing starts —
+    # the same session state a production driver reaches after its first
+    # request. Disclosed in the JSON "methodology" field: r1-r6 baselines
+    # did not have this lap.
+    for name in HEADLINE:
+        try:
+            force(REGISTRY[name][0](spark, SF_DIR))
+        except Exception:  # noqa: BLE001 — the timed loop reports failures
+            pass
+        finally:
+            spark.catalog.clearCache()
 
     # Failure-isolated: one broken query records an error entry and the run
     # keeps going — a bench that can't produce partial results under a single
@@ -332,6 +347,22 @@ def main() -> None:
         "r4_comparable_warm": seg(HEADLINE, False),
         "r5_comparable_warm": seg(HEADLINE + HEAVY + R5, False),
         "r6_comparable_warm": seg(HEADLINE + HEAVY + R5 + R6, False),
+        # Honest-comparison disclosure (round-7 ADVICE): the session conf
+        # and warm-up methodology have CHANGED since the rounds the
+        # *_comparable_totals are named after, so those deltas mix harness
+        # changes into the code-change signal. Changes: round 7 re-tuned
+        # small-SF parallelism (maxPartitionBytes 8m->256k, openCostInBytes
+        # 1m->64k, AQE advisory 64m->256k); round 8 added one untimed
+        # HEADLINE warm lap before timing (slot-1 JIT pinning).
+        "methodology": {
+            "conf_changed_in_round": 7,
+            "small_sf_conf": {
+                "spark.sql.files.maxPartitionBytes": "256k",
+                "spark.sql.files.openCostInBytes": "64k",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+            },
+            "headline_warm_lap_since_round": 8,
+        },
     }
     if soak:
         out["soak"] = soak

@@ -631,7 +631,16 @@ def pairwise_cosine_histogram(
             F.lit(n_bins - 1),
         ).alias("bin")
     )
-    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    # counts is <= n_bins rows but its lineage is the whole O(kN) pair
+    # join; the share_ppm select consumes it TWICE (once directly, once
+    # through `total`), so cut the lineage here — localCheckpoint
+    # materializes the tiny frame eagerly and both consumers read the
+    # checkpointed rows instead of re-running negative_pairs + cosine.
+    counts = (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("n_pairs").alias("__t"))
     return (
         counts.crossJoin(F.broadcast(total))

@@ -458,8 +458,10 @@ def parquet_file_stats(path: str) -> dict:
     # the single-slash 'file:/x' too — the round-7 review caught that it
     # slipped past the first guard and silently walked nothing). file
     # URIs resolve to their path component; anything else — including a
-    # file URI with a non-local host — is rejected loudly.
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+    # file URI with a non-local host — is rejected loudly. A path that
+    # EXISTS locally is local even if its first segment contains a colon
+    # ('data:v2/table' is a legal directory name, not a URI).
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path) and not os.path.exists(path):
         from urllib.parse import urlparse
 
         parsed = urlparse(path)

@@ -9,3 +9,27 @@ from end_to_end_ml_spark.session import get_spark
 def spark():
     s = get_spark("tests", master="local[4]", shuffle_partitions=4)
     yield s
+
+
+# Skip budget (round-7 verdict #7): exactly two env-gated skips are
+# expected in this sandbox — the protobuf-gated transformWithStateInPandas
+# equivalence test and the optional-lib gate. A green run with MORE skips
+# means some suite silently stopped executing; fail the session loudly
+# instead of letting it hide inside "N passed, M skipped".
+SKIP_BUDGET = 2
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_sessionfinish(session, exitstatus):
+    reporter = session.config.pluginmanager.get_plugin("terminalreporter")
+    if reporter is None:
+        return
+    skipped = reporter.stats.get("skipped", [])
+    if len(skipped) > SKIP_BUDGET:
+        names = [getattr(r, "nodeid", "?") for r in skipped]
+        reporter.write_line(
+            f"SKIP BUDGET EXCEEDED: {len(skipped)} skips > budget {SKIP_BUDGET}: "
+            + ", ".join(names),
+            red=True,
+        )
+        session.exitstatus = 1

@@ -607,6 +607,38 @@ def test_minhash_probe_matches_full_pairs(spark, docs):
     assert got == want and got  # non-vacuous: (1,2) crosses the split
 
 
+def test_minhash_probe_with_prebuilt_index(spark, docs):
+    """The maintenance-loop contract (round-7 verdict #4): an index built
+    ONCE serves multiple probe batches with results identical to the
+    per-call recompute path, the only per-call cache is the batch
+    signature, and unpersist() releases the index frames."""
+    hist = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.minhash_build_index(hist, "doc_id", "text")
+    for mod in (0, 2):  # two ingest batches against the same index
+        batch = docs.filter(F.col("doc_id") % 4 == mod)
+        via_index = dedup.minhash_probe_pairs(
+            batch, hist, "doc_id", "text", threshold=0.5, index=idx
+        ).collect()
+        recompute = dedup.minhash_probe_pairs(
+            batch, hist, "doc_id", "text", threshold=0.5
+        ).collect()
+        assert via_index == recompute
+    idx.unpersist()
+    idx.unpersist()  # idempotent
+
+
+def test_minhash_probe_index_param_mismatch(spark, docs):
+    hist = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.minhash_build_index(hist, "doc_id", "text", bands=16)
+    try:
+        with pytest.raises(ValueError, match="different LSH parameters"):
+            dedup.minhash_probe_pairs(
+                docs, hist, "doc_id", "text", bands=8, index=idx
+            )
+    finally:
+        idx.unpersist()
+
+
 def test_simhash_md5_family_basics(spark, docs):
     """The engine-portable md5 hash family: exact dups at hamming 0, the
     near-dup at small hamming, unrelated docs not within 3."""

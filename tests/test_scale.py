@@ -462,6 +462,18 @@ def test_compact_parquet_rejects_remote_uri(spark, tmp_path):
     assert parquet_file_stats(f"file://{local}")["n_files"] >= 1
     assert parquet_file_stats(f"file:{local}")["n_files"] >= 1  # single-slash
     assert parquet_file_stats(f"file://localhost{local}")["n_files"] >= 1
+    # a legal local directory whose first segment contains a colon is NOT
+    # a URI (round-7 ADVICE: 'data:v2/table' was rejected as remote)
+    colon = tmp_path / "data:v2" / "t"
+    spark.range(5).write.parquet(str(colon))
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert parquet_file_stats("data:v2/t")["n_files"] >= 1
+    finally:
+        os.chdir(cwd)
 
 
 def test_write_csv_roundtrip_adversarial_content(spark, tmp_path):
