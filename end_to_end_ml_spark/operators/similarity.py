@@ -435,6 +435,196 @@ def ivf_topk(
     )
 
 
+class IvfIndex:
+    """Persisted history-side IVF index for :func:`ivf_probe_pairs` — the
+    embedding twin of dedup.MinHashIndex (round-7 verdict #6): build once
+    per corpus epoch, probe every ingest batch against it, ``unpersist()``
+    on epoch roll. Holds the persisted (cell, nid, nvec) assignments plus
+    the tiny driver-side centroid matrix and per-cell angular radii
+    (max angle between a member and its centroid — the exact-pruning
+    bound)."""
+
+    def __init__(self, cells: DataFrame, centroids, radii, owned: bool) -> None:
+        self.cells = cells
+        self.centroids = centroids
+        self.radii = radii
+        self._owned = owned
+
+    def unpersist(self) -> None:
+        if self._owned:
+            self.cells.unpersist()
+        self._owned = False
+
+
+def ivf_build_index(
+    hist_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample_mod: int = 1,
+) -> IvfIndex:
+    """Build the persisted IVF index over the HISTORY corpus: deterministic
+    Lloyd centroids from a sorted id-mod sample (sim3's quantizer), Arrow-
+    batched cell assignment executor-side, one ≤ n_centroids-row aggregate
+    for the per-cell angular radii. Only the sample and the radii rows
+    touch the driver; the assignments stay distributed and persisted."""
+    import numpy as np
+    import pandas as pd
+
+    spark = hist_df.sparkSession
+    sample = (
+        hist_df.select(F.col(id_col), F.col(vec_col))
+        .filter((F.col(id_col) % sample_mod) == 0)
+        .orderBy(id_col)
+        .collect()
+    )
+    cent = _lloyd_centroids(
+        [list(r[1]) for r in sample], min(n_centroids, len(sample))
+    )
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def assign_with_angle(batches):
+        c = bc_cent.value
+        cn = np.sqrt((c * c).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nvec"]])
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cell = d.argmin(axis=1)
+            xn = np.sqrt((x * x).sum(axis=1))
+            cos = (x * c[cell]).sum(axis=1) / (xn * cn[cell])
+            yield pd.DataFrame(
+                {
+                    "cell": cell.astype(np.int32),
+                    "nid": pdf["nid"].to_numpy(dtype=np.int64),
+                    "nvec": pdf["nvec"],
+                    "ang": np.arccos(np.clip(cos, -1.0, 1.0)),
+                }
+            )
+
+    assigned = _spread(
+        hist_df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    ).mapInPandas(
+        assign_with_angle, "cell int, nid long, nvec array<float>, ang double"
+    )
+    # persist the ASSIGNED frame itself (not a projection of it) so the
+    # radii aggregate and every later probe join read the same cached
+    # blocks instead of re-running the assignment mapInPandas
+    assigned = assigned.persist()
+    radii_rows = assigned.groupBy("cell").agg(F.max("ang").alias("r")).collect()
+    # keep the persisted frame itself as `cells` (the ang column rides
+    # along unused) so unpersist() targets the cached plan directly
+    cells = assigned
+    radii = np.zeros(len(cent))
+    for row in radii_rows:
+        radii[row["cell"]] = row["r"]
+    return IvfIndex(cells, cent, radii, owned=True)
+
+
+def _probe_candidate_cells(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index: IvfIndex,
+    threshold: float,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """(cell, qid, qvec) candidate rows under EXACT angular triangle-
+    inequality pruning: cell c is a candidate for query q unless
+    angle(q, centroid_c) − radius_c > arccos(threshold) + eps. Angular
+    distance is a metric on the unit sphere, so any history vector p in
+    cell c satisfies angle(q, p) ≥ angle(q, centroid_c) − radius_c; a
+    pruned cell therefore provably contains NO vector with
+    cos(q, p) ≥ threshold (up to the eps float slack) — the pruning is
+    unconditionally lossless, unlike fixed n_probe cell selection."""
+    import numpy as np
+    import pandas as pd
+
+    spark = new_df.sparkSession
+    thr_ang = math.acos(max(-1.0, min(1.0, threshold)))
+    bc = spark.sparkContext.broadcast((index.centroids, index.radii))
+
+    def probe(batches):
+        c, rad = bc.value
+        cn = np.sqrt((c * c).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
+            xn = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ c.T) / np.outer(xn, cn)
+            ang = np.arccos(np.clip(cos, -1.0, 1.0))
+            keep = ang - rad[None, :] <= thr_ang + eps
+            qi, cj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "cell": cj.astype(np.int32),
+                    "qid": pdf["qid"].to_numpy(dtype=np.int64)[qi],
+                    "qvec": pdf["qvec"].to_numpy()[qi],
+                }
+            )
+
+    return _spread(
+        new_df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    ).mapInPandas(probe, "cell int, qid long, qvec array<float>")
+
+
+def ivf_probe_pairs(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    hist_df: DataFrame | None = None,
+    index: IvfIndex | None = None,
+    n_centroids: int = 16,
+    sample_mod: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental ANN maintenance — the embedding twin of
+    dedup.minhash_probe_pairs (round-7 verdict #6): a new ingest batch
+    probes a persisted IVF index over the HISTORY corpus for all pairs
+    with cosine ≥ threshold, EXACTLY. Candidates are batch × members of
+    non-prunable cells (see :func:`_probe_candidate_cells` — angular
+    triangle-inequality pruning, lossless by the metric property rather
+    than by a corpus-specific recall argument), then the exact JVM-fold
+    cosine verifies each candidate; the brute-force cross-split SQL is
+    therefore an unconditional oracle. History×history pairs are never
+    generated; per-batch cost is |batch| × (members of candidate cells).
+
+    Pruning effectiveness is data-dependent: on the synthetic test
+    embeddings (near-uniform directions, cell radii ≈ 1.3-1.45 rad) no
+    cell is prunable at τ=0.4 and the probe degenerates to the exact
+    cross join — still correct, same cost as d5's verification path. On
+    a clusterable corpus (radius r cells) every cell at angle >
+    arccos(τ) + r is skipped — the planted-cluster pytest pins both the
+    exactness and that pruning actually engages. Zero-norm vectors are
+    not supported (cosine undefined).
+
+    Pass ``index=`` (from :func:`ivf_build_index`) in a maintenance loop
+    so the only per-call work is the batch probe; without it the index is
+    built from ``hist_df`` per call (self-contained query form)."""
+    if index is None:
+        if hist_df is None:
+            raise ValueError("ivf_probe_pairs needs hist_df or index")
+        index = ivf_build_index(hist_df, id_col, vec_col, n_centroids, sample_mod)
+    cand = _probe_candidate_cells(new_df, id_col, vec_col, index, threshold)
+    joined = cand.join(index.cells, "cell")
+    cos = F.round(
+        _dot(F.col("qvec"), F.col("nvec")) / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+        round_digits,
+    )
+    return (
+        joined.select(
+            F.col("qid").alias("new_id"),
+            F.col("nid").alias("hist_id"),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("new_id", "hist_id")
+    )
+
+
 def _rp_signs(dim: int, n_out: int, seed: int = 13) -> list[list[int]]:
     """Deterministic ±1 sign matrix for random projection, derived from md5
     so any engine (or the DuckDB oracle) can regenerate it: sign(j, i) =

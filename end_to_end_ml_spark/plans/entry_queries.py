@@ -4845,6 +4845,34 @@ def x16_bpe_merges(spark, sf_dir):
 REGISTRY["x16_bpe_merges"] = (x16_bpe_merges, None)
 
 
+def x16b_bpe_batched(spark, sf_dir):
+    """Production-merge-count BPE training (round-7 verdict #3): train to
+    the corpus's FULL merge closure (min_pair_freq=1, the vocab-size-
+    target regime real tokenizers train in; cap 256) via
+    text.bpe_train_batched — per round count pairs once, greedily select
+    up to 32 SYMBOL-DISJOINT pairs (freq DESC, left, right), apply all in
+    one map-lookup fold. Disjointness makes each batch exactly a valid
+    greedy-BPE schedule prefix; the 1-merge-per-round x16 stays as the
+    classic twin (now the k=1 call of the same implementation, so parity
+    rests on ONE code path). Measured at sf0.1: the synthetic corpus's
+    closure is 90 merges — batched = 4 rounds / 3.8 s vs classic
+    89 rounds / 21.7 s (5.7× wall, 22× fewer Spark jobs; at a 32k-merge
+    production vocab with k=256 the round reduction is ~100×). Iterative
+    argmax loop — not SQL-expressible; rows-only entry, python-reference
+    parity pytest at k>1 covers the algorithm (test_dedup_text
+    TestBpeTrain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train_batched(
+        docs, "text", n_merges=256, merges_per_round=32, min_pair_freq=1
+    )
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING, pair_freq BIGINT"
+    ).orderBy("rank")
+
+
+REGISTRY["x16b_bpe_batched"] = (x16b_bpe_batched, None)
+
+
 def a17_corr_components(spark, sf_dir):
     """Exact Pearson-correlation COMPONENTS for (quantity, discount) vs
     extendedprice over lineitem — n, Σx, Σy, Σxy, Σx², Σy² over
@@ -6877,6 +6905,50 @@ ORDER BY new_id, hist_id
 """
 
 REGISTRY["pipe8_incremental_near_dup"] = (pipe8_incremental_near_dup, PIPE8_SQL)
+
+
+def pipe9_incremental_ann(spark, sf_dir):
+    """Incremental ANN maintenance (round-7 verdict #6) — the embedding
+    twin of pipe8: the new ingest batch (vec_id%4==0) probes a persisted
+    IVF index over the history corpus (similarity.ivf_probe_pairs) for
+    all cosine ≥ 0.4 pairs. Candidate cells come from EXACT angular
+    triangle-inequality pruning (angle(q, centroid) − cell radius >
+    arccos τ ⇒ cell provably empty of matches — the metric property, not
+    a corpus-specific recall argument), exact JVM-fold cosine verifies,
+    so the brute-force cross-split SQL is an UNCONDITIONAL oracle. The
+    near-dup family now has incremental paths at all three levels: exact
+    (pipe6), MinHash (pipe8), embedding (pipe9). On this near-uniform
+    synthetic corpus no cell is prunable at τ=0.4 (cell radii ≈ 1.4 rad)
+    and the probe degenerates to the exact cross join; the planted-
+    cluster pytest proves pruning engages when geometry allows."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    hist = emb.filter(F.col("vec_id") % 4 != 0)
+    return similarity.ivf_probe_pairs(
+        batch, "vec_id", "embedding", threshold=0.4, hist_df=hist
+    )
+
+
+PIPE9_SQL = """
+WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (x, y) -> x + y)) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS new_id, b.vec_id AS hist_id,
+    round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM n a JOIN n b ON a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0
+)
+SELECT new_id, hist_id, cosine_sim FROM pairs WHERE cosine_sim >= 0.4
+ORDER BY new_id, hist_id
+"""
+
+REGISTRY["pipe9_incremental_ann"] = (pipe9_incremental_ann, PIPE9_SQL)
 
 
 # ---------------------------------------------------------------------------

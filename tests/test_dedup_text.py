@@ -494,6 +494,84 @@ class TestBpeTrain:
         got = text.bpe_train(df, "text", n_merges=5, min_pair_freq=2)
         assert got == []  # every pair occurs once
 
+    def _reference_bpe_batched(self, corpus, n_merges, k, min_pair_freq=2):
+        """Python reference of the BATCHED trainer: per round count pairs
+        once, greedily select up to k symbol-disjoint pairs in
+        (freq DESC, l, r) order, apply all simultaneously LTR."""
+        from collections import Counter
+
+        words = Counter()
+        for t in corpus:
+            for w in t.split():
+                if w:
+                    words[w] += 1
+        vocab = {w: list(w) for w in words}
+        merges = []
+        while len(merges) < n_merges:
+            want = min(k, n_merges - len(merges))
+            pf = Counter()
+            for w, f in words.items():
+                sym = vocab[w]
+                for i in range(len(sym) - 1):
+                    pf[(sym[i], sym[i + 1])] += f
+            used, picked = set(), []
+            for (l, r), f in sorted(
+                pf.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            ):
+                if f < min_pair_freq:
+                    break
+                if l in used or r in used or (l + r) in used:
+                    continue
+                picked.append((l, r, f))
+                used.update((l, r, l + r))
+                if len(picked) >= want:
+                    break
+            if not picked:
+                break
+            for l, r, f in picked:
+                merges.append((len(merges), l, r, l + r, f))
+            rules = {(l, r): l + r for l, r, _ in picked}
+            for w in vocab:
+                sym, out, i = vocab[w], [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and (sym[i], sym[i + 1]) in rules:
+                        out.append(rules[(sym[i], sym[i + 1])])
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    def test_batched_matches_reference(self, spark):
+        corpus = [
+            "low lower lowest low low",
+            "new newer newest new newer",
+            "wider wide wide widest",
+            "low new wide lower",
+            "the then there these the the then",
+        ]
+        df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+        for k in (3, 8):
+            got = text.bpe_train_batched(
+                df, "text", n_merges=12, merges_per_round=k
+            )
+            assert got == self._reference_bpe_batched(corpus, 12, k)
+            assert len(got) == 12
+
+    def test_batched_k1_equals_sequential(self, spark):
+        """k=1 batched IS the classic algorithm (bpe_train delegates)."""
+        corpus = ["low lower lowest low low", "new newer newest new newer"]
+        df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+        assert text.bpe_train_batched(
+            df, "text", n_merges=6, merges_per_round=1
+        ) == self._reference_bpe(corpus, 6)
+
+    def test_batched_rejects_nonpositive_k(self, spark):
+        df = spark.createDataFrame([("a b",)], ["text"])
+        with pytest.raises(ValueError, match="merges_per_round"):
+            text.bpe_train_batched(df, "text", merges_per_round=0)
+
 
 class TestBM25:
     def test_components_exact(self, spark):

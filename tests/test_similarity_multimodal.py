@@ -123,6 +123,88 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark, vecs):
     assert (1, 2) in approx  # near-identical vectors always share a bucket
 
 
+def _planted_clusters(spark, n_clusters=4, per_cluster=16, dim=8):
+    """Deterministic tight clusters: one base axis direction per cluster
+    plus a tiny deterministic perturbation — cell radii are small, so the
+    angular triangle-inequality pruning has room to act."""
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for i in range(per_cluster):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 1) % dim] = 0.01 * ((i % 5) + 1)  # tiny in-cluster spread
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestIvfProbePairs:
+    def _brute(self, df, threshold):
+        """Cross-split brute-force reference via the exact d5 kernel."""
+        from end_to_end_ml_spark.operators import dedup
+
+        pairs = dedup.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=threshold
+        ).collect()
+        out = set()
+        for r in pairs:
+            a, b, c = r["id_a"], r["id_b"], r["cosine_sim"]
+            if a % 4 == 0 and b % 4 != 0:
+                out.add((a, b, c))
+            elif b % 4 == 0 and a % 4 != 0:
+                out.add((b, a, c))
+        return out
+
+    def test_exact_on_planted_clusters_and_pruning_engages(self, spark):
+        df = _planted_clusters(spark)
+        batch = df.filter(F.col("vec_id") % 4 == 0)
+        hist = df.filter(F.col("vec_id") % 4 != 0)
+        idx = similarity.ivf_build_index(
+            hist, "vec_id", "embedding", n_centroids=8
+        )
+        try:
+            got = {
+                (r["new_id"], r["hist_id"], r["cosine_sim"])
+                for r in similarity.ivf_probe_pairs(
+                    batch, "vec_id", "embedding", threshold=0.9, index=idx
+                ).collect()
+            }
+            assert got == self._brute(df, 0.9) and got
+            # pruning must actually engage on tight clusters: candidate
+            # (cell, query) rows < queries × cells means cells were skipped
+            cand = similarity._probe_candidate_cells(
+                batch, "vec_id", "embedding", idx, 0.9
+            )
+            n_q = batch.count()
+            n_cells = idx.cells.select("cell").distinct().count()
+            assert cand.count() < n_q * n_cells
+        finally:
+            idx.unpersist()
+            idx.unpersist()  # idempotent
+
+    def test_index_path_equals_selfcontained(self, spark):
+        df = _planted_clusters(spark)
+        batch = df.filter(F.col("vec_id") % 4 == 0)
+        hist = df.filter(F.col("vec_id") % 4 != 0)
+        idx = similarity.ivf_build_index(hist, "vec_id", "embedding", n_centroids=8)
+        try:
+            a = similarity.ivf_probe_pairs(
+                batch, "vec_id", "embedding", threshold=0.9, index=idx
+            ).collect()
+            b = similarity.ivf_probe_pairs(
+                batch, "vec_id", "embedding", threshold=0.9, hist_df=hist,
+                n_centroids=8,
+            ).collect()
+            assert a == b
+        finally:
+            idx.unpersist()
+
+    def test_requires_hist_or_index(self, spark, vecs):
+        with pytest.raises(ValueError, match="hist_df or index"):
+            similarity.ivf_probe_pairs(vecs, "vec_id", "embedding")
+
+
 def test_ivf_topk_high_recall_vs_bruteforce(spark):
     """IVF with generous probes on a small set should recover most exact
     neighbors; structure checks: no self matches, k per query."""
