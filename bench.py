@@ -127,6 +127,20 @@ R7 = [
     "d4b_simhash_md5_pairs",
 ]
 
+# Round-8 additions (r7 verdict #3/#6 "done" criteria demand bench rows):
+# the batched BPE trainer at the production-merge-count regime (full
+# corpus closure, 90 merges at sf0.1, k=32 disjoint merges/round — the
+# row that proves the multi-round trainer scales past the 8-merge demo),
+# and the incremental ANN probe (batch-vs-persisted-IVF-index cosine
+# maintenance — the embedding twin of pipe8). Counted in the total only.
+R8 = [
+    "x16b_bpe_batched",
+    "pipe9_incremental_ann",
+    # Arrow-batched memoized tokenizer application (train 40 sub-word
+    # merges, encode the whole corpus via mapInPandas + Zipf word cache)
+    "x18b_bpe_encode_batched",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -208,6 +222,7 @@ def main() -> None:
         + [(n, 4) for n in R5]
         + [(n, 4) for n in R6]
         + [(n, 4) for n in R7]
+        + [(n, 4) for n in R8]
     ):
         # d4's ~2000-node generated aggregate needs the most C2 warm-up of
         # any plan; in a warm session (17 queries already run) its reps

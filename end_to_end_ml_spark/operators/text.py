@@ -903,3 +903,94 @@ def bpe_encode(
     return df.withColumn(out_col, toks).withColumn(
         f"n_{out_col}", F.size(F.col(out_col)).cast("long")
     )
+
+
+def bpe_encode_batched(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, str, int]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Production-scale BPE tokenization: the Arrow-batched pandas path
+    :func:`bpe_encode`'s docstring defers to for real vocab sizes. The
+    expression form replays every merge as a nested JVM fold, so its plan
+    depth grows with the merge count and codegen falls back to interpreted
+    evaluation past a few dozen merges; here each task instead encodes with
+    a plain python loop over a broadcast merge table, with a PER-BATCH WORD
+    MEMO CACHE — natural text is Zipf-distributed, so after the first few
+    thousand words almost every lookup is a dict hit and the per-word merge
+    replay amortizes to O(1). This is the standard tokenizer-application
+    shape (word-level caching over a fixed merge table).
+
+    100 TB story: zero shuffle — a narrow mapInPandas over the scan,
+    embarrassingly parallel across any number of executors; the merge
+    table (even a 32k-merge production vocab, ~1 MB) ships once per task
+    via the closure; cache memory is bounded by per-partition distinct
+    words. Contrast with the distinct-word-join alternative (encode each
+    word once globally): that costs two shuffles and a corpus-wide join —
+    strictly worse when the Zipf cache hit-rate is high, which for natural
+    language it always is.
+
+    Row-identical to :func:`bpe_encode` (same split/trim/len>0 word rule,
+    same greedy-LTR fold-with-last per word, same output columns) —
+    pinned by the parity pytest in tests/test_dedup_text.py."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rules = [(l, r, m) for _rank, l, r, m, _pf in sorted(merges, key=lambda x: x[0])]
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField(out_col, ArrayType(StringType())),
+            StructField(f"n_{out_col}", LongType()),
+        ]
+    )
+
+    def _encode(batches):
+        import re
+
+        ws = re.compile(r"\s+")
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            toks = cache.get(w)
+            if toks is None:
+                sym = list(w)
+                for left, right, merged in rules:
+                    acc: list[str] = []
+                    for s in sym:
+                        if acc and acc[-1] == left and s == right:
+                            acc[-1] = merged
+                        else:
+                            acc.append(s)
+                    sym = acc
+                cache[w] = toks = sym
+            return toks
+
+        for pdf in batches:
+            toks_col: list = []
+            n_col: list = []
+            for t in pdf[text_col]:
+                if t is None:
+                    # parity with the expression form: split(NULL) -> NULL
+                    toks_col.append(None)
+                    n_col.append(None)
+                    continue
+                out: list[str] = []
+                for w in ws.split(t.strip()):
+                    if w:
+                        out.extend(encode_word(w))
+                toks_col.append(out)
+                n_col.append(len(out))
+            res = pdf.copy()
+            res[out_col] = toks_col
+            res[f"n_{out_col}"] = pd.array(n_col, dtype="Int64")
+            yield res
+
+    return df.mapInPandas(_encode, schema=out_schema)

@@ -5732,6 +5732,39 @@ def x18_bpe_encode(spark, sf_dir):
 REGISTRY["x18_bpe_encode"] = (x18_bpe_encode, None)
 
 
+def x18b_bpe_encode_batched(spark, sf_dir):
+    """The PRODUCTION tokenizer pipeline end-to-end: train the merge
+    table at production merge counts (bpe_train_batched — full corpus
+    closure, k=32 disjoint merges/round) and tokenize the corpus with the
+    Arrow-batched memoized encoder (text.bpe_encode_batched — zero
+    shuffle, Zipf word cache, merge table broadcast via closure; the path
+    bpe_encode's docstring defers to past a few dozen merges). Output =
+    x18's per-doc token-count contract. Row-identity of the batched
+    encoder with the JVM expression form is pytest-pinned
+    (test_dedup_text TestBpeEncode), the batched trainer has python-
+    reference parity at k>1; the two-stage train->apply loop itself is
+    not SQL-expressible — rows-only entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    # 40 merges keeps the vocab in the SUB-word regime on this corpus
+    # (its ~31-word synthetic vocabulary closes at ~107 merges; training
+    # to closure merges every word to a single token — a degenerate
+    # encode where token count == word count); k=16 exercises the
+    # multi-round batched schedule at a depth the expression encoder
+    # could not codegen.
+    merges = text.bpe_train_batched(
+        docs, "text", n_merges=40, merges_per_round=16, min_pair_freq=2
+    )
+    enc = text.bpe_encode_batched(docs, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
+        "n_bpe_tokens",
+    ).orderBy("doc_id")
+
+
+REGISTRY["x18b_bpe_encode_batched"] = (x18b_bpe_encode_batched, None)
+
+
 def a19_brier_components(spark, sf_dir):
     """Exact Brier-score components over the deterministic scored frame
     (functions/metrics.brier_components): integer numerator
@@ -6952,101 +6985,80 @@ REGISTRY["pipe9_incremental_ann"] = (pipe9_incremental_ann, PIPE9_SQL)
 
 
 # ---------------------------------------------------------------------------
-# Driver window (first 50 registry entries) — deliberate round-7 rotation.
+# Driver window (first 50 registry entries) — POLICY-PICKED since round 8.
 #
-# The driver's correctness snapshot covers the FIRST 50 entries only, so the
-# window is re-picked each round to (a) stay all-oracled, (b) span every
-# operator family, and (c) rotate in queries that have never had a driver
-# row. Round-7 keeps the three r6 hash-reds IN PLACE (s13_incremental_agg,
-# x13_lexical_stats, fn_map_suite — their oracles' HUGEINT sums are now
-# CAST to BIGINT, so the driver proves the fix) and additionally rotates IN
-# the two array-output queries whose oracles were flattened to joined
-# strings this round (fn_array_suite, skew3_key_skew_report — proving the
-# second red class at the driver). The other fifteen swap-ins are the
-# round-6-tail flagships that never had a driver row: pipe7 curated shards,
-# a18 Spearman, x17 BM25, skew4 join-cardinality preflight, dq3 referential
-# integrity, ev8 time-to-conversion, ts8 weekly profile, p14 winsorize,
-# f11 quantile-uniform, p15 column profile, f13 robust scale, t13 four-way
-# carve, a11 champion leaderboard, d12 source-overlap matrix, h7 ASHA
-# schedule. Swapped OUT are seventeen r6 driver-GREEN slots with family
-# coverage retained (q5 vs q1/q3/q9/q21/q23; ord1 vs p14/f11 which share
-# its rank machinery; ts7 vs ts5/ts6/ts8; t9/t10 vs t1/t2/t11/t13; ev6 vs
-# ev8+rj1; a6/a16 vs a8/m8/a18/a11; skew2 vs skew3/skew4; dq1 vs dq3;
-# pipe5 vs pipe3/pipe6/pipe7; x8 vs x9/x13/x17; emb4 vs emb1/sim1; mix1
-# vs t-samplers+h7; pack3 vs pack1; ev3/ev4 vs ev8/st_hourly). All
-# registry entries remain locally verified via tools/check_oracle.py; the
-# registry/window counts are asserted below and in tests (no hand-written
-# totals — see tests/test_plan_lint.py::test_registry_count_claims).
+# The driver's correctness snapshot covers the FIRST 50 entries only. The
+# round-8 verdict asked for a deterministic rotation policy that bounds
+# every oracled query's driver-exposure latency; it lives in
+# tools/pick_window.py and this list is its verbatim output for
+# `--round 8` (re-run the tool to audit). Policy: (1) queries red in the
+# latest committed CORRECTNESS artifact are forced in until proven green
+# (none this round); (2) never-driver-exposed queries first, newest
+# registration round first (DRIVER_LEDGER.json), then previously-exposed
+# by (exposure count, last exposed round) — ties broken by
+# md5(f"r{N}:{name}") so no name starves behind a fixed order; (3) greedy
+# fill to 50 with a family-coverage guard (every operator family appears
+# in every window). Round-8 pick: 40 first-exposure queries (the seven
+# round-7 additions ts4b/pipe8/emb5/s16/d4b/d13/d11 and the new pipe9
+# lead, then the legacy tail in hash order) + 10 previously-green family
+# anchors. 34 never-exposed oracled queries remain for round 9 — the
+# policy drains them next round. All registry entries remain locally
+# verified via tools/check_oracle.py (the full-registry result is
+# committed as CHECK_ORACLE_LOCAL_r08.json); counts are asserted below
+# and in tests (tests/test_plan_lint.py::test_registry_count_claims).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    # flagship relational
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q9_product_profit",
-    "q21_sole_failing_supplier",
-    "q23_copurchase_pairs",
-    # windows
-    "w4_running_total",
-    # prep / profiling
-    "p3_p4_clean_documents",
-    "p6_latest_order_per_customer",
-    "p14_winsorize",
-    "p15_profile_columns",
-    # splits / sampling
-    "t1_stratified_split",
-    "t2_time_split",
-    "t11_group_split",
-    "t13_four_way_carve",
-    # sources / sinks / incremental maintenance
-    "s2_partitioned_roundtrip",
-    "s3_pit_join",
-    "s13_incremental_agg",
-    # metrics
-    "a8_auc_ovr_macro",
-    "m8_threshold_sweep",
-    "a11_champion_leaderboard",
-    "a18_spearman_components",
-    # multi-dimensional aggregates
-    "agg_cube",
-    # skew handling
-    "skew3_key_skew_report",
-    "skew4_join_cardinality",
-    # data-quality gates
-    "dq3_referential_integrity",
-    "pipe6_incremental_ingest",
-    # events / timeseries
-    "st_hourly_window",
-    "ts5_rolling_distinct_users",
-    "ts6_ewma",
-    "ts8_weekly_profile",
-    "ev8_time_to_conversion",
-    "rj1_event_pairs",
-    # dedup (LLM-data-pipeline)
-    "d7_near_dup_groups",
-    "d10_span_dedup",
-    "d12_source_overlap_matrix",
-    # text analysis
-    "x9_chunk_documents",
-    "x13_lexical_stats",
-    "x17_bm25_components",
-    # pipeline / multimodal
-    "pipe3_pretrain_corpus",
-    "pipe7_curated_shards",
-    "mm1_payload_metadata",
-    # similarity search / embeddings / packing
-    "sim1_topk_bruteforce",
-    "emb1_random_projection",
-    "pack1_sequence_packing",
-    # feature engineering
-    "f4_infrequent_collapse",
-    "f11_quantile_uniform",
-    "f13_robust_scale",
-    # tuning
+    "pipe9_incremental_ann",
+    "d13_url_canonical_dupes",
+    "d4b_simhash_md5_pairs",
+    "ts4b_hll_registers",
+    "pipe8_incremental_near_dup",
+    "s16_csv_roundtrip",
+    "emb5_cosine_histogram",
+    "d11_edit_distance_pairs",
+    "q24_association_rules",
+    "x7_domain_counts",
+    "s10_merge_upsert",
+    "fn_grouped_agg_wmean",
+    "q15_top_supplier",
+    "mm2_frame_sample",
+    "t12_replicated_sample",
+    "x12_dup_ngram_fraction",
+    "ev7_event_transitions",
+    "x20_length_quantiles",
+    "q12_late_shipments",
+    "ev9_attribution_models",
+    "ev10_stickiness",
+    "f3_cat_impute",
+    "q11_important_parts",
+    "x6_pii_scrub",
+    "q16_supplier_counts",
+    "fn_unpivot_order_metrics",
+    "t8_kfold_audit",
+    "dq4_volume_anomaly",
+    "a3_imbalance_ratio",
+    "pipe2_corpus_mix",
+    "agg_grouping_sets",
+    "x10_vocabulary",
+    "prof1_column_profile",
+    "mm4_payload_dup_groups",
+    "q22_idle_balances",
+    "ev5_daily_state_snapshot",
+    "t9b_replicated_sample",
+    "w7_pivot_matrix",
+    "set4_multiset_ops",
+    "pack2_bin_summary",
+    "j5_customers_without_orders",
+    "p7_enforce_types",
+    "sim1b_topk_sharded",
+    "mix1_temperature_sample",
+    "ord1_global_ordinal",
     "h7_asha_schedule",
-    # function-library suites
-    "fn_map_suite",
-    "fn_array_suite",
+    "skew4_join_cardinality",
+    "m8q_threshold_sweep_quantized",
+    "rj1_event_pairs",
+    "st_sessionize",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"

@@ -659,6 +659,53 @@ class TestBpeEncode:
         out = bpe_encode(docs, "text", []).collect()[0]
         assert out["bpe_tokens"] == ["a", "b", "c"]
 
+    def test_batched_encode_parity(self, spark):
+        """The Arrow-batched production path must be row-identical to the
+        JVM expression form — same word rule (split/trim, len>0 filter),
+        same greedy-LTR fold, same columns — incl. cache-hit repeats,
+        punctuation, empty and whitespace-only text."""
+        from end_to_end_ml_spark.operators.text import (
+            bpe_encode,
+            bpe_encode_batched,
+            bpe_train,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "low lower lowest low low"),
+                (2, "newer newest new lower"),
+                (3, "  low   low\tlower  "),  # repeated words -> memo hits
+                (4, "aaaa a,b!"),  # cascades + punctuation stay in-word
+                (5, ""),
+                (6, "   "),
+            ],
+            ["doc_id", "text"],
+        )
+        merges = bpe_train(docs, "text", n_merges=6, min_pair_freq=2)
+        assert merges
+        expr = {
+            r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+            for r in bpe_encode(docs, "text", merges).collect()
+        }
+        batched = {
+            r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+            for r in bpe_encode_batched(docs, "text", merges).collect()
+        }
+        assert batched == expr and len(batched) == 6
+
+    def test_batched_encode_null_text(self, spark):
+        from end_to_end_ml_spark.operators.text import bpe_encode_batched
+
+        docs = spark.createDataFrame(
+            [(1, "ab"), (2, None)], "doc_id INT, text STRING"
+        )
+        out = {
+            r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+            for r in bpe_encode_batched(docs, "text", []).collect()
+        }
+        assert out[1] == (["a", "b"], 2)
+        assert out[2] == (None, None)
+
 
 def test_minhash_probe_matches_full_pairs(spark, docs):
     """Incremental probe (batch vs history) must equal the cross-split

@@ -2,12 +2,14 @@
 Spark and its oracle_sql() on DuckDB over the same sf dir; compare row count,
 schema (column names), and order-insensitive values.
 
-Usage: python tools/check_oracle.py [--window] [sf_dir] [query ...]
-(--window restricts to the driver's 50-slot DRIVER_WINDOW snapshot)
+Usage: python tools/check_oracle.py [--window] [--json OUT.json] [sf_dir] [query ...]
+(--window restricts to the driver's 50-slot DRIVER_WINDOW snapshot;
+--json writes a per-query result map, the committable evidence artifact)
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -51,6 +53,11 @@ def main():
     window_only = "--window" in args
     if window_only:
         args.remove("--window")
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if window_only:
@@ -68,6 +75,7 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     ran = 0
     for name, fn in queries.items():
         if only and name not in only:
@@ -80,9 +88,11 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"ok": False, "err": f"spark: {e}"}
             continue
         if name not in oracles:
             print(f"PASS(rows-only) {name}: {len(s_rows)} rows")
+            results[name] = {"ok": True, "oracled": False, "rows": len(s_rows)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -91,6 +101,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"ok": False, "err": f"duckdb: {e}"}
             continue
         problems = []
         if sorted(s_cols) != sorted(d_cols):
@@ -105,9 +116,21 @@ def main():
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
+            results[name] = {"ok": False, "err": "; ".join(problems)[:500]}
         else:
             print(f"PASS {name}: {len(s_rows)} rows")
+            results[name] = {"ok": True, "oracled": True, "rows": len(s_rows)}
     print(f"\n{ran - len(failures)}/{ran} pass")
+    if json_out:
+        payload = {
+            "sf_dir": sf_dir,
+            "ran": ran,
+            "passed": ran - len(failures),
+            "results": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if failures else 0)
 
 
