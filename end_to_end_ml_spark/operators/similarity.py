@@ -326,14 +326,46 @@ def _lloyd_centroids(sample, n_centroids: int, iters: int = 10):
 
     x = np.asarray(sample, dtype=np.float64)
     cent = x[:n_centroids].copy()
+    # squared-distance via the matmul expansion |x|^2 - 2x.c + |c|^2:
+    # O(n*k) temporary instead of the O(n*k*d) broadcast of the naive
+    # (x[:,None,:]-cent)**2 form (655 MB per 10k-row batch at d=64, k=16)
+    x2 = (x * x).sum(axis=1)
     for _ in range(iters):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d = x2[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         for j in range(n_centroids):
             members = x[assign == j]
             if len(members):
                 cent[j] = members.mean(axis=0)
     return cent
+
+
+def _quantizer_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_mod: int,
+    max_driver_sample: int = 65536,
+):
+    """Deterministic bounded driver sample for the coarse quantizer:
+    ids ≡ 0 mod ``sample_mod``, then — if that still exceeds
+    ``max_driver_sample`` — an extra deterministic stride on the id so the
+    collect stays O(max_driver_sample) rows NO MATTER the corpus size.
+    A k-means quantizer needs only a representative sample, never the
+    corpus; without this bound `sample_mod=1` (the convenient small-SF
+    default) would silently become a full-corpus driver collect at 100 TB.
+    Pruning/recall quality is all that depends on the sample — exact-probe
+    RESULTS are partition-independent — so the bound is always safe."""
+    import math as _math
+
+    base = df.select(F.col(id_col), F.col(vec_col)).filter(
+        (F.col(id_col) % sample_mod) == 0
+    )
+    n_s = base.count()
+    stride = max(1, _math.ceil(n_s / max_driver_sample))
+    if stride > 1:
+        base = base.filter((F.col(id_col) % (sample_mod * stride)) == 0)
+    return base.orderBy(id_col).collect()
 
 
 def ivf_topk(
@@ -364,12 +396,7 @@ def ivf_topk(
     import pandas as pd
 
     spark = df.sparkSession
-    sample = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .filter((F.col(id_col) % sample_mod) == 0)
-        .orderBy(id_col)
-        .collect()
-    )
+    sample = _quantizer_sample(df, id_col, vec_col, sample_mod)
     cent = _lloyd_centroids(
         [list(r[1]) for r in sample], min(n_centroids, len(sample))
     )
@@ -378,11 +405,13 @@ def ivf_topk(
 
     def assign_cells(batches):
         c = bc_cent.value
+        c2 = (c * c).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nvec"]])
-            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # matmul expansion (see _lloyd_centroids): O(batch*k) temp
+            d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c2[None, :]
             yield pd.DataFrame(
                 {
                     "cell": d.argmin(axis=1).astype(np.int32),
@@ -464,20 +493,17 @@ def ivf_build_index(
     sample_mod: int = 1,
 ) -> IvfIndex:
     """Build the persisted IVF index over the HISTORY corpus: deterministic
-    Lloyd centroids from a sorted id-mod sample (sim3's quantizer), Arrow-
-    batched cell assignment executor-side, one ≤ n_centroids-row aggregate
-    for the per-cell angular radii. Only the sample and the radii rows
-    touch the driver; the assignments stay distributed and persisted."""
+    Lloyd centroids from a sorted, BOUNDED id-mod sample (sim3's
+    quantizer via _quantizer_sample — capped at 65536 driver rows no
+    matter the corpus size), Arrow-batched cell assignment executor-side,
+    one ≤ n_centroids-row aggregate for the per-cell angular radii. Only
+    the sample and the radii rows touch the driver; the assignments stay
+    distributed and persisted."""
     import numpy as np
     import pandas as pd
 
     spark = hist_df.sparkSession
-    sample = (
-        hist_df.select(F.col(id_col), F.col(vec_col))
-        .filter((F.col(id_col) % sample_mod) == 0)
-        .orderBy(id_col)
-        .collect()
-    )
+    sample = _quantizer_sample(hist_df, id_col, vec_col, sample_mod)
     cent = _lloyd_centroids(
         [list(r[1]) for r in sample], min(n_centroids, len(sample))
     )
@@ -490,9 +516,12 @@ def ivf_build_index(
             if len(pdf) == 0:
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nvec"]])
-            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # matmul expansion (see _lloyd_centroids): O(batch*k) temp,
+            # not O(batch*k*d)
+            x2 = (x * x).sum(axis=1)
+            d = x2[:, None] - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
             cell = d.argmin(axis=1)
-            xn = np.sqrt((x * x).sum(axis=1))
+            xn = np.sqrt(x2)
             cos = (x * c[cell]).sum(axis=1) / (xn * cn[cell])
             yield pd.DataFrame(
                 {

@@ -259,6 +259,26 @@ def test_ivf_topk_never_collects_the_corpus(spark, monkeypatch):
     assert len(rows) == 5
 
 
+def test_quantizer_sample_bounded(spark):
+    """The quantizer's driver collect must stay O(max_driver_sample) even
+    with sample_mod=1 (the convenient small-SF default) — at 100 TB an
+    unbounded sample would be a full-corpus driver collect."""
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    sample = similarity._quantizer_sample(
+        vecs, "vec_id", "embedding", sample_mod=1, max_driver_sample=50
+    )
+    # n=200, cap=50 -> stride 4 -> ids % 4 == 0, exactly 50 rows, sorted
+    assert [r["vec_id"] for r in sample] == list(range(0, 200, 4))
+    # under the cap: stride 1, sample_mod alone decides
+    full = similarity._quantizer_sample(
+        vecs, "vec_id", "embedding", sample_mod=5, max_driver_sample=50
+    )
+    assert [r["vec_id"] for r in full] == list(range(0, 200, 5))
+
+
 def test_bruteforce_sharded_equals_broadcast(spark):
     """n_shards forces the no-broadcast block-nested-loop path; results must
     be row-identical to the broadcast matmul path."""
