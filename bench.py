@@ -139,6 +139,8 @@ R8 = [
     # Arrow-batched memoized tokenizer application (train 40 sub-word
     # merges, encode the whole corpus via mapInPandas + Zipf word cache)
     "x18b_bpe_encode_batched",
+    # Gopher-rule quality gate: scan-fused all-integer JVM projection
+    "x22_gopher_filters",
 ]
 
 

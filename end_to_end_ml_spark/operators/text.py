@@ -69,6 +69,68 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), *quality_columns(text_col))
 
 
+def gopher_quality_filters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_word_pct: int = 80,
+    min_stopword_hits: int = 2,
+    stopwords: tuple = ("the", "a", "of", "to", "and", "in", "is", "that", "for", "it"),
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", table A1 — the standard pretraining-corpus filter
+    set): word-count bounds, mean-word-length bounds, minimum fraction of
+    words containing an alphabetic character, and minimum count of
+    distinct common stopwords present. Emits the integer evidence columns
+    plus one boolean per rule and the fused ``keep`` verdict.
+
+    Engine-exact by construction: every rule is an INTEGER comparison
+    (ratio thresholds cross-multiplied — ``n_alpha_words * 100 >=
+    pct * n_words`` — so no float ever decides a flag), and the whole
+    thing is one narrow JVM projection that fuses with the parquet scan:
+    no shuffle, no Python, embarrassingly parallel at 100 TB.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    sum_word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha_words = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    n_stop_hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), stop_arr)
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_word_chars.alias("sum_word_chars"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stop_hits.alias("n_stop_hits"),
+    )
+    ok_wc = F.col("n_words").between(min_words, max_words)
+    ok_mwl = (F.col("sum_word_chars") >= min_mean_word_len * F.col("n_words")) & (
+        F.col("sum_word_chars") <= max_mean_word_len * F.col("n_words")
+    )
+    ok_alpha = F.col("n_alpha_words") * 100 >= min_alpha_word_pct * F.col("n_words")
+    ok_stop = F.col("n_stop_hits") >= min_stopword_hits
+    return out.select(
+        "*",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-overlap language heuristic: score = |distinct tokens ∩
     stopwords(lang)|; predict argmax with deterministic lexicographic

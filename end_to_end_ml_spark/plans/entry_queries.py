@@ -6414,6 +6414,44 @@ ORDER BY lang, predicted_lang
 REGISTRY["x21_lang_mismatch_audit"] = (x21_lang_mismatch_audit, X21_SQL)
 
 
+def x22_gopher_filters(spark, sf_dir):
+    """Gopher-rule quality gate (Rae et al. 2021 table A1): per-doc integer
+    evidence (word count, summed word chars, alpha-word count, distinct-
+    stopword hits) + one boolean per rule + the fused keep verdict. Every
+    flag decided by INTEGER comparison (thresholds cross-multiplied), so
+    the oracle is engine-exact; one narrow JVM projection, scan-fused,
+    zero shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_filters(docs, "doc_id", "text").orderBy("doc_id")
+
+
+X22_GOPHER_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_word_chars,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+    CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+         ['the','a','of','to','and','in','is','that','for','it'])) AS BIGINT) AS n_stop_hits
+  FROM tok
+)
+SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stop_hits,
+  (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+  (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words) AS ok_mean_word_len,
+  (n_alpha_words * 100 >= 80 * n_words) AS ok_alpha_words,
+  (n_stop_hits >= 2) AS ok_stopwords,
+  ((n_words BETWEEN 50 AND 100000)
+   AND (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words)
+   AND (n_alpha_words * 100 >= 80 * n_words)
+   AND (n_stop_hits >= 2)) AS keep
+FROM feat ORDER BY doc_id
+"""
+
+REGISTRY["x22_gopher_filters"] = (x22_gopher_filters, X22_GOPHER_SQL)
+
+
 def ev10_stickiness(spark, sf_dir):
     """DAU/MAU stickiness per day — the engagement ratio dashboards lead
     with: DAU = distinct users that day, MAU = distinct users over the
@@ -7009,6 +7047,7 @@ REGISTRY["pipe9_incremental_ann"] = (pipe9_incremental_ann, PIPE9_SQL)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
+    "x22_gopher_filters",
     "pipe9_incremental_ann",
     "d13_url_canonical_dupes",
     "d4b_simhash_md5_pairs",
@@ -7045,7 +7084,6 @@ DRIVER_WINDOW = [
     "mm4_payload_dup_groups",
     "q22_idle_balances",
     "ev5_daily_state_snapshot",
-    "t9b_replicated_sample",
     "w7_pivot_matrix",
     "set4_multiset_ops",
     "pack2_bin_summary",

@@ -84,6 +84,30 @@ def test_quality_scores(spark):
     assert r["alpha_ratio"] == pytest.approx(5 / 7)
 
 
+def test_gopher_quality_filters(spark):
+    """Each Gopher rule fires independently; all-integer decisions."""
+    long_good = "the cat is that of a " + "word " * 60  # 66 words, stopwords, alpha
+    short = "the cat is here"  # 4 words -> fails word count
+    no_alpha = " ".join(["123"] * 60) + " the a is that"  # alpha frac 4/64 < 80%
+    long_words = " ".join(["abcdefghijklmnop"] * 60) + " the a of to"  # mwl > 10
+    no_stop = "word " * 60  # zero stopword hits
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, no_alpha), (4, long_words), (5, no_stop)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.gopher_quality_filters(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True and all(
+        out[1][f] for f in ("ok_word_count", "ok_mean_word_len", "ok_alpha_words", "ok_stopwords")
+    )
+    assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
+    assert out[3]["keep"] is False and out[3]["ok_alpha_words"] is False
+    assert out[4]["keep"] is False and out[4]["ok_mean_word_len"] is False
+    assert out[5]["keep"] is False and out[5]["ok_stopwords"] is False
+    # integer evidence columns exact
+    assert out[2]["n_words"] == 4 and out[2]["sum_word_chars"] == len("thecatishere")
+    assert out[5]["n_stop_hits"] == 0 and out[1]["n_stop_hits"] >= 2
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [
