@@ -141,6 +141,8 @@ R8 = [
     "x18b_bpe_encode_batched",
     # Gopher-rule quality gate: scan-fused all-integer JVM projection
     "x22_gopher_filters",
+    # token-budget mixture allocation: one groupBy to |sources| rows
+    "mix2_token_budget",
 ]
 
 
@@ -199,8 +201,12 @@ def main() -> None:
     # (driver r7: headline 10.07 s vs 9.5 s solo). One end-to-end execution
     # per headline query compiles the hot plans before any timing starts —
     # the same session state a production driver reaches after its first
-    # request. Disclosed in the JSON "methodology" field: r1-r6 baselines
-    # did not have this lap.
+    # request. Measured (tools/exp_warmlap.py, alternating 1-lap/2-lap
+    # headline-only sessions): a SECOND lap does not move slot-1
+    # (10.09/9.91 s one-lap vs 10.56/9.89 s two-lap — inside run noise);
+    # the residual ~0.3-0.5 s slot1-vs-warm gap is scheduler/GC noise,
+    # which the *_warm fold already reports honestly. Disclosed in the
+    # JSON "methodology" field: r1-r6 baselines did not have this lap.
     for name in HEADLINE:
         try:
             force(REGISTRY[name][0](spark, SF_DIR))

@@ -523,6 +523,80 @@ def temperature_sample(
     )
 
 
+def token_budget_allocation(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget_tokens: int,
+    max_epochs_x1024: int = 2048,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Pretraining data-mixture planning: allocate a global token BUDGET
+    across sources with temperature-weighted shares and a per-source
+    repetition cap — the "how many epochs of each source" table every
+    LLM data card publishes (LLaMA tab.1 / Gopher tab.2 shape).
+
+    Per group g: tokens T_g (exact bigint sum of ``token_col``), weight
+    w_g = floor(1024·T_g^alpha), share = budget·w_g div Σw, cap =
+    max_epochs_x1024·T_g div 1024, alloc = min(share, cap), epochs_ppm =
+    10^6·alloc div T_g. Engine-exact at the default alpha=0.5 by the same
+    argument as :func:`temperature_sample`: T_g^0.5 is IEEE sqrt
+    (correctly rounded everywhere), ·1024 is an exact power-of-two
+    scaling, floor is exact, and every division after quantization is
+    INTEGER division in decimal(38,0) (overflow-proof at any corpus
+    size). Non-0.5 alphas fall back to pow(): reproducible per engine,
+    oracle-exact only at 0.5.
+
+    Clipped surplus is NOT redistributed (single-pass contract — the
+    ``clipped`` flag says where budget was left on the table); the
+    water-filling variant is a driver-side loop over this ≤|groups|-row
+    frame, trivially cheap at any scale.
+
+    Scale shape: one map-side-combined groupBy to |groups| rows, a 1-row
+    total broadcast back — the fact table is scanned once; everything
+    after is work on a handful of rows.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    if budget_tokens <= 0 or max_epochs_x1024 <= 0:
+        raise ValueError("budget_tokens and max_epochs_x1024 must be positive")
+    g = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+        )
+    )
+    t = F.col("n_tokens").cast("double")
+    wexpr = F.sqrt(t) if alpha == 0.5 else F.pow(t, F.lit(alpha))
+    w = g.withColumn("weight_q", F.floor(F.lit(1024.0) * wexpr).cast("long"))
+    tw = w.agg(F.sum("weight_q").cast("long").alias("total_w"))
+    a = w.crossJoin(F.broadcast(tw)).select(
+        "*",
+        F.expr(
+            f"CAST((CAST({budget_tokens} AS DECIMAL(38,0)) * weight_q)"
+            " div total_w AS BIGINT)"
+        ).alias("alloc_raw"),
+        F.expr(
+            f"CAST((CAST({max_epochs_x1024} AS DECIMAL(38,0)) * n_tokens)"
+            " div 1024 AS BIGINT)"
+        ).alias("cap_tokens"),
+    )
+    return a.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "weight_q",
+        F.least("alloc_raw", "cap_tokens").alias("alloc_tokens"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) *"
+            " least(alloc_raw, cap_tokens)) div n_tokens AS BIGINT)"
+        ).alias("epochs_ppm"),
+        (F.col("alloc_raw") > F.col("cap_tokens")).alias("clipped"),
+    )
+
+
 def group_split(
     df: DataFrame,
     group_col: str,

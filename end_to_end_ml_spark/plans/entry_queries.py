@@ -5162,6 +5162,51 @@ ORDER BY doc_id
 REGISTRY["mix1_temperature_sample"] = (mix1_temperature_sample, MIX1_SQL)
 
 
+def mix2_token_budget(spark, sf_dir):
+    """Per-source token-budget allocation (operators/split.
+    token_budget_allocation, alpha=0.5, budget 100k tokens, 2.0-epoch
+    cap): the published-data-card mixture table — temperature-weighted
+    shares, integer-division allocation, repetition cap + clipped flag.
+    Engine-exact: IEEE sqrt quantized by an exact power-of-two scaling,
+    then decimal(38,0) INTEGER divisions only."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source", F.size(text.tokens("text")).cast("long").alias("n_ws_tokens")
+    )
+    return split.token_budget_allocation(
+        staged, "source", "n_ws_tokens", budget_tokens=100_000,
+        max_epochs_x1024=2048,
+    ).orderBy("source")
+
+
+MIX2_SQL = r"""
+WITH tok AS (
+  SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents WHERE source IS NOT NULL
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+), w AS (
+  SELECT *, CAST(floor(1024 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight_q
+  FROM g
+), tw AS (SELECT CAST(sum(weight_q) AS BIGINT) AS total_w FROM w),
+alloc AS (
+  SELECT source, n_docs, n_tokens, weight_q,
+         CAST((CAST(100000 AS HUGEINT) * weight_q) // total_w AS BIGINT) AS alloc_raw,
+         CAST((CAST(2048 AS HUGEINT) * n_tokens) // 1024 AS BIGINT) AS cap_tokens
+  FROM w CROSS JOIN tw
+)
+SELECT source, n_docs, n_tokens, weight_q,
+       least(alloc_raw, cap_tokens) AS alloc_tokens,
+       CAST((CAST(1000000 AS HUGEINT) * least(alloc_raw, cap_tokens)) // n_tokens AS BIGINT) AS epochs_ppm,
+       (alloc_raw > cap_tokens) AS clipped
+FROM alloc ORDER BY source
+"""
+
+REGISTRY["mix2_token_budget"] = (mix2_token_budget, MIX2_SQL)
+
+
 def ord1_global_ordinal(spark, sf_dir):
     """Dense global ordinal under ORDER BY (n_chars, doc_id) without an
     unpartitioned window (operators/ordinal.global_ordinal): collected
@@ -7048,6 +7093,7 @@ REGISTRY["pipe9_incremental_ann"] = (pipe9_incremental_ann, PIPE9_SQL)
 
 DRIVER_WINDOW = [
     "x22_gopher_filters",
+    "mix2_token_budget",
     "pipe9_incremental_ann",
     "d13_url_canonical_dupes",
     "d4b_simhash_md5_pairs",
@@ -7090,7 +7136,6 @@ DRIVER_WINDOW = [
     "j5_customers_without_orders",
     "p7_enforce_types",
     "sim1b_topk_sharded",
-    "mix1_temperature_sample",
     "ord1_global_ordinal",
     "h7_asha_schedule",
     "skew4_join_cardinality",

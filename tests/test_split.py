@@ -196,6 +196,46 @@ class TestTemperatureSample:
             temperature_sample(self._corpus(spark), "pk", "grp", alpha=1.5)
 
 
+class TestTokenBudgetAllocation:
+    def _staged(self, spark):
+        # src_a: 10 docs x 100 tokens = 1000; src_b: 10 x 400 = 4000
+        rows = [("src_a", 100)] * 10 + [("src_b", 400)] * 10 + [(None, 999)]
+        return spark.createDataFrame(rows, ["source", "n_tokens"])
+
+    def test_exact_allocation_math(self, spark):
+        from end_to_end_ml_spark.operators.split import token_budget_allocation
+
+        out = {
+            r["source"]: r
+            for r in token_budget_allocation(
+                self._staged(spark), "source", "n_tokens",
+                budget_tokens=10_000, max_epochs_x1024=2048,
+            ).collect()
+        }
+        assert set(out) == {"src_a", "src_b"}  # NULL group excluded
+        # weights: floor(1024*sqrt(1000))=32381, floor(1024*sqrt(4000))=64763
+        a, b = out["src_a"], out["src_b"]
+        assert (a["weight_q"], b["weight_q"]) == (32381, 64763)
+        total = 32381 + 64763
+        # src_a share: 10000*32381//97144 = 3332 > cap 2000 -> clipped
+        assert a["alloc_tokens"] == 2000 and a["clipped"] is True
+        assert a["epochs_ppm"] == 2_000_000
+        # src_b share: 10000*64763//97144 = 6666 < cap 8000 -> unclipped
+        assert b["alloc_tokens"] == 10_000 * 64763 // total
+        assert b["clipped"] is False
+        assert b["epochs_ppm"] == 1_000_000 * b["alloc_tokens"] // 4000
+
+    def test_rejects_bad_params(self, spark):
+        from end_to_end_ml_spark.operators.split import token_budget_allocation
+
+        with pytest.raises(ValueError):
+            token_budget_allocation(self._staged(spark), "source", "n_tokens", 0)
+        with pytest.raises(ValueError):
+            token_budget_allocation(
+                self._staged(spark), "source", "n_tokens", 100, alpha=2.0
+            )
+
+
 def test_carve_assignment_matches_chain(spark):
     """The fused single-pass 4-way carve must be ROW-IDENTICAL to the
     materialized stratified_split chain (train_valid_calib_test) — the
