@@ -571,8 +571,18 @@ def token_budget_allocation(
     t = F.col("n_tokens").cast("double")
     wexpr = F.sqrt(t) if alpha == 0.5 else F.pow(t, F.lit(alpha))
     w = g.withColumn("weight_q", F.floor(F.lit(1024.0) * wexpr).cast("long"))
-    tw = w.agg(F.sum("weight_q").cast("long").alias("total_w"))
-    a = w.crossJoin(F.broadcast(tw)).select(
+    # Σw via a GLOBAL window over the grouped frame: the frame is at most
+    # |groups| rows (post map-side-combined agg), so the single-partition
+    # window is a handful of rows — and unlike a separate .agg() +
+    # crossJoin, it does NOT re-evaluate the grouped lineage, keeping the
+    # fact table at ONE scan (a second full scan at 100 TB would double
+    # the operator's entire cost).
+    from pyspark.sql import Window
+
+    a = w.withColumn(
+        "total_w",
+        F.sum("weight_q").over(Window.partitionBy()).cast("long"),
+    ).select(
         "*",
         F.expr(
             f"CAST((CAST({budget_tokens} AS DECIMAL(38,0)) * weight_q)"
