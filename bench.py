@@ -143,6 +143,12 @@ R8 = [
     "x22_gopher_filters",
     # token-budget mixture allocation: one groupBy to |sources| rows
     "mix2_token_budget",
+    # bucketed surrogate-key gap audit (partitioned windows, one scan)
+    "dq5_id_gap_audit",
+    # smoothed mean target encoding (decimal sums + fixed double chain)
+    "f14_target_encode",
+    # mergeSchema two-generation roundtrip (writes + merged read-back)
+    "s17_schema_evolution",
 ]
 
 

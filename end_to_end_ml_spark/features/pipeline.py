@@ -42,7 +42,7 @@ from pyspark.ml.feature import (
 )
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 INFREQUENT = "__infrequent__"
@@ -325,3 +325,43 @@ def recover_feature_names(fitted_pipeline_model, df: DataFrame, output_col: str 
 def build_full_pipeline(prep_stages: list, classifier) -> Pipeline:
     """F10: preprocessing + classifier in ONE PipelineModel for serving."""
     return Pipeline(stages=[*prep_stages, classifier])
+
+
+def target_encode_table(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 10,
+) -> DataFrame:
+    """F14: smoothed mean target encoding — the per-category encoding
+    table ``enc(c) = (Σ_c y + m·prior) / (n_c + m)`` with
+    ``prior = Σy / N`` (the classic empirical-Bayes shrinkage toward the
+    global mean; high-cardinality categoricals shrink hard where support
+    is thin). Returns (category, n, target_enc); join it back on
+    ``cat_col`` to apply (fit on train only — same leakage discipline as
+    every estimator in this module).
+
+    Engine-exact: per-class and global sums are DECIMAL (exact), counts
+    are integers, and the encode expression is a FIXED chain of
+    correctly-rounded double ops (cast, one multiply, one add, one
+    divide) evaluated identically by any IEEE engine. The global totals
+    come from a window over the ≤|categories|-row grouped frame, so the
+    fact table is scanned ONCE.
+    """
+    g = df.groupBy(F.col(cat_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(target_col).cast("decimal(18,4)")).alias("sum_t"),
+    )
+    w = Window.partitionBy()
+    t = g.withColumn("g_n", F.sum("n").over(w)).withColumn(
+        "g_sum", F.sum("sum_t").over(w)
+    )
+    prior = F.col("g_sum").cast("double") / F.col("g_n").cast("double")
+    enc = (F.col("sum_t").cast("double") + F.lit(float(smoothing)) * prior) / (
+        F.col("n").cast("double") + F.lit(float(smoothing))
+    )
+    return t.select(
+        cat_col,
+        F.col("n").cast("long").alias("n"),
+        enc.alias("target_enc"),
+    )

@@ -473,3 +473,62 @@ def feature_hash_expr(col: str, n_buckets: int = 64, salt: str = "fh"):
         10,
     ).cast("long") % n_buckets
     return F.when(F.col(col).isNull(), F.lit(None).cast("long")).otherwise(h)
+
+
+def id_gap_audit(df: DataFrame, key_col: str, bucket_size: int = 4096) -> DataFrame:
+    """Surrogate-key integrity audit: one row with total_rows,
+    distinct_keys, duplicate_keys, min_key, max_key, missing_ids in
+    [min,max], and the largest run of consecutive missing ids.
+
+    Scale shape: the naive form (lag over ORDER BY key, no partition)
+    funnels every key through ONE task. Here keys are range-bucketed
+    (``key div bucket_size``): per-bucket consecutive gaps use a
+    PARTITIONED window, per-bucket partials collapse to a
+    |buckets|-row frame, and only that bounded frame sees a global
+    window (cross-bucket boundary gaps). One fact scan total.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wb = Window.partitionBy("bucket").orderBy("k")
+    per_bucket = (
+        per_key.withColumn("bucket", F.expr(f"k div {int(bucket_size)}"))
+        .withColumn("prev_k", F.lag("k").over(wb))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sum_c"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.max(
+                F.when(
+                    F.col("prev_k").isNotNull(),
+                    F.col("k") - F.col("prev_k") - 1,
+                )
+            ).alias("max_int_gap"),
+        )
+    )
+    wg = Window.orderBy("bucket")
+    bounded = per_bucket.withColumn(
+        "boundary_gap",
+        F.when(
+            F.lag("max_k").over(wg).isNotNull(),
+            F.col("min_k") - F.lag("max_k").over(wg) - 1,
+        ),
+    )
+    return bounded.agg(
+        F.sum("sum_c").cast("long").alias("total_rows"),
+        F.sum("n").cast("long").alias("distinct_keys"),
+        F.sum("n_dup").cast("long").alias("duplicate_keys"),
+        F.min("min_k").cast("long").alias("min_key"),
+        F.max("max_k").cast("long").alias("max_key"),
+        (F.max("max_k") - F.min("min_k") + 1 - F.sum("n"))
+        .cast("long")
+        .alias("missing_ids"),
+        F.coalesce(
+            F.greatest(F.max("max_int_gap"), F.max("boundary_gap")), F.lit(0)
+        )
+        .cast("long")
+        .alias("largest_gap"),
+    )

@@ -6278,6 +6278,39 @@ ORDER BY d.doc_id
 REGISTRY["f13_robust_scale"] = (f13_robust_scale, F13_SQL)
 
 
+def f14_target_encode(spark, sf_dir):
+    """Smoothed mean target encoding (features/pipeline.
+    target_encode_table, m=10): per-status shrunk mean of o_totalprice —
+    empirical-Bayes shrinkage toward the global prior. Engine-exact:
+    decimal sums, integer counts, then one FIXED chain of correctly-
+    rounded double ops; global totals via a window over the grouped
+    frame so the fact table is scanned once."""
+    from ..features.pipeline import target_encode_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return target_encode_table(
+        o, "o_orderstatus", "o_totalprice", smoothing=10
+    ).orderBy("o_orderstatus")
+
+
+F14_SQL = """
+WITH g AS (
+  SELECT o_orderstatus, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_t
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT *, sum(n) OVER () AS g_n, sum(sum_t) OVER () AS g_sum FROM g
+)
+SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+       (CAST(sum_t AS DOUBLE) + 10.0 * (CAST(g_sum AS DOUBLE) / CAST(g_n AS DOUBLE)))
+       / (CAST(n AS DOUBLE) + 10.0) AS target_enc
+FROM t ORDER BY o_orderstatus
+"""
+
+REGISTRY["f14_target_encode"] = (f14_target_encode, F14_SQL)
+
+
 def dq4_volume_anomaly(spark, sf_dir):
     """Day-over-day ingest-volume anomaly gate: events per day, the
     previous day's count (lag), the exact ppm delta, and an anomaly flag
@@ -6328,6 +6361,46 @@ ORDER BY day
 """
 
 REGISTRY["dq4_volume_anomaly"] = (dq4_volume_anomaly, DQ4_SQL)
+
+
+def dq5_id_gap_audit(spark, sf_dir):
+    """Surrogate-key integrity audit over orders.o_orderkey: total rows,
+    distinct keys, duplicated keys, min/max, missing ids in [min,max],
+    and the LARGEST run of consecutive missing ids — the sequence-gap
+    report that catches lost ingest batches and key collisions.
+
+    Scale shape: the naive form (lag over ORDER BY key, no partition) is
+    a single-partition window over every key — a scale-killer. Here keys
+    are range-bucketed (key div 4096): per-bucket consecutive gaps use a
+    PARTITIONED window, per-bucket partials (count, dup count, row sum,
+    min/max, max internal gap) collapse to a |buckets|-row frame, and
+    only that bounded frame sees a global window for the cross-bucket
+    boundary gaps. One fact scan; the DuckDB oracle computes the same
+    numbers with the naive global lag — algorithm differs, result is
+    pinned identical (operators/prep.id_gap_audit; planted-gap pytest
+    covers the cross-bucket boundary case)."""
+    o = load_table(spark, sf_dir, "orders")
+    return prep.id_gap_audit(o, "o_orderkey", bucket_size=4096)
+
+
+DQ5_SQL = """
+WITH pk AS (
+  SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1
+),
+gaps AS (
+  SELECT k, c, k - lag(k) OVER (ORDER BY k) - 1 AS gap FROM pk
+)
+SELECT CAST(sum(c) AS BIGINT) AS total_rows,
+       CAST(count(*) AS BIGINT) AS distinct_keys,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_keys,
+       CAST(min(k) AS BIGINT) AS min_key,
+       CAST(max(k) AS BIGINT) AS max_key,
+       CAST(max(k) - min(k) + 1 - count(*) AS BIGINT) AS missing_ids,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS largest_gap
+FROM gaps
+"""
+
+REGISTRY["dq5_id_gap_audit"] = (dq5_id_gap_audit, DQ5_SQL)
 
 
 def w7_pivot_matrix(spark, sf_dir):
@@ -6624,6 +6697,62 @@ def s16_csv_roundtrip(spark, sf_dir):
 
 
 REGISTRY["s16_csv_roundtrip"] = (s16_csv_roundtrip, S15_SQL)
+
+
+def s17_schema_evolution(spark, sf_dir):
+    """Schema-evolution roundtrip: generation 1 of a dataset lands
+    WITHOUT a column (orders with even keys: key+status only),
+    generation 2 adds it (odd keys: +o_totalprice); the union is read
+    back through ``mergeSchema=true`` — the additive-column drift every
+    long-lived 100 TB dataset accumulates. The aggregate proves merge
+    semantics: row counts see BOTH generations, the new column is NULL
+    exactly on generation-1 rows (count(o_totalprice) == odd-key count),
+    and the decimal sum over generation 2 matches DuckDB computing the
+    same split from the source table. Scale note: mergeSchema reconciles
+    footers in a distributed job, but turn it on only when drift is
+    expected — for a stable catalog schema, a declared read schema skips
+    that job entirely."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"s17_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(target, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(target, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(target, "gen=1"), os.path.join(target, "gen=2")
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+S17_SQL = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
+       CAST(CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                          THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+                 AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+REGISTRY["s17_schema_evolution"] = (s17_schema_evolution, S17_SQL)
 
 
 def emb5_cosine_histogram(spark, sf_dir):
@@ -7094,7 +7223,10 @@ REGISTRY["pipe9_incremental_ann"] = (pipe9_incremental_ann, PIPE9_SQL)
 DRIVER_WINDOW = [
     "x22_gopher_filters",
     "mix2_token_budget",
+    "f14_target_encode",
     "pipe9_incremental_ann",
+    "dq5_id_gap_audit",
+    "s17_schema_evolution",
     "d13_url_canonical_dupes",
     "d4b_simhash_md5_pairs",
     "ts4b_hll_registers",
@@ -7127,9 +7259,6 @@ DRIVER_WINDOW = [
     "agg_grouping_sets",
     "x10_vocabulary",
     "prof1_column_profile",
-    "mm4_payload_dup_groups",
-    "q22_idle_balances",
-    "ev5_daily_state_snapshot",
     "w7_pivot_matrix",
     "set4_multiset_ops",
     "pack2_bin_summary",

@@ -185,3 +185,45 @@ def test_export_training_shards_stable_and_sorted(spark, tmp_path):
         # file read order == write order within the shard's files
         assert ids == sorted(ids)
     assert sharded.select("shard").distinct().count() <= 16
+
+
+def test_id_gap_audit_cross_bucket_boundary(spark):
+    """The largest gap spans a BUCKET BOUNDARY (keys 5 and 9000 with
+    bucket_size=4096 land in buckets 0 and 2), so only the boundary-gap
+    window can see it; duplicates and missing counts exact."""
+    from end_to_end_ml_spark.operators.prep import id_gap_audit
+
+    keys = [1, 2, 3, 5, 9000, 9001, 9001, 9005]
+    df = spark.createDataFrame([(k,) for k in keys], ["id"])
+    r = id_gap_audit(df, "id", bucket_size=4096).collect()[0]
+    assert r["total_rows"] == 8
+    assert r["distinct_keys"] == 7
+    assert r["duplicate_keys"] == 1  # 9001 twice
+    assert (r["min_key"], r["max_key"]) == (1, 9005)
+    assert r["missing_ids"] == 9005 - 1 + 1 - 7
+    assert r["largest_gap"] == 9000 - 5 - 1  # crosses buckets 0 -> 2
+
+
+def test_id_gap_audit_dense_no_gaps(spark):
+    from end_to_end_ml_spark.operators.prep import id_gap_audit
+
+    df = spark.createDataFrame([(k,) for k in range(100)], ["id"])
+    r = id_gap_audit(df, "id", bucket_size=16).collect()[0]
+    assert r["missing_ids"] == 0 and r["largest_gap"] == 0
+    assert r["duplicate_keys"] == 0 and r["total_rows"] == 100
+
+
+def test_target_encode_table_shrinks_to_prior(spark):
+    """m=10 shrinkage: a 2-row category is pulled hard toward the global
+    prior, a 1000-row one barely moves; exact closed-form check."""
+    from end_to_end_ml_spark.features.pipeline import target_encode_table
+
+    rows = [("rare", 100.0)] * 2 + [("big", 10.0)] * 1000
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    out = {r["cat"]: r for r in target_encode_table(df, "cat", "y", smoothing=10).collect()}
+    prior = (2 * 100.0 + 1000 * 10.0) / 1002
+    assert out["rare"]["n"] == 2
+    assert out["rare"]["target_enc"] == pytest.approx((200.0 + 10 * prior) / 12)
+    assert out["big"]["target_enc"] == pytest.approx((10000.0 + 10 * prior) / 1010)
+    # shrinkage direction: rare lands between its own mean and the prior
+    assert prior < out["rare"]["target_enc"] < 100.0
