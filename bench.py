@@ -149,6 +149,9 @@ R8 = [
     "f14_target_encode",
     # mergeSchema two-generation roundtrip (writes + merged read-back)
     "s17_schema_evolution",
+    # round-8 composition flagship: gopher gate -> exact dedup ->
+    # token-budget allocation -> integer md5 admit draws
+    "pipe10_budget_curation",
 ]
 
 

@@ -69,6 +69,62 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), *quality_columns(text_col))
 
 
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that", "for", "it")
+
+
+def gopher_evidence_columns(text_col, stopwords: tuple = GOPHER_STOPWORDS) -> list:
+    """The Gopher-rule integer evidence as aliased COLUMN expressions
+    (n_words, sum_word_chars, n_alpha_words, n_stop_hits), so pipelines
+    can fuse them into a wider single-scan projection (pipe10) the same
+    way :func:`quality_columns` fuses into pipe3."""
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    return [
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_word_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(toks, F.lower)), stop_arr
+            )
+        )
+        .cast("long")
+        .alias("n_stop_hits"),
+    ]
+
+
+def gopher_rule_columns(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_word_pct: int = 80,
+    min_stopword_hits: int = 2,
+) -> list:
+    """The per-rule boolean flags + fused ``keep`` over the evidence
+    columns of :func:`gopher_evidence_columns` — every flag an INTEGER
+    comparison (ratio thresholds cross-multiplied), no float decides."""
+    ok_wc = F.col("n_words").between(min_words, max_words)
+    ok_mwl = (F.col("sum_word_chars") >= min_mean_word_len * F.col("n_words")) & (
+        F.col("sum_word_chars") <= max_mean_word_len * F.col("n_words")
+    )
+    ok_alpha = F.col("n_alpha_words") * 100 >= min_alpha_word_pct * F.col("n_words")
+    ok_stop = F.col("n_stop_hits") >= min_stopword_hits
+    return [
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    ]
+
+
 def gopher_quality_filters(
     df: DataFrame,
     id_col: str,
@@ -79,7 +135,7 @@ def gopher_quality_filters(
     max_mean_word_len: int = 10,
     min_alpha_word_pct: int = 80,
     min_stopword_hits: int = 2,
-    stopwords: tuple = ("the", "a", "of", "to", "and", "in", "is", "that", "for", "it"),
+    stopwords: tuple = GOPHER_STOPWORDS,
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, "Scaling
     Language Models", table A1 — the standard pretraining-corpus filter
@@ -94,40 +150,19 @@ def gopher_quality_filters(
     thing is one narrow JVM projection that fuses with the parquet scan:
     no shuffle, no Python, embarrassingly parallel at 100 TB.
     """
-    toks = tokens(text_col)
-    n_words = F.size(toks).cast("long")
-    sum_word_chars = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n_alpha_words = (
-        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
-    )
-    stop_arr = F.array(*[F.lit(w) for w in stopwords])
-    n_stop_hits = F.size(
-        F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), stop_arr)
-    ).cast("long")
     out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        sum_word_chars.alias("sum_word_chars"),
-        n_alpha_words.alias("n_alpha_words"),
-        n_stop_hits.alias("n_stop_hits"),
+        F.col(id_col), *gopher_evidence_columns(text_col, stopwords)
     )
-    ok_wc = F.col("n_words").between(min_words, max_words)
-    ok_mwl = (F.col("sum_word_chars") >= min_mean_word_len * F.col("n_words")) & (
-        F.col("sum_word_chars") <= max_mean_word_len * F.col("n_words")
-    )
-    ok_alpha = F.col("n_alpha_words") * 100 >= min_alpha_word_pct * F.col("n_words")
-    ok_stop = F.col("n_stop_hits") >= min_stopword_hits
     return out.select(
         "*",
-        ok_wc.alias("ok_word_count"),
-        ok_mwl.alias("ok_mean_word_len"),
-        ok_alpha.alias("ok_alpha_words"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+        *gopher_rule_columns(
+            min_words,
+            max_words,
+            min_mean_word_len,
+            max_mean_word_len,
+            min_alpha_word_pct,
+            min_stopword_hits,
+        ),
     )
 
 

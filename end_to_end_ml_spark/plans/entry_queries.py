@@ -7196,6 +7196,109 @@ ORDER BY new_id, hist_id
 REGISTRY["pipe9_incremental_ann"] = (pipe9_incremental_ann, PIPE9_SQL)
 
 
+def pipe10_budget_curation(spark, sf_dir):
+    """Budget-aware corpus curation — the round-8 composition flagship,
+    chaining this round's operators into ONE declarative plan: Gopher
+    quality gate (x22's integer rules, scan-fused) → exact dedup
+    (normalized-fingerprint keep-min-id window) → temperature-weighted
+    token-budget allocation per source at a 1.0-epoch cap (mix2's
+    machinery, so admit_ppm = epochs_ppm ≤ 10^6) → per-doc md5 admit
+    draws decided by INTEGER cross-multiplication (hash48·10^6 <
+    admit_ppm·2^48 — no float anywhere in the keep decision). Output:
+    per-source kept doc/token counts + the admit rate.
+
+    Shuffles: the fingerprint window, one tiny groupBy(source), the
+    final per-source agg; rates broadcast back. The survivor frame is
+    evaluated twice (allocation pass + draw pass) — free over a parquet
+    scan with fused narrow stages, same trade documented on
+    temperature_sample; a production run materializes survivors once and
+    probes the budget table many times."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        text.fingerprint_column("text").alias("fp"),
+        *text.gopher_evidence_columns("text"),
+    ).select("*", *text.gopher_rule_columns())
+    w_fp = Window.partitionBy("fp")
+    surv = (
+        feat.filter(F.col("keep"))
+        .withColumn("keeper", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source", "n_words")
+    )
+    rates = split.token_budget_allocation(
+        surv, "source", "n_words", budget_tokens=50_000, max_epochs_x1024=1024
+    ).select("source", F.col("epochs_ppm").alias("admit_ppm"))
+    draw = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', 'bud1',"
+        " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DECIMAL(38,0))"
+        " * 1000000 < CAST(admit_ppm AS DECIMAL(38,0)) * 281474976710656"
+    )
+    return (
+        surv.join(F.broadcast(rates), "source")
+        .filter(draw)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_words").cast("long").alias("n_tokens_kept"),
+            F.min("admit_ppm").cast("long").alias("admit_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPE10_SQL = r"""
+WITH feat AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS swc,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS naw,
+         CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+              ['the','a','of','to','and','in','is','that','for','it'])) AS BIGINT) AS nsh
+  FROM (SELECT doc_id, source, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+),
+kept AS (
+  SELECT * FROM feat
+  WHERE n_words BETWEEN 50 AND 100000
+    AND swc >= 3 * n_words AND swc <= 10 * n_words
+    AND naw * 100 >= 80 * n_words AND nsh >= 2
+),
+surv AS (
+  SELECT doc_id, source, n_words FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM kept
+  ) WHERE doc_id = keeper
+),
+g AS (
+  SELECT source, CAST(sum(n_words) AS BIGINT) AS t_tokens FROM surv GROUP BY source
+),
+w AS (
+  SELECT *, CAST(floor(1024 * sqrt(CAST(t_tokens AS DOUBLE))) AS BIGINT) AS wq FROM g
+),
+tw AS (SELECT CAST(sum(wq) AS BIGINT) AS total_w FROM w),
+rates AS (
+  SELECT source,
+         CAST((CAST(1000000 AS HUGEINT) *
+               least(CAST((CAST(50000 AS HUGEINT) * wq) // total_w AS BIGINT),
+                     CAST((CAST(1024 AS HUGEINT) * t_tokens) // 1024 AS BIGINT)))
+              // t_tokens AS BIGINT) AS admit_ppm
+  FROM w CROSS JOIN tw
+)
+SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(s.n_words) AS BIGINT) AS n_tokens_kept,
+       CAST(min(r.admit_ppm) AS BIGINT) AS admit_ppm
+FROM surv s JOIN rates r ON s.source = r.source
+WHERE CAST(('0x' || substr(md5('bud1|' || CAST(s.doc_id AS VARCHAR)), 1, 12))::BIGINT
+           AS HUGEINT) * 1000000
+      < CAST(r.admit_ppm AS HUGEINT) * 281474976710656
+GROUP BY s.source ORDER BY s.source
+"""
+
+REGISTRY["pipe10_budget_curation"] = (pipe10_budget_curation, PIPE10_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver window (first 50 registry entries) — POLICY-PICKED since round 8.
 #
@@ -7227,6 +7330,7 @@ DRIVER_WINDOW = [
     "pipe9_incremental_ann",
     "dq5_id_gap_audit",
     "s17_schema_evolution",
+    "pipe10_budget_curation",
     "d13_url_canonical_dupes",
     "d4b_simhash_md5_pairs",
     "ts4b_hll_registers",
@@ -7257,7 +7361,6 @@ DRIVER_WINDOW = [
     "a3_imbalance_ratio",
     "pipe2_corpus_mix",
     "agg_grouping_sets",
-    "x10_vocabulary",
     "prof1_column_profile",
     "w7_pivot_matrix",
     "set4_multiset_ops",

@@ -152,3 +152,39 @@ class TestPartitionInvariance:
                 "doc_id", "n_chars_w"
             ),
         )
+
+    def test_gopher_filters(self, spark):
+        from end_to_end_ml_spark.operators.text import gopher_quality_filters
+
+        self._invariant(
+            spark, lambda df: gopher_quality_filters(df, "doc_id", "text")
+        )
+
+    def test_token_budget_allocation(self, spark):
+        from end_to_end_ml_spark.operators.split import token_budget_allocation
+
+        self._invariant(
+            spark,
+            lambda df: token_budget_allocation(
+                df.select("lang", F.col("n_chars").alias("n_tokens")),
+                "lang",
+                "n_tokens",
+                budget_tokens=1000,
+            ),
+        )
+
+    def test_id_gap_audit(self, spark):
+        from end_to_end_ml_spark.operators.prep import id_gap_audit
+
+        # n_chars has duplicates and gaps -> all branches exercised
+        self._invariant(
+            spark, lambda df: id_gap_audit(df, "n_chars", bucket_size=64)
+        )
+
+    def test_target_encode_table(self, spark):
+        from end_to_end_ml_spark.features.pipeline import target_encode_table
+
+        self._invariant(
+            spark,
+            lambda df: target_encode_table(df, "lang", "n_chars", smoothing=10),
+        )
