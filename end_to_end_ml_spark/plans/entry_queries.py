@@ -7313,11 +7313,13 @@ REGISTRY["pipe10_budget_curation"] = (pipe10_budget_curation, PIPE10_SQL)
 # by (exposure count, last exposed round) — ties broken by
 # md5(f"r{N}:{name}") so no name starves behind a fixed order; (3) greedy
 # fill to 50 with a family-coverage guard (every operator family appears
-# in every window). Round-8 pick: 40 first-exposure queries (the seven
-# round-7 additions ts4b/pipe8/emb5/s16/d4b/d13/d11 and the new pipe9
-# lead, then the legacy tail in hash order) + 10 previously-green family
-# anchors. 34 never-exposed oracled queries remain for round 9 — the
-# policy drains them next round. All registry entries remain locally
+# in every window). Round-8 pick (final, after the round's nine new
+# oracled queries registered): 41 first-exposure queries — the round-8
+# additions x22/mix2/f14/pipe10/dq5/s17/pipe9 and the round-7 seven
+# (ts4b/pipe8/emb5/s16/d4b/d13/d11) lead, then the legacy tail in hash
+# order — + 9 previously-green family anchors. 39 never-exposed oracled
+# queries remain for round 9; at ~41 exposures/round the policy reaches
+# full driver coverage by round 10. All registry entries remain locally
 # verified via tools/check_oracle.py (the full-registry result is
 # committed as CHECK_ORACLE_LOCAL_r08.json); counts are asserted below
 # and in tests (tests/test_plan_lint.py::test_registry_count_claims).
