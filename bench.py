@@ -152,6 +152,8 @@ R8 = [
     # round-8 composition flagship: gopher gate -> exact dedup ->
     # token-budget allocation -> integer md5 admit draws
     "pipe10_budget_curation",
+    # rolling z-score anomaly over the daily aggregate
+    "ts10_rolling_zscore",
 ]
 
 

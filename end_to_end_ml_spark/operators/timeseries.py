@@ -530,3 +530,61 @@ def event_transitions(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 7,
+    threshold_x100: int = 200,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over a PRE-AGGREGATED series
+    (daily counts, hourly totals): each point scored against the
+    trailing ``window_rows``-point mean/std (current point included),
+    emitted only once the window is full. ``anomaly = |z| > threshold``
+    with the threshold passed as an integer (x100) so the contract
+    carries no float parameter.
+
+    Engine-exact: the input values are integers, the window emits EXACT
+    integer sums (Σx, Σx², n — cast to BIGINT; DuckDB widens to HUGEINT
+    otherwise), and mean/var/z are ONE fixed chain of correctly-rounded
+    double ops (var via the computational formula (Σx² − (Σx)²/n)/(n−1),
+    z = (x − mean)/sqrt(var)) — bit-identical on any IEEE engine, so the
+    anomaly flag's float comparison is deterministic too.
+
+    Scale note: the window is ordered by ``order_col`` with NO partition
+    — correct here by the same bounded-input exemption as dq4: the input
+    is the per-period AGGREGATE (rows = periods of history, metadata-
+    sized), never the raw event stream. For per-key monitoring, add the
+    key to ``partitionBy`` upstream.
+    """
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    x = F.col(value_col).cast("long")
+    stats = df.select(
+        F.col(order_col),
+        x.alias("x"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(x).over(w).cast("long").alias("s1"),
+        F.sum(x * x).over(w).cast("long").alias("s2"),
+    ).filter(F.col("n_win") == window_rows)
+    n = F.col("n_win").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    ) / (n - F.lit(1.0))
+    z = F.when(var > 0, (F.col("x").cast("double") - mean) / F.sqrt(var))
+    return stats.select(
+        order_col,
+        F.col("x").alias(value_col),
+        mean.alias("win_mean"),
+        z.alias("zscore"),
+        F.when(
+            z.isNotNull() & (F.abs(z) * 100 > F.lit(float(threshold_x100))), 1
+        )
+        .otherwise(0)
+        .alias("anomaly"),
+    )

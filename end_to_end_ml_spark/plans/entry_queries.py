@@ -6476,6 +6476,53 @@ ORDER BY day
 REGISTRY["ts9_arrival_completeness"] = (ts9_arrival_completeness, TS9_SQL)
 
 
+def ts10_rolling_zscore(spark, sf_dir):
+    """Rolling z-score volume anomaly (operators/timeseries.
+    rolling_zscore): daily event counts scored against the trailing
+    7-day mean/std, |z| > 2.0 flagged — the statistical upgrade of dq4's
+    fixed-percent day-over-day gate. Integer window sums (Σx, Σx²) then
+    one fixed correctly-rounded double chain; unpartitioned window is
+    over the per-DAY aggregate (bounded metadata, dq4's exemption)."""
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return TS.rolling_zscore(
+        daily, "day", "n", window_rows=7, threshold_x100=200
+    ).orderBy("day")
+
+
+TS10_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+),
+win AS (
+  SELECT day, n,
+         count(*) OVER w AS n_win,
+         CAST(sum(n) OVER w AS BIGINT) AS s1,
+         CAST(sum(n * n) OVER w AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+sc AS (
+  SELECT day, n,
+         CAST(s1 AS DOUBLE) / 7.0 AS win_mean,
+         CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0 > 0
+              THEN (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+                   / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0)
+         END AS zscore
+  FROM win WHERE n_win = 7
+)
+SELECT day, CAST(n AS BIGINT) AS n, win_mean, zscore,
+       CASE WHEN zscore IS NOT NULL AND abs(zscore) * 100 > 200.0 THEN 1 ELSE 0 END AS anomaly
+FROM sc ORDER BY day
+"""
+
+REGISTRY["ts10_rolling_zscore"] = (ts10_rolling_zscore, TS10_SQL)
+
+
 def x21_lang_mismatch_audit(spark, sf_dir):
     """Declared-vs-detected language audit: confusion counts between the
     corpus's `lang` column and the stopword-heuristic prediction (x3) —
@@ -7329,6 +7376,7 @@ DRIVER_WINDOW = [
     "x22_gopher_filters",
     "mix2_token_budget",
     "f14_target_encode",
+    "ts10_rolling_zscore",
     "pipe9_incremental_ann",
     "dq5_id_gap_audit",
     "s17_schema_evolution",
@@ -7361,7 +7409,6 @@ DRIVER_WINDOW = [
     "t8_kfold_audit",
     "dq4_volume_anomaly",
     "a3_imbalance_ratio",
-    "pipe2_corpus_mix",
     "agg_grouping_sets",
     "prof1_column_profile",
     "w7_pivot_matrix",

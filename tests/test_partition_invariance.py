@@ -188,3 +188,40 @@ class TestPartitionInvariance:
             spark,
             lambda df: target_encode_table(df, "lang", "n_chars", smoothing=10),
         )
+
+    def test_budget_curation_chain(self, spark):
+        """The full pipe10 composition (gopher gate -> fp-dedup ->
+        budget allocation -> md5 admit draws) must be partition-invariant
+        end-to-end: every decision is integer/md5-derived."""
+        from pyspark.sql import Window as W
+        from end_to_end_ml_spark.operators import split as S
+        from end_to_end_ml_spark.operators import text as T
+
+        def chain(df):
+            feat = df.select(
+                "doc_id",
+                F.col("lang").alias("source"),
+                T.fingerprint_column("text").alias("fp"),
+                *T.gopher_evidence_columns("text"),
+            ).select("*", *T.gopher_rule_columns(min_words=5, min_stopword_hits=0))
+            surv = (
+                feat.filter(F.col("keep"))
+                .withColumn("keeper", F.min("doc_id").over(W.partitionBy("fp")))
+                .filter(F.col("doc_id") == F.col("keeper"))
+                .select("doc_id", "source", "n_words")
+            )
+            rates = S.token_budget_allocation(
+                surv, "source", "n_words", budget_tokens=500, max_epochs_x1024=1024
+            ).select("source", F.col("epochs_ppm").alias("admit_ppm"))
+            draw = F.expr(
+                "CAST(conv(substring(md5(concat_ws('|', 'bud1',"
+                " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DECIMAL(38,0))"
+                " * 1000000 < CAST(admit_ppm AS DECIMAL(38,0)) * 281474976710656"
+            )
+            return (
+                surv.join(F.broadcast(rates), "source")
+                .filter(draw)
+                .select("doc_id", "source", "n_words")
+            )
+
+        self._invariant(spark, chain)

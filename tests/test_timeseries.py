@@ -195,3 +195,27 @@ def test_hll_registers_merge_law_and_estimate(spark):
         est = TS.hll_estimate_registers([(x["idx"], x["max_rho"]) for x in regs], p=6)
         exact = 200
         assert abs(est - exact) / exact < 0.35  # ~2.6x the 13% stderr at m=64
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """Flat series with one spike: the spike day z-scores far above 2;
+    flat-window days emit NULL z (var=0) and no flag; warm-up rows
+    (window not yet full) are suppressed."""
+    import datetime as dt
+    from end_to_end_ml_spark.operators.timeseries import rolling_zscore
+
+    base = dt.date(2024, 1, 1)
+    vals = [100] * 10 + [500] + [100] * 5
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+        ["day", "n"],
+    )
+    out = {r["day"].isoformat(): r for r in rolling_zscore(df, "day", "n", 7).collect()}
+    assert len(out) == len(vals) - 6  # first 6 days suppressed
+    spike = out["2024-01-11"]
+    assert spike["anomaly"] == 1 and spike["zscore"] > 2
+    flat = out["2024-01-07"]
+    assert flat["zscore"] is None and flat["anomaly"] == 0
+    # day after the spike: spike inflates the window std -> current normal
+    after = out["2024-01-12"]
+    assert after["anomaly"] == 0
