@@ -182,3 +182,28 @@ def test_registry_count_claims():
     assert int(m.group(1)) == len(o), f"README says {m.group(1)}, oracled {len(o)}"
     assert list(q)[:50] == DRIVER_WINDOW
     assert all(n in o for n in DRIVER_WINDOW), "window must be all-oracled"
+
+
+def test_driver_window_is_pick_window_output():
+    """The DRIVER_WINDOW literal must be EXACTLY tools/pick_window.py's
+    output for the current round (latest committed CORRECTNESS artifact
+    + 1) — the 'verbatim tool output' claim, locked in CI. Registering a
+    query without re-running the pick fails here, which is the intended
+    discipline."""
+    import glob
+    import os
+    import re
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    import pick_window
+
+    from end_to_end_ml_spark.plans.entry_queries import DRIVER_WINDOW
+
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    current_round = max(rounds) + 1
+    assert pick_window.pick(current_round) == DRIVER_WINDOW
