@@ -705,3 +705,72 @@ def stream_hll_ingest(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_countmin_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    key_col: str,
+    ts_col: str,
+    checkpoint_dir: str,
+    d: int = 4,
+    w: int = 256,
+    query_name: str = "cm_ingest",
+):
+    """Streaming heavy-hitter frequency maintenance via the md5 Count-Min
+    sketch (operators/timeseries.countmin_sketch): each micro-batch's
+    per-day sketch rows SUM-merge into a versioned store, completing the
+    streaming-sketch family (HLL = distinct counts, Count-Min =
+    frequencies, dedup = exact membership). State is ≤ d·w rows per day
+    at ANY key cardinality.
+
+    Replay-safety argument differs from stream_hll_ingest and is worth
+    stating: Count-Min union is counter ADDITION — associative and
+    commutative but NOT idempotent — so a replayed epoch cannot be
+    absorbed by the merge itself (it would double-count). Safety comes
+    from the versioned store instead: epoch N's output is a PURE
+    FUNCTION of (version < N, batch N), both deterministic, so a crash
+    replay of epoch N rewrites ``v=N`` byte-identically rather than
+    re-adding. Same store layout and fresh-checkpoint guard as
+    stream_upsert_snapshot / stream_dedup_ingest / stream_hll_ingest;
+    synchronous drain."""
+    import os
+
+    from ..operators.timeseries import countmin_sketch
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = _snapshot_versions(store_path)
+        ahead = [v for v in versions if v > epoch_id]
+        if ahead:
+            raise RuntimeError(
+                f"Count-Min store {store_path} has versions {ahead} ahead "
+                f"of epoch {epoch_id}: the checkpoint was reset against an "
+                "existing store (checkpoint_dir and store_path must live/die "
+                "together)."
+            )
+        daily = countmin_sketch(
+            batch_df, key_col, F.to_date(F.col(ts_col)), d=d, w=w
+        ).withColumnRenamed("bucket", "day")
+        prior = [v for v in versions if v < epoch_id]
+        if prior:
+            base = spark.read.parquet(os.path.join(store_path, f"v={max(prior)}"))
+            daily = (
+                base.unionByName(daily)
+                .groupBy("day", "row_i", "col")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        daily.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"v={epoch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

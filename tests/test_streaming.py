@@ -572,3 +572,61 @@ def test_stream_hll_ingest_matches_batch_sketch(spark, batch, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_stream_countmin_ingest_matches_batch_sketch(spark, batch, tmp_path):
+    """Streaming Count-Min maintenance: 3 micro-batches SUM-merge into the
+    versioned store; the final store must equal the batch-built per-day
+    sketch over ALL events. Count-Min union is additive (NOT idempotent),
+    so this parity rests on the versioned-store replay argument rather
+    than merge idempotence — the split-independence half (sum over any
+    partition of the events equals the total) is what this pins."""
+    from end_to_end_ml_spark.operators.timeseries import countmin_sketch
+
+    src = str(tmp_path / "src")
+    batch.repartition(3).write.parquet(src)
+    file_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "cm")
+    SE.stream_countmin_ingest(
+        stream, store, "user_id", "ts", str(tmp_path / "ck")
+    )
+    versions = SE._snapshot_versions(store)
+    assert len(versions) >= 2, "expected multiple incremental merge epochs"
+    got = {tuple(r) for r in SE.read_latest_snapshot(spark, store).collect()}
+    want = {
+        tuple(r)
+        for r in countmin_sketch(batch, "user_id", F.to_date(F.col("ts")))
+        .withColumnRenamed("bucket", "day")
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_stream_countmin_ingest_fresh_checkpoint_guard(spark, batch, tmp_path):
+    """A reset checkpoint against a store with future versions must refuse
+    (the lifecycle contract shared by every ingest sink here)."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    batch.limit(50).repartition(3).write.parquet(src)
+    file_schema = spark.read.parquet(src).schema
+
+    def mkstream():
+        return (
+            spark.readStream.schema(file_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    store = str(tmp_path / "cm")
+    SE.stream_countmin_ingest(mkstream(), store, "user_id", "ts", str(tmp_path / "ck1"))
+    # fresh checkpoint, same store -> epoch restarts at 0 behind existing versions
+    with _pytest.raises(Exception, match="ahead of epoch|StreamingQueryException|ahead"):
+        SE.stream_countmin_ingest(
+            mkstream(), store, "user_id", "ts", str(tmp_path / "ck2")
+        )
