@@ -154,6 +154,8 @@ R8 = [
     "pipe10_budget_curation",
     # rolling z-score anomaly over the daily aggregate
     "ts10_rolling_zscore",
+    # lossless prefix-filter exact jaccard join (doc_id%5 slice)
+    "d16_prefix_filter_jaccard",
 ]
 
 

@@ -1196,3 +1196,102 @@ def remove_duplicated_spans(
             F.lit(0),
         ).cast("long").alias("n_removed_tokens"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_x100: int = 60,
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join via PREFIX FILTERING
+    (Chaudhuri/Ganti/Kaushik 2006; the SSJoin/PPJoin candidate rule) —
+    the lossless alternative to MinHash-LSH banding (d3): candidates are
+    generated, never sampled, so there are NO false negatives by
+    construction, not with high probability.
+
+    Rule: order each doc's distinct word tokens by GLOBAL rarity
+    (document frequency asc, token asc — one tiny vocab aggregate,
+    broadcast back). For Jaccard ≥ t, any qualifying pair must share a
+    token inside BOTH docs' prefixes of length |x| − ⌈t·|x|⌉ + 1
+    (pigeonhole on the smallest shared token in the global order), so
+    joining exploded prefix tokens catches every pair; an exact integer
+    verification (100·|A∩B| ≥ t_x100·|A∪B| — no float decides) keeps
+    only true matches. Rarest-first ordering makes prefix tokens the
+    LOW-df ones, so the token join fans out minimally — the same reason
+    the algorithm scales: candidate count is Σ_token df_prefix(token)²
+    over rare tokens, not |docs|².
+
+    Output (id_a < id_b): intersection/union sizes + the ratio (single
+    IEEE division). Engine-exact; the DuckDB oracle is the PLAIN
+    quadratic join — algorithm differs, result is pinned identical.
+    Prefix length uses integer arithmetic only: ⌈t·n⌉ =
+    (t_x100·n + 99) div 100."""
+    if not 1 <= threshold_x100 <= 100:
+        raise ValueError("threshold_x100 must be in [1, 100]")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    ranked = (
+        toks.join(F.broadcast(dfreq), "token")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df_t"), F.col("token")))
+            ).alias("skeys")
+        )
+        .select(
+            "doc",
+            F.transform(F.col("skeys"), lambda s: s["token"]).alias("stoks"),
+            F.size("skeys").cast("long").alias("sz"),
+        )
+    )
+    p_len = (
+        F.col("sz")
+        - F.expr(f"({threshold_x100} * sz + 99) div 100")
+        + F.lit(1)
+    )
+    prefixes = ranked.select(
+        "doc",
+        "stoks",
+        "sz",
+        F.explode(F.slice(F.col("stoks"), 1, p_len.cast("int"))).alias("ptok"),
+    )
+    a = prefixes.select(
+        F.col("doc").alias("id_a"),
+        F.col("stoks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+        "ptok",
+    )
+    b = prefixes.select(
+        F.col("doc").alias("id_b"),
+        F.col("stoks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+        "ptok",
+    )
+    cand = (
+        a.join(b, "ptok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "toks_a", "toks_b", "sz_a", "sz_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+    verified = cand.select(
+        "id_a",
+        "id_b",
+        inter.alias("inter"),
+        (F.col("sz_a") + F.col("sz_b") - inter).alias("union_sz"),
+    ).filter(F.lit(100) * F.col("inter") >= F.lit(threshold_x100) * F.col("union_sz"))
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "union_sz",
+        (F.col("inter").cast("double") / F.col("union_sz").cast("double")).alias(
+            "jaccard"
+        ),
+    ).orderBy("id_a", "id_b")

@@ -6579,6 +6579,43 @@ ORDER BY lang, predicted_lang
 REGISTRY["x21_lang_mismatch_audit"] = (x21_lang_mismatch_audit, X21_SQL)
 
 
+def d16_prefix_filter_jaccard(spark, sf_dir):
+    """EXACT Jaccard-threshold join via prefix filtering (dedup.
+    prefix_filter_jaccard_pairs, t=0.6) over the doc_id%5==0 slice — the
+    LOSSLESS candidate-generation alternative to d3's MinHash-LSH: no
+    false negatives by the pigeonhole rule, so the plain quadratic
+    DuckDB join is an unconditional oracle (algorithm differs, result
+    pinned identical — the dq5 pattern). The slice keeps the oracle's
+    O(n²) side feasible; the Spark side is the scale path (rare-token
+    prefix join, never |docs|² candidates)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", threshold_x100=60
+    )
+
+
+D16_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+  FROM documents WHERE doc_id % 5 = 0
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+         CAST(len(a.ts) AS BIGINT) AS sza, CAST(len(b.ts) AS BIGINT) AS szb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, inter, (sza + szb - inter) AS union_sz,
+       CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) AS jaccard
+FROM p WHERE 100 * inter >= 60 * (sza + szb - inter)
+ORDER BY id_a, id_b
+"""
+
+REGISTRY["d16_prefix_filter_jaccard"] = (d16_prefix_filter_jaccard, D16_SQL)
+
+
 def x22_gopher_filters(spark, sf_dir):
     """Gopher-rule quality gate (Rae et al. 2021 table A1): per-doc integer
     evidence (word count, summed word chars, alpha-word count, distinct-
@@ -7380,6 +7417,7 @@ DRIVER_WINDOW = [
     "pipe9_incremental_ann",
     "dq5_id_gap_audit",
     "s17_schema_evolution",
+    "d16_prefix_filter_jaccard",
     "pipe10_budget_curation",
     "d13_url_canonical_dupes",
     "d4b_simhash_md5_pairs",
@@ -7407,7 +7445,6 @@ DRIVER_WINDOW = [
     "q16_supplier_counts",
     "fn_unpivot_order_metrics",
     "t8_kfold_audit",
-    "dq4_volume_anomaly",
     "a3_imbalance_ratio",
     "agg_grouping_sets",
     "prof1_column_profile",

@@ -802,3 +802,42 @@ def test_simhash_md5_family_basics(spark, docs):
 def test_simhash_rejects_unknown_family(spark, docs):
     with pytest.raises(ValueError, match="hash_family"):
         dedup.simhash(docs, "doc_id", "text", hash_family="sha9")
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark):
+    """Prefix filtering must find EXACTLY the pairs the quadratic scan
+    finds (lossless candidate rule) — parity on a corpus with rare AND
+    ubiquitous tokens, thresholds tight around the planted pairs."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # J(1,2)=4/6=0.667
+        (3, "alpha beta gamma theta iota"),      # J(1,3)=3/7≈0.43
+        (4, "omega psi chi phi upsilon"),        # disjoint-ish
+        (5, "omega psi chi phi upsilon"),        # J(4,5)=1.0
+        (6, "alpha omega"),                      # tiny doc
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"])
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold_x100=60
+        ).collect()
+    }
+    # brute force in python
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                uni = len(sets[i] | sets[j])
+                if 100 * inter >= 60 * uni:
+                    want[(i, j)] = (inter, uni)
+    assert got == want and (1, 2) in got and (4, 5) in got
+
+
+def test_prefix_filter_jaccard_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.prefix_filter_jaccard_pairs(df, "doc_id", "text", threshold_x100=0)
