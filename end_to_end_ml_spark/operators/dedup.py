@@ -1226,7 +1226,11 @@ def prefix_filter_jaccard_pairs(
     IEEE division). Engine-exact; the DuckDB oracle is the PLAIN
     quadratic join — algorithm differs, result is pinned identical.
     Prefix length uses integer arithmetic only: ⌈t·n⌉ =
-    (t_x100·n + 99) div 100."""
+    (t_x100·n + 99) div 100. At scale, persist the ranked frame before
+    the self-join (both sides + verification read it; AQE's
+    ReusedExchange usually dedups the shuffle, but a persist makes it
+    explicit) — the registered query form stays persist-free by the
+    bench's clearCache convention."""
     if not 1 <= threshold_x100 <= 100:
         raise ValueError("threshold_x100 must be in [1, 100]")
     toks = df.select(
