@@ -156,6 +156,10 @@ R8 = [
     "ts10_rolling_zscore",
     # lossless prefix-filter exact jaccard join (doc_id%5 slice)
     "d16_prefix_filter_jaccard",
+    # mergeable histogram sketch -> weekly P50/P90/P99 (integer edges)
+    "ts11_quantile_sketch",
+    # rolling-origin CV audit (integer epoch slices, expanding n_train)
+    "t14_rolling_origin",
 ]
 
 

@@ -630,3 +630,37 @@ def group_split(
     return df.withColumn(
         "split", F.when(u < F.lit(float(test_frac)), F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def rolling_origin_assign(
+    df: DataFrame, ts_col: str, n_slices: int = 5, tiebreak_col: str | None = None
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation slice assignment
+    — the time-series counterpart of kfold_assign (cf. the reference's
+    train/test temporal carving, /root/reference/src/feature_store/utils/
+    prep.py split helpers): each row gets an integer time slice in
+    [0, n_slices); CV fold k (k = 1..n_slices-1) trains on slices < k and
+    validates on slice k, so every fold's validation data is strictly
+    later than all of its training data (backtesting without leakage).
+
+    Slices come from EXACT integer arithmetic over epoch seconds
+    (``unix_micros div 1000000`` — engine-identical, never the
+    round-vs-truncate unix_timestamp()): slice = (e - lo) * n_slices
+    div (hi - lo + 1), with lo/hi the corpus min/max epoch obtained by a
+    1-row aggregate broadcast back (the standard scalar-subquery plan —
+    no driver collect, no global sort; assignment itself is a map-side
+    projection)."""
+    if n_slices < 2:
+        raise ValueError("n_slices must be >= 2")
+    sec = F.expr(f"unix_micros({ts_col}) div 1000000")
+    bounds = df.agg(
+        F.min(sec).alias("__lo"), F.max(sec).alias("__hi")
+    )
+    out = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "slice",
+        F.expr(
+            f"((unix_micros({ts_col}) div 1000000) - __lo) * {int(n_slices)}"
+            " div (__hi - __lo + 1)"
+        ).cast("long"),
+    )
+    return out.drop("__lo", "__hi")

@@ -588,3 +588,102 @@ def rolling_zscore(
         .otherwise(0)
         .alias("anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram sketch → distributed quantiles
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    events: DataFrame,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    bin_width: float = 10.0,
+    bucket: str = "day",
+) -> DataFrame:
+    """Mergeable fixed-width histogram sketch: per (bucket, group, bin)
+    counts, ``bin = floor(value / bin_width)``. This is the quantile
+    member of the sketch-rollup family (HLL = distinct, Count-Min =
+    frequency, histogram = quantiles; cf. the reference's aggregation
+    rollups, /root/reference/src/training/utils/data.py preprocessing
+    summaries): counts are ADDITIVE, so day sketches merge to weeks or
+    months by summing — one pass over the facts, O(groups × bins) state,
+    never a global sort the way exact percentile_disc needs.
+
+    Engine-exact: the only float op is one correctly-rounded IEEE
+    division ``value / bin_width`` whose floor is then exact, so any
+    IEEE engine bins identically (same argument as rolling_zscore's
+    fixed double chain); everything downstream is integer.
+    """
+    return (
+        events.groupBy(
+            F.col(group_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            F.floor(F.col(value_col) / F.lit(float(bin_width)))
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_merge(
+    hist: DataFrame, group_col: str, to_bucket: str = "week"
+) -> DataFrame:
+    """Merge finer-bucket histogram sketches into a coarser calendar
+    bucket (counts add; the mergeability that makes the sketch a
+    distributed-quantile design rather than a sampled one)."""
+    return (
+        hist.groupBy(
+            F.col(group_col),
+            F.date_trunc(to_bucket, F.col("bucket")).cast("date").alias("bucket"),
+            F.col("bin"),
+        )
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list,
+    qs_x100: tuple = (50, 90, 99),
+    bin_width_x100: int = 1000,
+) -> DataFrame:
+    """Quantile extraction from a histogram sketch: per group, the q-th
+    quantile is reported as the UPPER EDGE of the first bin whose
+    cumulative count reaches q% of the total — a deterministic upper
+    bound on the true quantile with error <= bin_width. The decision is
+    integer cross-multiplication (``cum * 100 >= q * total``); edges are
+    integer centi-units ((bin + 1) * bin_width_x100) — no float ever
+    decides or is emitted.
+
+    The cumulative window partitions by the group and orders by bin over
+    <= n_bins rows per partition (bounded by construction — value range /
+    bin_width — never by data volume), so no global sort appears at any
+    scale."""
+    w_cum = Window.partitionBy(*group_cols).orderBy("bin")
+    w_all = Window.partitionBy(*group_cols)
+    c = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("n").over(w_cum).cast("long").alias("cum"),
+        F.sum("n").over(w_all).cast("long").alias("total"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(int(q)) * F.col("total"),
+                (F.col("bin") + 1) * F.lit(int(bin_width_x100)),
+            )
+        )
+        .cast("long")
+        .alias(f"p{int(q)}_edge_x100")
+        for q in qs_x100
+    ]
+    return c.groupBy(*group_cols).agg(
+        *aggs,
+        F.max("total").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )

@@ -7383,6 +7383,109 @@ GROUP BY s.source ORDER BY s.source
 REGISTRY["pipe10_budget_curation"] = (pipe10_budget_curation, PIPE10_SQL)
 
 
+def ts11_quantile_sketch(spark, sf_dir):
+    """Distributed quantiles from a MERGEABLE histogram sketch
+    (timeseries.histogram_sketch → histogram_merge → histogram_quantiles):
+    daily per-event-type fixed-width histograms (bin = floor(value/10)),
+    merged to calendar weeks by summing counts — the quantile member of
+    the sketch-rollup family (HLL = distinct ts4b, Count-Min = frequency
+    ts7, histogram = quantiles), one pass over facts and O(groups × bins)
+    state instead of exact percentile's global sort. P50/P90/P99 are
+    reported as integer upper bin edges (x100), decided by integer
+    cross-multiplication (cum·100 ≥ q·total) — engine-exact; the oracle
+    computes weekly histograms directly, which equals the day→week merge
+    because counts are additive (the mergeability property itself)."""
+    from ..operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = TS.histogram_sketch(
+        ev, "ts", "event_type", "value", bin_width=10.0, bucket="day"
+    )
+    weekly = TS.histogram_merge(daily, "event_type", to_bucket="week")
+    return TS.histogram_quantiles(
+        weekly, ["event_type", "bucket"], qs_x100=(50, 90, 99), bin_width_x100=1000
+    ).orderBy("event_type", "bucket")
+
+
+TS11_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS bucket,
+         CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT event_type, bucket, bin,
+         CAST(sum(n) OVER (PARTITION BY event_type, bucket ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY event_type, bucket) AS BIGINT) AS total
+  FROM h
+)
+SELECT event_type, bucket,
+       CAST(min(CASE WHEN cum * 100 >= 50 * total THEN (bin + 1) * 1000 END) AS BIGINT) AS p50_edge_x100,
+       CAST(min(CASE WHEN cum * 100 >= 90 * total THEN (bin + 1) * 1000 END) AS BIGINT) AS p90_edge_x100,
+       CAST(min(CASE WHEN cum * 100 >= 99 * total THEN (bin + 1) * 1000 END) AS BIGINT) AS p99_edge_x100,
+       CAST(max(total) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_bins
+FROM c GROUP BY 1, 2 ORDER BY event_type, bucket
+"""
+
+REGISTRY["ts11_quantile_sketch"] = (ts11_quantile_sketch, TS11_SQL)
+
+
+def t14_rolling_origin(spark, sf_dir):
+    """Rolling-origin (expanding-window) time-series CV audit
+    (split.rolling_origin_assign, 5 slices over events): per slice its
+    row count, exact epoch-second span (max of slice k < min of slice
+    k+1 proves the no-leakage ordering), and n_train — the expanding
+    train-set size a fold validating on this slice would use. Slice
+    assignment is exact integer arithmetic over unix_micros-derived
+    epoch seconds with the corpus bounds broadcast from a 1-row
+    aggregate; the n_train cumulative runs over ≤ n_slices rows (the
+    dq4 bounded-input exemption for the unpartitioned window)."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = split.rolling_origin_assign(ev, "ts", n_slices=5)
+    sec = F.expr("unix_micros(ts) div 1000000")
+    per_slice = assigned.groupBy("slice").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(sec).cast("long").alias("min_epoch_s"),
+        F.max(sec).cast("long").alias("max_epoch_s"),
+    )
+    w_prior = (
+        Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_slice.withColumn(
+            "n_train", F.coalesce(F.sum("n").over(w_prior), F.lit(0)).cast("long")
+        )
+        .orderBy("slice")
+    )
+
+
+T14_SQL = """
+WITH b AS (
+  SELECT CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS lo,
+         CAST(max(epoch_us(ts) // 1000000) AS BIGINT) AS hi
+  FROM events
+),
+a AS (
+  SELECT ((epoch_us(ts) // 1000000 - lo) * 5) // (hi - lo + 1) AS slice,
+         epoch_us(ts) // 1000000 AS es
+  FROM events CROSS JOIN b
+),
+s AS (
+  SELECT CAST(slice AS BIGINT) AS slice, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(es) AS BIGINT) AS min_epoch_s, CAST(max(es) AS BIGINT) AS max_epoch_s
+  FROM a GROUP BY slice
+)
+SELECT slice, n, min_epoch_s, max_epoch_s,
+       CAST(coalesce(sum(n) OVER (ORDER BY slice
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS n_train
+FROM s ORDER BY slice
+"""
+
+REGISTRY["t14_rolling_origin"] = (t14_rolling_origin, T14_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver window (first 50 registry entries) — POLICY-PICKED since round 8.
 #
@@ -7416,6 +7519,8 @@ DRIVER_WINDOW = [
     "ts10_rolling_zscore",
     "pipe9_incremental_ann",
     "dq5_id_gap_audit",
+    "t14_rolling_origin",
+    "ts11_quantile_sketch",
     "s17_schema_evolution",
     "d16_prefix_filter_jaccard",
     "pipe10_budget_curation",
@@ -7443,8 +7548,6 @@ DRIVER_WINDOW = [
     "q11_important_parts",
     "x6_pii_scrub",
     "q16_supplier_counts",
-    "fn_unpivot_order_metrics",
-    "t8_kfold_audit",
     "a3_imbalance_ratio",
     "agg_grouping_sets",
     "prof1_column_profile",

@@ -225,3 +225,39 @@ class TestPartitionInvariance:
             )
 
         self._invariant(spark, chain)
+
+    def test_histogram_quantiles(self, spark):
+        from end_to_end_ml_spark.operators import timeseries as TS
+
+        def run(df):
+            ev = df.select(
+                "lang",
+                F.to_timestamp(
+                    F.concat(
+                        F.lit("2024-01-0"), (F.col("doc_id") % 7 + 1).cast("string")
+                    )
+                ).alias("ts"),
+                (F.col("n_chars") % 97).cast("double").alias("value"),
+            )
+            h = TS.histogram_sketch(ev, "ts", "lang", "value", bin_width=10.0)
+            return TS.histogram_quantiles(
+                TS.histogram_merge(h, "lang"), ["lang", "bucket"]
+            )
+
+        self._invariant(spark, run)
+
+    def test_rolling_origin_assign(self, spark):
+        from end_to_end_ml_spark.operators.split import rolling_origin_assign
+
+        def run(df):
+            ev = df.select(
+                "doc_id",
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.col("doc_id") * 977
+                ).alias("ts"),
+            )
+            return rolling_origin_assign(ev, "ts", n_slices=4).select(
+                "doc_id", "slice"
+            )
+
+        self._invariant(spark, run)

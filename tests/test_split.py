@@ -256,3 +256,40 @@ def test_carve_assignment_matches_chain(spark):
     want = {name: {r["pk"] for r in frame.collect()} for name, frame in parts.items()}
     assert got == want
     assert sum(len(v) for v in got.values()) == 997  # exhaustive + disjoint
+
+
+def test_rolling_origin_slices_are_temporally_ordered(spark):
+    """Slice k's max timestamp < slice k+1's min (no leakage by
+    construction); every row assigned; slice ids in [0, n)."""
+    import datetime as dt
+
+    from end_to_end_ml_spark.operators.split import rolling_origin_assign
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=3 * i)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = rolling_origin_assign(df, "ts", n_slices=4)
+    agg = {
+        r["slice"]: (r["n"], r["lo"], r["hi"])
+        for r in out.groupBy("slice")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    }
+    assert set(agg) == {0, 1, 2, 3}
+    assert sum(n for n, _, _ in agg.values()) == 200
+    for k in range(3):
+        assert agg[k][2] < agg[k + 1][1]
+
+
+def test_rolling_origin_rejects_single_slice(spark):
+    import datetime as dt
+
+    from end_to_end_ml_spark.operators.split import rolling_origin_assign
+
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], ["event_id", "ts"])
+    try:
+        rolling_origin_assign(df, "ts", n_slices=1)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -219,3 +219,63 @@ def test_rolling_zscore_flags_planted_spike(spark):
     # day after the spike: spike inflates the window std -> current normal
     after = out["2024-01-12"]
     assert after["anomaly"] == 0
+
+
+def test_histogram_sketch_merge_equals_direct_weekly(spark):
+    """Mergeability: day sketches summed to weeks == histogram built at
+    week granularity directly (counts are additive), and quantile edges
+    bound the exact percentile from above by <= bin_width."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1 + (i % 10), 8, 0, 0), float(v), i)
+        for i, v in enumerate([3, 7, 12, 18, 25, 33, 41, 55, 72, 99] * 5)
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value", "event_id"])
+    daily = TS.histogram_sketch(ev, "ts", "user_id", "value", bin_width=10.0)
+    merged = TS.histogram_merge(daily, "user_id", to_bucket="week")
+    direct = (
+        TS.histogram_sketch(ev, "ts", "user_id", "value", bin_width=10.0, bucket="week")
+        .select(
+            "user_id", F.col("bucket").cast("date").alias("bucket"), "bin", "n"
+        )
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    q = TS.histogram_quantiles(merged, ["user_id", "bucket"]).collect()
+    # exact per-week p50 from the raw rows (ISO Monday weeks)
+    by_week: dict = {}
+    for _, ts, v, _i in rows:
+        wk = (ts - dt.timedelta(days=ts.weekday())).date()
+        by_week.setdefault(wk, []).append(v)
+    for r in q:
+        vals = sorted(by_week[r["bucket"]])
+        exact_p50 = vals[(len(vals) * 50 + 99) // 100 - 1]
+        assert 0 <= r["p50_edge_x100"] / 100.0 - exact_p50 <= 10.0
+        assert r["n_bins"] <= 10 and r["n_events"] == len(vals)
+
+
+def test_histogram_quantiles_hand_checked(spark):
+    """4 values in 3 bins: p50 edge = upper edge of the bin where the
+    cumulative count first reaches half, p99 = last bin's upper edge."""
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), 5.0, 1),
+            (1, dt.datetime(2024, 1, 1), 6.0, 2),
+            (1, dt.datetime(2024, 1, 1), 15.0, 3),
+            (1, dt.datetime(2024, 1, 1), 25.0, 4),
+        ],
+        ["user_id", "ts", "value", "event_id"],
+    )
+    h = TS.histogram_sketch(ev, "ts", "user_id", "value", bin_width=10.0)
+    out = TS.histogram_quantiles(h, ["user_id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # bins: 0 -> 2 rows (cum 2 >= 50% of 4), 1 -> 1, 2 -> 1
+    assert r["p50_edge_x100"] == 1000  # upper edge of bin 0
+    assert r["p90_edge_x100"] == 3000  # cum reaches 90% only at bin 2
+    assert r["p99_edge_x100"] == 3000
+    assert r["n_events"] == 4 and r["n_bins"] == 3
