@@ -774,3 +774,72 @@ def stream_countmin_ingest(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_histogram_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    checkpoint_dir: str,
+    bin_width: float = 10.0,
+    query_name: str = "hist_ingest",
+):
+    """Streaming QUANTILE maintenance via the mergeable fixed-width
+    histogram sketch (operators/timeseries.histogram_sketch): each
+    micro-batch's per-day (group, bin) counts SUM-merge into a versioned
+    store, from which histogram_quantiles reads P50/P90/P99 at any time.
+    Fourth member of the streaming-sketch family (HLL = distinct,
+    Count-Min = frequency, dedup = exact membership, histogram =
+    quantiles); state is O(groups × bins) rows per day at ANY event
+    volume.
+
+    Replay safety is the Count-Min argument, not the HLL one: histogram
+    union is counter ADDITION (associative, commutative, NOT
+    idempotent), so a replayed epoch is absorbed by the versioned store
+    — epoch N's output is a pure function of (version < N, batch N),
+    both deterministic, so a crash replay rewrites ``v=N``
+    byte-identically instead of double-counting. Same store layout and
+    fresh-checkpoint guard as the other ingest sinks; synchronous
+    drain."""
+    import os
+
+    from ..operators.timeseries import histogram_sketch
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = _snapshot_versions(store_path)
+        ahead = [v for v in versions if v > epoch_id]
+        if ahead:
+            raise RuntimeError(
+                f"histogram store {store_path} has versions {ahead} ahead "
+                f"of epoch {epoch_id}: the checkpoint was reset against an "
+                "existing store (checkpoint_dir and store_path must live/die "
+                "together)."
+            )
+        daily = histogram_sketch(
+            batch_df, ts_col, group_col, value_col, bin_width=bin_width
+        ).withColumnRenamed("bucket", "day")
+        prior = [v for v in versions if v < epoch_id]
+        if prior:
+            base = spark.read.parquet(os.path.join(store_path, f"v={max(prior)}"))
+            daily = (
+                base.unionByName(daily)
+                .groupBy(group_col, "day", "bin")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        daily.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"v={epoch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -630,3 +630,72 @@ def test_stream_countmin_ingest_fresh_checkpoint_guard(spark, batch, tmp_path):
         SE.stream_countmin_ingest(
             mkstream(), store, "user_id", "ts", str(tmp_path / "ck2")
         )
+
+
+def test_stream_histogram_ingest_matches_batch_sketch(spark, batch, tmp_path):
+    """Streaming quantile maintenance: micro-batches SUM-merge per-day
+    histogram rows into the versioned store; the final store must equal
+    the batch-built sketch over ALL events (split-independence of
+    counter addition), and quantile extraction over the store must
+    equal extraction over the batch sketch."""
+    from end_to_end_ml_spark.operators.timeseries import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    src = str(tmp_path / "src")
+    batch.repartition(3).write.parquet(src)
+    file_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "hist")
+    SE.stream_histogram_ingest(
+        stream, store, "event_type", "ts", "value", str(tmp_path / "ck")
+    )
+    versions = SE._snapshot_versions(store)
+    assert len(versions) >= 2, "expected multiple incremental merge epochs"
+    snap = SE.read_latest_snapshot(spark, store)
+    got = {tuple(r) for r in snap.collect()}
+    want_sketch = histogram_sketch(batch, "ts", "event_type", "value").withColumnRenamed(
+        "bucket", "day"
+    )
+    want = {tuple(r) for r in want_sketch.collect()}
+    assert got == want and got
+    q_got = {
+        tuple(r)
+        for r in histogram_quantiles(snap, ["event_type"]).collect()
+    }
+    q_want = {
+        tuple(r)
+        for r in histogram_quantiles(want_sketch, ["event_type"]).collect()
+    }
+    assert q_got == q_want and q_got
+
+
+def test_stream_histogram_ingest_fresh_checkpoint_guard(spark, batch, tmp_path):
+    """A reset checkpoint against a store with future versions must refuse
+    (the lifecycle contract shared by every ingest sink here)."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    batch.limit(50).repartition(3).write.parquet(src)
+    file_schema = spark.read.parquet(src).schema
+
+    def mkstream():
+        return (
+            spark.readStream.schema(file_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    store = str(tmp_path / "hist")
+    SE.stream_histogram_ingest(
+        mkstream(), store, "event_type", "ts", "value", str(tmp_path / "ck1")
+    )
+    with _pytest.raises(Exception, match="ahead of epoch|StreamingQueryException|ahead"):
+        SE.stream_histogram_ingest(
+            mkstream(), store, "event_type", "ts", "value", str(tmp_path / "ck2")
+        )
