@@ -632,9 +632,7 @@ def group_split(
     )
 
 
-def rolling_origin_assign(
-    df: DataFrame, ts_col: str, n_slices: int = 5, tiebreak_col: str | None = None
-) -> DataFrame:
+def rolling_origin_assign(df: DataFrame, ts_col: str, n_slices: int = 5) -> DataFrame:
     """Rolling-origin (expanding-window) cross-validation slice assignment
     — the time-series counterpart of kfold_assign (cf. the reference's
     train/test temporal carving, /root/reference/src/feature_store/utils/

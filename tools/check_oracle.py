@@ -13,6 +13,7 @@ import json
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -81,6 +82,7 @@ def main():
         if only and name not in only:
             continue
         ran += 1
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -90,10 +92,14 @@ def main():
             failures.append(name)
             results[name] = {"ok": False, "err": f"spark: {e}"}
             continue
+        spark_s = round(time.monotonic() - t0, 3)
         if name not in oracles:
             print(f"PASS(rows-only) {name}: {len(s_rows)} rows")
-            results[name] = {"ok": True, "oracled": False, "rows": len(s_rows)}
+            results[name] = {
+                "ok": True, "oracled": False, "rows": len(s_rows), "spark_s": spark_s,
+            }
             continue
+        t0 = time.monotonic()
         try:
             rel = con.sql(oracles[name])
             d_cols = rel.columns
@@ -103,6 +109,7 @@ def main():
             failures.append(name)
             results[name] = {"ok": False, "err": f"duckdb: {e}"}
             continue
+        duck_s = round(time.monotonic() - t0, 3)
         problems = []
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
@@ -119,7 +126,10 @@ def main():
             results[name] = {"ok": False, "err": "; ".join(problems)[:500]}
         else:
             print(f"PASS {name}: {len(s_rows)} rows")
-            results[name] = {"ok": True, "oracled": True, "rows": len(s_rows)}
+            results[name] = {
+                "ok": True, "oracled": True, "rows": len(s_rows),
+                "spark_s": spark_s, "duck_s": duck_s,
+            }
     print(f"\n{ran - len(failures)}/{ran} pass")
     if json_out:
         payload = {
