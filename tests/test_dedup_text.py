@@ -841,3 +841,46 @@ def test_prefix_filter_jaccard_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dedup.prefix_filter_jaccard_pairs(df, "doc_id", "text", threshold_x100=0)
+
+
+def test_prefix_filter_jaccard_bigram_tokens_match_bruteforce(spark):
+    """ngram=2 (w-shingling): parity with the quadratic scan over
+    bigram SETS — including a doc too short to emit any bigram (it must
+    simply never pair) and order-sensitive near-misses (same words,
+    different order => different bigrams)."""
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),       # bigrams share {a b, b c, c d}: J=3/5=0.6
+        (3, "e d c b a"),       # same words REVERSED: shares no bigram with 1
+        (4, "a b c d e"),       # exact dup of 1: J=1
+        (5, "x"),               # single word: zero bigrams, never pairs
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"])
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold_x100=60, ngram=2
+        ).collect()
+    }
+    def bigrams(t):
+        w = t.split()
+        return {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+    sets = {i: bigrams(t) for i, t in docs}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                uni = len(sets[i] | sets[j])
+                if 100 * inter >= 60 * uni:
+                    want[(i, j)] = (inter, uni)
+    assert got == want and (1, 2) in got and (1, 4) in got
+    assert not any(5 in p for p in got)
+    assert not any((1, 3) == p for p in got)
+
+
+def test_prefix_filter_jaccard_rejects_bad_ngram(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="ngram"):
+        dedup.prefix_filter_jaccard_pairs(df, "doc_id", "text", ngram=0)
