@@ -154,7 +154,7 @@ R8 = [
     "pipe10_budget_curation",
     # rolling z-score anomaly over the daily aggregate
     "ts10_rolling_zscore",
-    # lossless prefix-filter exact jaccard join (doc_id%5 slice)
+    # lossless prefix-filter exact jaccard join (bigram tokens, %2 slice)
     "d16_prefix_filter_jaccard",
     # mergeable histogram sketch -> weekly P50/P90/P99 (integer edges)
     "ts11_quantile_sketch",

@@ -615,10 +615,16 @@ def histogram_sketch(
     Engine-exact: the only float op is one correctly-rounded IEEE
     division ``value / bin_width`` whose floor is then exact, so any
     IEEE engine bins identically (same argument as rolling_zscore's
-    fixed double chain); everything downstream is integer.
+    fixed double chain); everything downstream is integer. NULL values
+    carry no bin and are skipped (the COUNT DISTINCT convention ts4b's
+    HLL registers follow) — stated in the oracle as WHERE value IS NOT
+    NULL so the contract is explicit, not an accident of the corpus.
     """
+    if not bin_width > 0:
+        raise ValueError("bin_width must be > 0")
     return (
-        events.groupBy(
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(
             F.col(group_col),
             F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
             F.floor(F.col(value_col) / F.lit(float(bin_width)))
@@ -685,5 +691,10 @@ def histogram_quantiles(
     return c.groupBy(*group_cols).agg(
         *aggs,
         F.max("total").cast("long").alias("n_events"),
-        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        # DISTINCT bins, not input rows: when group_cols are coarser than
+        # the sketch's bucket (e.g. quantiles over a per-day store rolled
+        # up by group only) the same bin appears once per bucket; the
+        # RANGE window frame already merges those ties for cum, and
+        # n_bins must agree with that set, not the row count
+        F.count_distinct(F.col("bin")).cast("long").alias("n_bins"),
     )

@@ -7422,7 +7422,7 @@ TS11_SQL = """
 WITH h AS (
   SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS bucket,
          CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS n
-  FROM events GROUP BY 1, 2, 3
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
 ),
 c AS (
   SELECT event_type, bucket, bin,

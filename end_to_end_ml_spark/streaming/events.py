@@ -637,6 +637,58 @@ def stream_dedup_ingest(
     return q
 
 
+def _versioned_sketch_sink(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    store_kind: str,
+    build_batch,
+    merge,
+):
+    """Shared scaffolding of the sketch-maintenance sinks (HLL /
+    Count-Min / histogram): per micro-batch, build the batch's daily
+    sketch rows (``build_batch``), combine them with the newest store
+    version strictly below the epoch (``merge``), and write
+    ``store_path/v=<epoch>``. One implementation carries the lifecycle
+    contract for all three — the ahead-version guard (a fresh checkpoint
+    against an existing store refuses rather than rewriting the version
+    chain), write-next-from-previous versioning, crash replays rewriting
+    their own version, and the synchronous drain."""
+    import os
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = _snapshot_versions(store_path)
+        ahead = [v for v in versions if v > epoch_id]
+        if ahead:
+            raise RuntimeError(
+                f"{store_kind} store {store_path} has versions {ahead} ahead "
+                f"of epoch {epoch_id}: the checkpoint was reset against an "
+                "existing store (checkpoint_dir and store_path must live/die "
+                "together)."
+            )
+        daily = build_batch(batch_df)
+        prior = [v for v in versions if v < epoch_id]
+        if prior:
+            base = spark.read.parquet(os.path.join(store_path, f"v={max(prior)}"))
+            daily = merge(base, daily)
+        daily.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"v={epoch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
 def stream_hll_ingest(
     stream_df: DataFrame,
     store_path: str,
@@ -663,48 +715,25 @@ def stream_hll_ingest(
     own version); same lifecycle contract as stream_dedup_ingest — the
     guard refuses a fresh checkpoint against a store with versions ahead
     of the current epoch. Synchronous drain, like the other foreachBatch
-    sinks here."""
-    import os
-
+    sinks here. Scaffolding shared via _versioned_sketch_sink."""
     from ..operators.timeseries import hll_registers, hll_registers_rollup
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        versions = _snapshot_versions(store_path)
-        ahead = [v for v in versions if v > epoch_id]
-        if ahead:
-            raise RuntimeError(
-                f"HLL register store {store_path} has versions {ahead} ahead "
-                f"of epoch {epoch_id}: the checkpoint was reset against an "
-                "existing store (checkpoint_dir and store_path must live/die "
-                "together)."
-            )
-        daily = hll_registers_rollup(
+    return _versioned_sketch_sink(
+        stream_df,
+        store_path,
+        checkpoint_dir,
+        query_name,
+        "HLL register",
+        build_batch=lambda batch_df: hll_registers_rollup(
             hll_registers(batch_df, key_col, ts_col, group_col, p=p),
             group_col=group_col,
-        )
-        prior = [v for v in versions if v < epoch_id]
-        if prior:
-            base = spark.read.parquet(os.path.join(store_path, f"v={max(prior)}"))
-            daily = (
-                base.unionByName(daily)
-                .groupBy("day", group_col, "idx")
-                .agg(F.max("max_rho").alias("max_rho"))
-            )
-        daily.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"v={epoch_id}")
-        )
-
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .start()
+        ),
+        merge=lambda base, daily: (
+            base.unionByName(daily)
+            .groupBy("day", group_col, "idx")
+            .agg(F.max("max_rho").alias("max_rho"))
+        ),
     )
-    q.processAllAvailable()
-    q.stop()
-    return q
 
 
 def stream_countmin_ingest(
@@ -733,47 +762,24 @@ def stream_countmin_ingest(
     replay of epoch N rewrites ``v=N`` byte-identically rather than
     re-adding. Same store layout and fresh-checkpoint guard as
     stream_upsert_snapshot / stream_dedup_ingest / stream_hll_ingest;
-    synchronous drain."""
-    import os
-
+    synchronous drain. Scaffolding shared via _versioned_sketch_sink."""
     from ..operators.timeseries import countmin_sketch
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        versions = _snapshot_versions(store_path)
-        ahead = [v for v in versions if v > epoch_id]
-        if ahead:
-            raise RuntimeError(
-                f"Count-Min store {store_path} has versions {ahead} ahead "
-                f"of epoch {epoch_id}: the checkpoint was reset against an "
-                "existing store (checkpoint_dir and store_path must live/die "
-                "together)."
-            )
-        daily = countmin_sketch(
+    return _versioned_sketch_sink(
+        stream_df,
+        store_path,
+        checkpoint_dir,
+        query_name,
+        "Count-Min",
+        build_batch=lambda batch_df: countmin_sketch(
             batch_df, key_col, F.to_date(F.col(ts_col)), d=d, w=w
-        ).withColumnRenamed("bucket", "day")
-        prior = [v for v in versions if v < epoch_id]
-        if prior:
-            base = spark.read.parquet(os.path.join(store_path, f"v={max(prior)}"))
-            daily = (
-                base.unionByName(daily)
-                .groupBy("day", "row_i", "col")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        daily.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"v={epoch_id}")
-        )
-
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .start()
+        ).withColumnRenamed("bucket", "day"),
+        merge=lambda base, daily: (
+            base.unionByName(daily)
+            .groupBy("day", "row_i", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        ),
     )
-    q.processAllAvailable()
-    q.stop()
-    return q
 
 
 def stream_histogram_ingest(
@@ -802,44 +808,21 @@ def stream_histogram_ingest(
     both deterministic, so a crash replay rewrites ``v=N``
     byte-identically instead of double-counting. Same store layout and
     fresh-checkpoint guard as the other ingest sinks; synchronous
-    drain."""
-    import os
-
+    drain. Scaffolding shared via _versioned_sketch_sink."""
     from ..operators.timeseries import histogram_sketch
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        versions = _snapshot_versions(store_path)
-        ahead = [v for v in versions if v > epoch_id]
-        if ahead:
-            raise RuntimeError(
-                f"histogram store {store_path} has versions {ahead} ahead "
-                f"of epoch {epoch_id}: the checkpoint was reset against an "
-                "existing store (checkpoint_dir and store_path must live/die "
-                "together)."
-            )
-        daily = histogram_sketch(
+    return _versioned_sketch_sink(
+        stream_df,
+        store_path,
+        checkpoint_dir,
+        query_name,
+        "histogram",
+        build_batch=lambda batch_df: histogram_sketch(
             batch_df, ts_col, group_col, value_col, bin_width=bin_width
-        ).withColumnRenamed("bucket", "day")
-        prior = [v for v in versions if v < epoch_id]
-        if prior:
-            base = spark.read.parquet(os.path.join(store_path, f"v={max(prior)}"))
-            daily = (
-                base.unionByName(daily)
-                .groupBy(group_col, "day", "bin")
-                .agg(F.sum("n").cast("long").alias("n"))
-            )
-        daily.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"v={epoch_id}")
-        )
-
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .start()
+        ).withColumnRenamed("bucket", "day"),
+        merge=lambda base, daily: (
+            base.unionByName(daily)
+            .groupBy(group_col, "day", "bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+        ),
     )
-    q.processAllAvailable()
-    q.stop()
-    return q

@@ -287,9 +287,8 @@ def test_rolling_origin_rejects_single_slice(spark):
 
     from end_to_end_ml_spark.operators.split import rolling_origin_assign
 
+    import pytest
+
     df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], ["event_id", "ts"])
-    try:
+    with pytest.raises(ValueError, match="n_slices"):
         rolling_origin_assign(df, "ts", n_slices=1)
-        assert False, "expected ValueError"
-    except ValueError:
-        pass
