@@ -122,7 +122,21 @@ def write_serving_sidecar(path: str, decision_threshold: float, positive_label_i
         json.dump(payload, f, indent=2)
 
 
+DEFAULT_DECISION_THRESHOLD = 0.5
+DEFAULT_ENCODED_POS_CLASS_LABEL = 1
+
+
 def read_serving_sidecar(path: str) -> dict:
-    """S8 read side (helpers.py:35-53)."""
-    with open(path) as f:
-        return json.load(f)
+    """S8 read side (helpers.py:35-53): defaults first, sidecar overlays.
+    A missing or key-incomplete sidecar falls back to the reference's
+    serving defaults (threshold 0.5, positive label 1) instead of
+    failing the serving process — the exact contract its
+    test_load_serving_metadata_defaults pins."""
+    metadata = {
+        "decision_threshold": DEFAULT_DECISION_THRESHOLD,
+        "encoded_pos_class_label": DEFAULT_ENCODED_POS_CLASS_LABEL,
+    }
+    if os.path.exists(path):
+        with open(path) as f:
+            metadata.update(json.load(f))
+    return metadata

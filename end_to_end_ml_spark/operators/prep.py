@@ -154,10 +154,19 @@ def null_fraction_audit(df: DataFrame, cols: Sequence[str] | None = None) -> Dat
     ).orderBy(F.col("null_fraction").desc(), "column_name")
 
 
-def high_null_columns(df: DataFrame, threshold: float = 0.3) -> list[str]:
+def high_null_columns(
+    df: DataFrame,
+    threshold: float = 0.3,
+    exclude: Sequence[str] | None = None,
+) -> list[str]:
     """P8 flagging side: columns with ≥ threshold null fraction (tiny driver
-    collect of the audit frame)."""
-    audit = null_fraction_audit(df)
+    collect of the audit frame). ``exclude`` mirrors the reference's
+    ``cols_to_exclude`` (identify_cols_with_high_nans,
+    /root/reference/tests/test_feature/test_data_preprocessor.py:432):
+    excluded columns are never audited or flagged — id/date columns that
+    are legitimately sparse stay out of the drop list."""
+    targets = [c for c in df.columns if not exclude or c not in set(exclude)]
+    audit = null_fraction_audit(df, targets)
     return [r["column_name"] for r in audit.filter(F.col("null_fraction") >= threshold).collect()]
 
 

@@ -261,6 +261,23 @@ def test_sidecar_roundtrip(tmp_path):
     assert meta["encoded_pos_class_label"] == 1
 
 
+def test_sidecar_missing_falls_back_to_defaults(tmp_path):
+    """Reference parity (test_load_serving_metadata_defaults,
+    helpers.py:35-53): a missing sidecar yields the serving defaults
+    instead of failing; a key-incomplete sidecar overlays defaults."""
+    meta = C.read_serving_sidecar(str(tmp_path / "nope.json"))
+    assert meta["decision_threshold"] == C.DEFAULT_DECISION_THRESHOLD == 0.5
+    assert meta["encoded_pos_class_label"] == C.DEFAULT_ENCODED_POS_CLASS_LABEL == 1
+    p = str(tmp_path / "partial.json")
+    import json as _json
+
+    with open(p, "w") as f:
+        _json.dump({"decision_threshold": 0.7}, f)
+    meta = C.read_serving_sidecar(p)
+    assert meta["decision_threshold"] == 0.7
+    assert meta["encoded_pos_class_label"] == 1
+
+
 def test_select_champion_and_gate():
     cands = {"a": {"fbeta": 0.4}, "b": {"fbeta": 0.6}}
     assert select_champion(cands) == "b"

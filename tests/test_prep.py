@@ -71,6 +71,20 @@ def test_high_null_columns(spark):
     assert prep.high_null_columns(df, threshold=0.5) == ["b"]
 
 
+def test_high_null_columns_respects_exclude(spark):
+    """Reference parity (identify_cols_with_high_nans cols_to_exclude,
+    test_data_preprocessor.py:432): excluded columns are never flagged
+    even above threshold; others still are."""
+    df = spark.createDataFrame(
+        [(None, None, 1), (1, None, 2), (None, None, 3), (None, 1, 4)],
+        "a int, b int, c int",
+    )
+    # a: 0.75, b: 0.75, c: 0.0
+    assert prep.high_null_columns(df, threshold=0.5) == ["a", "b"]
+    assert prep.high_null_columns(df, threshold=0.5, exclude=["a"]) == ["b"]
+    assert prep.high_null_columns(df, threshold=0.5, exclude=["a", "b"]) == []
+
+
 def test_recode_values_passthrough(spark):
     df = spark.createDataFrame([("1",), ("2",), ("9",)], ["g"])
     out = prep.recode_values(df, "g", {"1": "Poor", "2": "Fair"}).collect()
