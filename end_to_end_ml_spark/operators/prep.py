@@ -192,8 +192,18 @@ class PrepPipeline:
     callables with add/prepend semantics, folded lazily so Catalyst still
     fuses all narrow steps into one stage."""
 
-    def __init__(self, steps: Sequence[Callable[[DataFrame], DataFrame]] = ()):
-        self.steps: list[Callable[[DataFrame], DataFrame]] = list(steps)
+    def __init__(
+        self,
+        steps: Sequence[Callable[[DataFrame], DataFrame]] = (),
+        prepend_steps: Sequence[Callable[[DataFrame], DataFrame]] = (),
+        append_steps: Sequence[Callable[[DataFrame], DataFrame]] = (),
+    ):
+        # prepend_steps run before and append_steps after the base steps —
+        # the reference's constructor contract
+        # (test_data_preprocessor.py:62, run_preprocessing_pipeline)
+        self.steps: list[Callable[[DataFrame], DataFrame]] = (
+            list(prepend_steps) + list(steps) + list(append_steps)
+        )
 
     def add_step(self, step: Callable[[DataFrame], DataFrame], position: int | None = None):
         if position is None:

@@ -241,3 +241,26 @@ def test_target_encode_table_shrinks_to_prior(spark):
     assert out["big"]["target_enc"] == pytest.approx((10000.0 + 10 * prior) / 1010)
     # shrinkage direction: rare lands between its own mean and the prior
     assert prior < out["rare"]["target_enc"] < 100.0
+
+
+def test_prep_pipeline_prepend_append_order(spark):
+    """Reference parity (test_prepend_and_append_steps_are_applied_in_order):
+    prepend steps run before base, append steps after, add_step at an
+    explicit position lands where asked."""
+    calls = []
+
+    def mk(tag):
+        def step(df):
+            calls.append(tag)
+            return df
+
+        return step
+
+    pipe = prep.PrepPipeline(
+        [mk("base")], prepend_steps=[mk("pre")], append_steps=[mk("post")]
+    )
+    pipe.add_step(mk("added"))          # appends after post
+    pipe.add_step(mk("inserted"), 1)    # between pre and base
+    df = spark.createDataFrame([(1,)], ["a"])
+    pipe.run(df).collect()
+    assert calls == ["pre", "inserted", "base", "post", "added"]
