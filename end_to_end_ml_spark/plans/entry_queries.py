@@ -7511,13 +7511,16 @@ REGISTRY["t14_rolling_origin"] = (t14_rolling_origin, T14_SQL)
 # by (exposure count, last exposed round) — ties broken by
 # md5(f"r{N}:{name}") so no name starves behind a fixed order; (3) greedy
 # fill to 50 with a family-coverage guard (every operator family appears
-# in every window). Round-8 pick (final, after the round's nine new
-# oracled queries registered): 41 first-exposure queries — the round-8
-# additions x22/mix2/f14/pipe10/dq5/s17/pipe9 and the round-7 seven
-# (ts4b/pipe8/emb5/s16/d4b/d13/d11) lead, then the legacy tail in hash
-# order — + 9 previously-green family anchors. 39 never-exposed oracled
-# queries remain for round 9; at ~41 exposures/round the policy reaches
-# full driver coverage by round 10. All registry entries remain locally
+# in every window). Round-8 pick (final, after the round's eleven new
+# oracled queries registered — incl. the continuation-session
+# ts11/t14): 41 first-exposure queries — the round-8 additions
+# x22/mix2/f14/ts10/pipe10/dq5/s17/pipe9/d16/ts11/t14 and the round-7
+# seven (ts4b/pipe8/emb5/s16/d4b/d13/d11) lead, then the legacy tail in
+# hash order — + 9 previously-green family anchors. Of 205 oracled
+# queries, 120 have driver rows from rounds 1-7 and 44 never-exposed
+# remain after this window drains; at ~41 exposures/round the policy
+# reaches full driver coverage in round 10. All registry entries remain
+# locally
 # verified via tools/check_oracle.py (the full-registry result is
 # committed as CHECK_ORACLE_LOCAL_r08.json); counts are asserted below
 # and in tests (tests/test_plan_lint.py::test_registry_count_claims).
