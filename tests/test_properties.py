@@ -301,3 +301,113 @@ def test_kept_count_matches_bruteforce(m, frac):
 
     brute = m if m <= 1 else sum(1 for r in range(1, m + 1) if (r - 1) / (m - 1) < frac)
     assert _kept_count(m, frac) == brute
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=120,
+    ),
+)
+@settings(**SETTINGS)
+def test_histogram_quantile_edges_bound_exact_quantiles(spark, vals):
+    """For ANY value list, every reported qth edge is >= the exact qth
+    order statistic and overshoots it by at most one bin width (the
+    sketch's stated error contract)."""
+    import datetime as dt
+
+    from end_to_end_ml_spark.operators import timeseries as TS
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), float(v), i)
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(rows, ["g", "ts", "value", "i"])
+    h = TS.histogram_sketch(ev, "ts", "g", "value", bin_width=10.0)
+    out = TS.histogram_quantiles(h, ["g"]).collect()[0]
+    svals = sorted(vals)
+    n = len(svals)
+    for q in (50, 90, 99):
+        # exact q-th order statistic under the cum*100 >= q*total rule
+        k = -(-q * n // 100)  # ceil(q*n/100)
+        exact = svals[k - 1]
+        edge = out[f"p{q}_edge_x100"] / 100.0
+        assert edge > exact or edge == exact  # upper bound
+        assert edge - exact <= 10.0  # within one bin width
+    assert out["n_events"] == n
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=25,
+    ),
+    t100=st.sampled_from([50, 60, 80]),
+    ngram=st.sampled_from([1, 2]),
+)
+@settings(**SETTINGS)
+def test_prefix_filter_jaccard_equals_bruteforce(spark, texts, t100, ngram):
+    """Prefix filtering over ARBITRARY small corpora (tiny vocab — the
+    adversarial case) emits exactly the brute-force pair set at any
+    threshold and token granularity."""
+    from end_to_end_ml_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"])
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold_x100=t100, ngram=ngram
+        ).collect()
+    }
+
+    def toks(t):
+        w = t.split()
+        if ngram == 1:
+            return set(w)
+        return {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+
+    sets = {i: toks(t) for i, t in enumerate(texts)}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                uni = len(sets[i] | sets[j])
+                if 100 * inter >= t100 * uni:
+                    want[(i, j)] = (inter, uni)
+    assert got == want
+
+
+@given(
+    epochs=st.lists(
+        st.integers(1_700_000_000, 1_700_900_000), min_size=2, max_size=80
+    ),
+    n_slices=st.sampled_from([2, 4, 7]),
+)
+@settings(**SETTINGS)
+def test_rolling_origin_partitions_and_orders(spark, epochs, n_slices):
+    """Every row gets a slice in [0, n); slices partition the input; max
+    ts of slice k < min ts of slice k+1 for every occupied adjacent
+    pair (the no-leakage invariant), on arbitrary timestamp multisets."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_ml_spark.operators.split import rolling_origin_assign
+
+    df = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(epochs)], ["i", "e"]
+    ).select("i", F.timestamp_seconds(F.col("e")).alias("ts"))
+    out = rolling_origin_assign(df, "ts", n_slices=n_slices).collect()
+    assert len(out) == len(epochs)
+    by_slice = {}
+    for r in out:
+        assert 0 <= r["slice"] < n_slices
+        by_slice.setdefault(r["slice"], []).append(r["ts"])
+    occupied = sorted(by_slice)
+    for a, b in zip(occupied, occupied[1:]):
+        assert max(by_slice[a]) < min(by_slice[b])
