@@ -7254,7 +7254,7 @@ def pipe9_incremental_ann(spark, sf_dir):
     all cosine ≥ 0.4 pairs. Candidate cells come from EXACT angular
     triangle-inequality pruning (angle(q, centroid) − cell radius >
     arccos τ ⇒ cell provably empty of matches — the metric property, not
-    a corpus-specific recall argument), exact JVM-fold cosine verifies,
+    a corpus-specific recall argument), exact Arrow-batched cosine verifies,
     so the brute-force cross-split SQL is an UNCONDITIONAL oracle. The
     near-dup family now has incremental paths at all three levels: exact
     (pipe6), MinHash (pipe8), embedding (pipe9). On this near-uniform
