@@ -557,21 +557,35 @@ def _probe_candidate_cells(
     vec_col: str,
     index: IvfIndex,
     threshold: float,
-    eps: float = 1e-9,
+    eps: float = 1e-5,
+    round_digits: int = 6,
 ) -> DataFrame:
     """(cell, qid, qvec) candidate rows under EXACT angular triangle-
-    inequality pruning: cell c is a candidate for query q unless
-    angle(q, centroid_c) − radius_c > arccos(threshold) + eps. Angular
-    distance is a metric on the unit sphere, so any history vector p in
-    cell c satisfies angle(q, p) ≥ angle(q, centroid_c) − radius_c; a
-    pruned cell therefore provably contains NO vector with
-    cos(q, p) ≥ threshold (up to the eps float slack) — the pruning is
-    unconditionally lossless, unlike fixed n_probe cell selection."""
+    inequality pruning AGAINST THE ROUNDED ACCEPTANCE BOUNDARY: the
+    verify stage (and the oracle) accept a pair when
+    round(cos, round_digits) ≥ threshold, i.e. true cosines down to
+    threshold − 0.5·10^−round_digits, so the pruning angle is derived
+    from that boundary — cell c is a candidate for query q unless
+    angle(q, centroid_c) − radius_c >
+    arccos(threshold − 0.5·10^−round_digits) + eps (round-8 ADVICE:
+    pruning against arccos(threshold) alone could drop a pair the
+    rounded comparison keeps). Angular distance is a metric on the unit
+    sphere, so any history vector p in cell c satisfies
+    angle(q, p) ≥ angle(q, centroid_c) − radius_c; a pruned cell
+    therefore provably contains NO vector the verify stage would accept
+    — the pruning is unconditionally lossless w.r.t. the rounded
+    contract, unlike fixed n_probe cell selection. eps is an ANGULAR
+    slack (radians) absorbing the float32↔float64 representation gap:
+    the verify stage reads the float32-cast stored vectors while the
+    radii/probe angles come from the float64 originals, a perturbation
+    of ≤ ~2^−24·√dim ≈ 3e−6 rad at dim=1024; 1e−5 covers it with
+    margin and costs nothing against radii of O(0.1–1) rad."""
     import numpy as np
     import pandas as pd
 
     spark = new_df.sparkSession
-    thr_ang = math.acos(max(-1.0, min(1.0, threshold)))
+    accept_lo = threshold - 0.5 * 10.0 ** (-int(round_digits))
+    thr_ang = math.acos(max(-1.0, min(1.0, accept_lo)))
     bc = spark.sparkContext.broadcast((index.centroids, index.radii))
 
     def probe(batches):
@@ -615,11 +629,13 @@ def ivf_probe_pairs(
     probes a persisted IVF index over the HISTORY corpus for all pairs
     with cosine ≥ threshold, EXACTLY. Candidates are batch × members of
     non-prunable cells (see :func:`_probe_candidate_cells` — angular
-    triangle-inequality pruning, lossless by the metric property rather
-    than by a corpus-specific recall argument), then an exact Arrow-batched
-    cosine verifies each candidate; the brute-force cross-split SQL is
-    therefore an unconditional oracle. History×history pairs are never
-    generated; per-batch cost is |batch| × (members of candidate cells).
+    triangle-inequality pruning against the ROUNDED acceptance boundary
+    threshold − 0.5·10^−round_digits, lossless by the metric property
+    rather than by a corpus-specific recall argument), then an exact
+    Arrow-batched cosine verifies each candidate; the brute-force
+    cross-split SQL is therefore an unconditional oracle. History×history
+    pairs are never generated; per-batch cost is |batch| × (members of
+    candidate cells).
 
     Pruning effectiveness is data-dependent: on the synthetic test
     embeddings (near-uniform directions, cell radii ≈ 1.3-1.45 rad) no
@@ -627,8 +643,10 @@ def ivf_probe_pairs(
     cross join — still correct, same cost as d5's verification path. On
     a clusterable corpus (radius r cells) every cell at angle >
     arccos(τ) + r is skipped — the planted-cluster pytest pins both the
-    exactness and that pruning actually engages. Zero-norm vectors are
-    not supported (cosine undefined).
+    exactness and that pruning actually engages; a maintenance loop can
+    measure which regime it is in via :func:`ivf_pruning_report` and fall
+    back to the approximate sim3 path when pruned_fraction ≈ 0. Zero-norm
+    vectors are not supported (cosine undefined).
 
     Pass ``index=`` (from :func:`ivf_build_index`) in a maintenance loop
     so the only per-call work is the batch probe; without it the index is
@@ -640,7 +658,9 @@ def ivf_probe_pairs(
         if hist_df is None:
             raise ValueError("ivf_probe_pairs needs hist_df or index")
         index = ivf_build_index(hist_df, id_col, vec_col, n_centroids, sample_mod)
-    cand = _probe_candidate_cells(new_df, id_col, vec_col, index, threshold)
+    cand = _probe_candidate_cells(
+        new_df, id_col, vec_col, index, threshold, round_digits=round_digits
+    )
     joined = cand.join(index.cells, "cell").select("qid", "qvec", "nid", "nvec")
     # Arrow-batched row-wise cosine over the candidate pairs: Spark's
     # higher-order fold (aggregate/zip_with) is interpreted per element —
@@ -678,6 +698,42 @@ def ivf_probe_pairs(
     return joined.mapInPandas(
         verify, "new_id long, hist_id long, cosine_sim double"
     ).orderBy("new_id", "hist_id")
+
+
+def ivf_pruning_report(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index: IvfIndex,
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One-row pruning-effectiveness report for the ivf_probe_pairs path
+    (round-8 verdict #4): `(n_queries, cells_total, candidate_cell_rows,
+    pruned_fraction)` where pruned_fraction = 1 − candidates/(queries ×
+    populated cells). A maintenance loop reads this to DETECT the
+    degenerate regime — on a near-uniform-direction corpus (the synthetic
+    test embeddings: radii ≈ 1.3–1.45 rad at τ=0.4) no cell is prunable,
+    pruned_fraction ≈ 0, and the loop should deliberately fall back to
+    the approximate sim3 n_probe path instead of paying the exact cross
+    join; on a clusterable corpus pruned_fraction > 0 and the lossless
+    probe is the right tool. Costs two small jobs (a count over the batch
+    and a 1-row aggregate over the candidate frame) — report-only, never
+    on the probe's hot path."""
+    spark = new_df.sparkSession
+    n_queries = new_df.count()
+    n_cells = index.cells.select("cell").distinct().count()
+    cand = _probe_candidate_cells(
+        new_df, id_col, vec_col, index, threshold, round_digits=round_digits
+    )
+    cand_rows = cand.count()
+    total = n_queries * n_cells
+    pruned = 0.0 if total == 0 else 1.0 - cand_rows / total
+    return spark.createDataFrame(
+        [(n_queries, n_cells, cand_rows, float(pruned))],
+        "n_queries long, cells_total long, candidate_cell_rows long, "
+        "pruned_fraction double",
+    )
 
 
 def _rp_signs(dim: int, n_out: int, seed: int = 13) -> list[list[int]]:

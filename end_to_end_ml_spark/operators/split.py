@@ -567,6 +567,13 @@ def token_budget_allocation(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
         )
+        # n_tokens > 0 guards every later integer division (round-8
+        # ADVICE: a zero-token group made `div n_tokens` NULL, and an
+        # all-zero corpus made total_w=0 → every alloc_raw NULL). With
+        # t ≥ 1 and alpha in [0,1], t^alpha ≥ 1 so weight_q ≥ 1024 —
+        # total_w = 0 is impossible on a non-empty frame and the output
+        # NEVER contains NULL allocations.
+        .filter(F.col("n_tokens") > 0)
     )
     t = F.col("n_tokens").cast("double")
     wexpr = F.sqrt(t) if alpha == 0.5 else F.pow(t, F.lit(alpha))

@@ -458,10 +458,15 @@ def parquet_file_stats(path: str) -> dict:
     # the single-slash 'file:/x' too — the round-7 review caught that it
     # slipped past the first guard and silently walked nothing). file
     # URIs resolve to their path component; anything else — including a
-    # file URI with a non-local host — is rejected loudly. A path that
-    # EXISTS locally is local even if its first segment contains a colon
-    # ('data:v2/table' is a legal directory name, not a URI).
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path) and not os.path.exists(path):
+    # file URI with a non-local host — is rejected loudly. The URI test
+    # is PURELY SYNTACTIC: scheme + ':' + '/' (every Hadoop URI form —
+    # 's3://b', 'hdfs://nn/x', 'file:/x' — has a slash right after the
+    # colon, while a legal local name like 'data:v2/table' does not).
+    # Round-8 ADVICE: the previous `not os.path.exists(path)` escape made
+    # the guard depend on filesystem state — a directory literally named
+    # 'hdfs:' in cwd would have turned a remote URI into a silent local
+    # walk.
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", path):
         from urllib.parse import urlparse
 
         parsed = urlparse(path)

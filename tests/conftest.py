@@ -11,12 +11,17 @@ def spark():
     yield s
 
 
-# Skip budget (round-7 verdict #7): exactly two env-gated skips are
-# expected in this sandbox — the protobuf-gated transformWithStateInPandas
-# equivalence test and the optional-lib gate. A green run with MORE skips
-# means some suite silently stopped executing; fail the session loudly
-# instead of letting it hide inside "N passed, M skipped".
-SKIP_BUDGET = 2
+# Skip budget (round-7 verdict #7): env-gated skips expected in the CI
+# sandbox — the protobuf-gated transformWithStateInPandas equivalence
+# test and the optional-lib gate. A green run with MORE skips means some
+# suite silently stopped executing; fail the session loudly instead of
+# letting it hide inside "N passed, M skipped". Round-8 ADVICE: the
+# budget is overridable via CI_SKIP_BUDGET so a partial run on a machine
+# missing more optional deps (or a future third gated test) doesn't trip
+# it — the CI/sandbox default stays the strict census of 2.
+import os
+
+SKIP_BUDGET = int(os.environ.get("CI_SKIP_BUDGET", "2"))
 
 
 @pytest.hookimpl(trylast=True)
@@ -28,8 +33,8 @@ def pytest_sessionfinish(session, exitstatus):
     if len(skipped) > SKIP_BUDGET:
         names = [getattr(r, "nodeid", "?") for r in skipped]
         reporter.write_line(
-            f"SKIP BUDGET EXCEEDED: {len(skipped)} skips > budget {SKIP_BUDGET}: "
-            + ", ".join(names),
+            f"SKIP BUDGET EXCEEDED: {len(skipped)} skips > budget {SKIP_BUDGET} "
+            "(override: CI_SKIP_BUDGET): " + ", ".join(names),
             red=True,
         )
         session.exitstatus = 1

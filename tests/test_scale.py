@@ -472,6 +472,12 @@ def test_compact_parquet_rejects_remote_uri(spark, tmp_path):
     os.chdir(tmp_path)
     try:
         assert parquet_file_stats("data:v2/t")["n_files"] >= 1
+        # round-8 ADVICE: the URI test must be SYNTACTIC, not
+        # filesystem-state-dependent — a local directory literally named
+        # 'hdfs:' must not turn a remote URI into a silent local walk
+        (tmp_path / "hdfs:" / "nn" / "warehouse" / "t").mkdir(parents=True)
+        with pytest.raises(ValueError, match="non-local path"):
+            parquet_file_stats("hdfs://nn/warehouse/t")
     finally:
         os.chdir(cwd)
 

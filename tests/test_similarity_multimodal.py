@@ -204,6 +204,81 @@ class TestIvfProbePairs:
         with pytest.raises(ValueError, match="hist_df or index"):
             similarity.ivf_probe_pairs(vecs, "vec_id", "embedding")
 
+    def test_pruning_respects_rounded_acceptance_boundary(self, spark):
+        """Round-8 ADVICE (medium): the verify stage accepts
+        round(cos, 6) >= threshold, i.e. true cosines down to
+        threshold - 5e-7, so a pair just BELOW the raw threshold must
+        not sit in a pruned cell. One history vector (centroid = itself,
+        radius 0) at cos = threshold - 2.5e-7 from the query: pruning
+        against arccos(threshold) would drop the cell; pruning against
+        the rounded boundary keeps it and the pair surfaces."""
+        import math
+
+        thr = 0.9
+        target = thr - 2.5e-7  # inside [thr - 5e-7, thr): oracle-accepted
+        s = math.sqrt(1.0 - target * target)
+        hist = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+        batch = spark.createDataFrame(
+            [(2, [target, s])], ["vec_id", "embedding"]
+        )
+        idx = similarity.ivf_build_index(hist, "vec_id", "embedding", n_centroids=1)
+        try:
+            got = similarity.ivf_probe_pairs(
+                batch, "vec_id", "embedding", threshold=thr, index=idx
+            ).collect()
+            assert len(got) == 1
+            assert got[0]["new_id"] == 2 and got[0]["hist_id"] == 1
+            assert got[0]["cosine_sim"] == pytest.approx(thr)  # rounded up
+        finally:
+            idx.unpersist()
+
+    def test_pruning_report_detects_regimes(self, spark):
+        """Round-8 verdict #4: pruned_fraction > 0 on the planted-cluster
+        fixture (tight cells, pruning engages) and ≈ 0 on a
+        near-uniform-direction corpus (the degenerate regime a
+        maintenance loop should detect and route to the approximate sim3
+        path)."""
+        df = _planted_clusters(spark)
+        batch = df.filter(F.col("vec_id") % 4 == 0)
+        hist = df.filter(F.col("vec_id") % 4 != 0)
+        idx = similarity.ivf_build_index(hist, "vec_id", "embedding", n_centroids=8)
+        try:
+            rep = similarity.ivf_pruning_report(
+                batch, "vec_id", "embedding", idx, threshold=0.9
+            ).collect()[0]
+            assert rep["pruned_fraction"] > 0.0
+            assert rep["n_queries"] == batch.count()
+            assert rep["candidate_cell_rows"] <= rep["n_queries"] * rep["cells_total"]
+        finally:
+            idx.unpersist()
+        # degenerate regime: positive-orthant directions (like real
+        # normalized embeddings — the sf* testdata corpus has radii
+        # 1.3-1.45 rad, τ=0.4) cap every query-centroid angle at π/2
+        # while cell radii stay large relative to arccos(τ), so NO cell
+        # is prunable: a quarter-circle arc, 2 wide cells, τ=0.2
+        # (arccos ≈ 1.37 > π/2 − radius ≈ 1.18)
+        import math
+
+        rows = [
+            (i, [math.cos(math.pi * i / 46), math.sin(math.pi * i / 46), 0.1])
+            for i in range(24)
+        ]
+        arc = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        idx2 = similarity.ivf_build_index(
+            arc.filter(F.col("vec_id") % 4 != 0), "vec_id", "embedding", n_centroids=2
+        )
+        try:
+            rep2 = similarity.ivf_pruning_report(
+                arc.filter(F.col("vec_id") % 4 == 0),
+                "vec_id",
+                "embedding",
+                idx2,
+                threshold=0.2,
+            ).collect()[0]
+            assert rep2["pruned_fraction"] == pytest.approx(0.0, abs=1e-9)
+        finally:
+            idx2.unpersist()
+
 
 def test_ivf_topk_high_recall_vs_bruteforce(spark):
     """IVF with generous probes on a small set should recover most exact

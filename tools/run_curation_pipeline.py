@@ -45,7 +45,11 @@ def curate(spark, sf_dir: str, budget_tokens: int, n_shards: int = 8):
     ).select("*", *text.gopher_rule_columns())
     w_fp = Window.partitionBy("fp")
     surv = (
-        feat.filter(F.col("keep"))
+        # NULL-source docs can never be admitted (token_budget_allocation
+        # drops NULL groups, so the rates join would drop them anyway) —
+        # filter them explicitly at the scan so the intent is visible and
+        # the predicate pushes down (round-8 ADVICE consistency note)
+        feat.filter(F.col("keep") & F.col("source").isNotNull())
         .withColumn("keeper", F.min("doc_id").over(w_fp))
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "source", "text", "n_words")
