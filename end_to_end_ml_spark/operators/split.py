@@ -614,6 +614,94 @@ def token_budget_allocation(
     )
 
 
+def token_budget_waterfill(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget_tokens: int,
+    max_epochs_x1024: int = 2048,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Water-filling variant of :func:`token_budget_allocation` (round-8
+    verdict #7): clipped surplus IS redistributed — the LLaMA-style
+    exact mixture where Σ alloc_tokens == budget whenever Σ caps ≥
+    budget (otherwise every group sits at its cap and the budget is
+    infeasible).
+
+    Algorithm: collect the ≤|groups|-row (group, weight_q, cap) frame to
+    the driver (the ONLY driver-side data — the fact table is scanned
+    once inside token_budget_allocation's groupBy) and iterate in exact
+    integer arithmetic: share_g = R·w_g div W over the uncapped set,
+    remainder R − Σ shares distributed one token each by LARGEST
+    REMAINDER (R·w_g mod W desc, group asc — deterministic), any group
+    pushed past its cap is frozen at the cap and the loop repeats with
+    the residual budget. Each round freezes ≥1 group or terminates, so
+    ≤ |groups| rounds of O(|groups| log |groups|) driver work — trivial
+    at any corpus size (|groups| = data sources, tens).
+
+    Output schema matches token_budget_allocation (clipped == frozen at
+    cap); epochs_ppm = 10^6·alloc div n_tokens as there."""
+    base = token_budget_allocation(
+        df, group_col, token_col, budget_tokens, max_epochs_x1024, alpha
+    )
+    rows = base.select(group_col, "n_docs", "n_tokens", "weight_q").collect()
+    groups = [
+        {
+            "g": r[group_col],
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "w": r["weight_q"],
+            "cap": (max_epochs_x1024 * r["n_tokens"]) // 1024,
+        }
+        for r in rows
+    ]
+    alloc = {g["g"]: 0 for g in groups}
+    frozen: set = set()
+    active = [g for g in groups]
+    budget_left = int(budget_tokens)
+    while active and budget_left > 0:
+        w_total = sum(g["w"] for g in active)
+        if w_total == 0:  # unreachable: n_tokens>0 ⇒ weight_q ≥ 1024
+            break
+        shares = {g["g"]: (budget_left * g["w"]) // w_total for g in active}
+        rem = budget_left - sum(shares.values())
+        # largest-remainder: +1 token to `rem` groups, mod desc, name asc
+        order = sorted(
+            active,
+            key=lambda g: (-((budget_left * g["w"]) % w_total), str(g["g"])),
+        )
+        for g in order[: int(rem)]:
+            shares[g["g"]] += 1
+        over = [g for g in active if shares[g["g"]] > g["cap"]]
+        if not over:
+            for g in active:
+                alloc[g["g"]] = shares[g["g"]]
+            budget_left = 0
+        else:
+            for g in over:
+                alloc[g["g"]] = g["cap"]
+                frozen.add(g["g"])
+                budget_left -= g["cap"]
+            active = [g for g in active if g["g"] not in frozen]
+    spark = df.sparkSession
+    out = [
+        (
+            g["g"],
+            g["n_docs"],
+            g["n_tokens"],
+            g["w"],
+            alloc[g["g"]],
+            (1_000_000 * alloc[g["g"]]) // g["n_tokens"],
+            g["g"] in frozen,
+        )
+        for g in groups
+    ]
+    return spark.createDataFrame(
+        out,
+        base.schema,
+    )
+
+
 def group_split(
     df: DataFrame,
     group_col: str,

@@ -6373,16 +6373,19 @@ def dq5_id_gap_audit(spark, sf_dir):
 
     Scale shape: the naive form (lag over ORDER BY key, no partition) is
     a single-partition window over every key — a scale-killer. Here keys
-    are range-bucketed (key div 4096): per-bucket consecutive gaps use a
+    are range-bucketed with a width DERIVED from the observed key span
+    (1 + span div 65536, via a broadcast 1-row min/max — round-8 verdict
+    #3), so the cross-bucket frame through the one global window is
+    ≤ 65538 rows at ANY keyspace: per-bucket consecutive gaps use a
     PARTITIONED window, per-bucket partials (count, dup count, row sum,
-    min/max, max internal gap) collapse to a |buckets|-row frame, and
-    only that bounded frame sees a global window for the cross-bucket
-    boundary gaps. One fact scan; the DuckDB oracle computes the same
-    numbers with the naive global lag — algorithm differs, result is
-    pinned identical (operators/prep.id_gap_audit; planted-gap pytest
-    covers the cross-bucket boundary case)."""
+    min/max, max internal gap) collapse to that bounded frame, and only
+    it sees the global window for the cross-bucket boundary gaps. The
+    DuckDB oracle computes the same numbers with the naive global lag —
+    algorithm differs, result is pinned identical and bucket-width-
+    agnostic (operators/prep.id_gap_audit; planted-gap + wide-keyspace
+    pytests cover the boundary case and the derived sizing)."""
     o = load_table(spark, sf_dir, "orders")
-    return prep.id_gap_audit(o, "o_orderkey", bucket_size=4096)
+    return prep.id_gap_audit(o, "o_orderkey")
 
 
 DQ5_SQL = """

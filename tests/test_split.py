@@ -235,6 +235,130 @@ class TestTokenBudgetAllocation:
                 self._staged(spark), "source", "n_tokens", 100, alpha=2.0
             )
 
+    def test_zero_token_group_never_yields_null_allocs(self, spark):
+        """Round-8 ADVICE: a zero-token group hit `div n_tokens` NULL.
+        Now it is filtered up front and the output carries no NULLs."""
+        from end_to_end_ml_spark.operators.split import token_budget_allocation
+
+        rows = [("live", 100)] * 5 + [("empty", 0)] * 3
+        df = spark.createDataFrame(rows, ["source", "n_tokens"])
+        out = token_budget_allocation(df, "source", "n_tokens", 1000).collect()
+        assert {r["source"] for r in out} == {"live"}
+        assert all(
+            r[c] is not None for r in out for c in r.asDict()
+        )
+        # all-zero corpus: empty output, not a frame of NULL allocations
+        zero = spark.createDataFrame([("a", 0), ("b", 0)], ["source", "n_tokens"])
+        assert token_budget_allocation(zero, "source", "n_tokens", 1000).count() == 0
+
+
+class TestTokenBudgetWaterfill:
+    def _staged(self, spark, rows):
+        return spark.createDataFrame(rows, ["source", "n_tokens"])
+
+    def test_redistributes_clipped_surplus_to_exact_budget(self, spark):
+        """The defining closed form (round-8 verdict #7): when Σ caps ≥
+        budget, Σ alloc_tokens == budget EXACTLY — the clipped group's
+        surplus lands on the unclipped ones (single-pass allocation left
+        it on the table)."""
+        from end_to_end_ml_spark.operators.split import (
+            token_budget_allocation,
+            token_budget_waterfill,
+        )
+
+        rows = [("src_a", 100)] * 10 + [("src_b", 400)] * 10
+        budget = 10_000
+        wf = {
+            r["source"]: r
+            for r in token_budget_waterfill(
+                self._staged(spark, rows), "source", "n_tokens", budget,
+                max_epochs_x1024=2048,
+            ).collect()
+        }
+        # src_a capped at 2 epochs = 2000; the 1332-token surplus moves
+        # to src_b: 10000 - 2000 = 8000 ≤ src_b's cap 8000
+        assert wf["src_a"]["alloc_tokens"] == 2000 and wf["src_a"]["clipped"]
+        assert wf["src_b"]["alloc_tokens"] == 8000
+        assert not wf["src_b"]["clipped"]
+        assert sum(r["alloc_tokens"] for r in wf.values()) == budget
+        # single-pass form left budget on the table on the same input
+        sp = token_budget_allocation(
+            self._staged(spark, rows), "source", "n_tokens", budget,
+            max_epochs_x1024=2048,
+        ).collect()
+        assert sum(r["alloc_tokens"] for r in sp) < budget
+
+    def test_equals_single_pass_when_nothing_clips(self, spark):
+        """With no binding cap, water-filling degenerates to the largest-
+        remainder completion of the proportional shares: every group's
+        alloc is within +1 of the single-pass value and the total is the
+        full budget (single-pass loses only the integer-division dust)."""
+        from end_to_end_ml_spark.operators.split import (
+            token_budget_allocation,
+            token_budget_waterfill,
+        )
+
+        rows = [("a", 300)] * 3 + [("b", 500)] * 2 + [("c", 700)] * 4
+        budget = 3_000
+        sp = {
+            r["source"]: r["alloc_tokens"]
+            for r in token_budget_allocation(
+                self._staged(spark, rows), "source", "n_tokens", budget
+            ).collect()
+        }
+        wf = {
+            r["source"]: r
+            for r in token_budget_waterfill(
+                self._staged(spark, rows), "source", "n_tokens", budget
+            ).collect()
+        }
+        for src, base_alloc in sp.items():
+            assert base_alloc <= wf[src]["alloc_tokens"] <= base_alloc + 1
+            assert not wf[src]["clipped"]
+        assert sum(r["alloc_tokens"] for r in wf.values()) == budget
+
+    def test_infeasible_budget_caps_everyone(self, spark):
+        """budget > Σ caps: every group frozen at its cap, total = Σ caps
+        — the honest infeasibility signal (all clipped)."""
+        from end_to_end_ml_spark.operators.split import token_budget_waterfill
+
+        rows = [("a", 100)] * 2 + [("b", 50)] * 2
+        out = token_budget_waterfill(
+            self._staged(spark, rows), "source", "n_tokens",
+            budget_tokens=10**9, max_epochs_x1024=1024,
+        ).collect()
+        assert all(r["clipped"] for r in out)
+        assert {r["source"]: r["alloc_tokens"] for r in out} == {
+            "a": 200, "b": 100,  # 1.0-epoch caps
+        }
+
+    def test_cascading_freezes_converge(self, spark):
+        """Surplus from round 1 pushes a SECOND group past ITS cap only
+        in round 2 — the loop must cascade and still land exactly on
+        budget. Hand-computed: weights 102400/20480/204800, round-1
+        shares 9375/1875/18750; only b (cap 383) freezes; round-2 a's
+        share rises to 9872 > its cap 9599, freezing a; round 3 hands
+        the residual 20018 to c."""
+        from end_to_end_ml_spark.operators.split import token_budget_waterfill
+
+        rows = [("a", 10000)] + [("b", 400)] + [("c", 40000)]
+        budget = 30_000
+        out = {
+            r["source"]: r
+            for r in token_budget_waterfill(
+                self._staged(spark, rows), "source", "n_tokens", budget,
+                max_epochs_x1024=983,
+            ).collect()
+        }
+        # round-1 share of a is 9375 ≤ cap 9599 — it clips only AFTER
+        # b's freeze redistributes weight (share becomes 9872)
+        assert 30_000 * 102400 // 327680 == 9375 < 9599
+        assert out["b"]["alloc_tokens"] == 383 and out["b"]["clipped"]
+        assert out["a"]["alloc_tokens"] == 9599 and out["a"]["clipped"]
+        assert out["c"]["alloc_tokens"] == 30_000 - 383 - 9599
+        assert not out["c"]["clipped"]
+        assert sum(r["alloc_tokens"] for r in out.values()) == budget
+
 
 def test_carve_assignment_matches_chain(spark):
     """The fused single-pass 4-way carve must be ROW-IDENTICAL to the
