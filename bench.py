@@ -162,6 +162,13 @@ R8 = [
     "t14_rolling_origin",
 ]
 
+# Round-9 additions: the oracled replacement of the rows-only MLlib slot
+# (real frame + exact label + stratified split + integer leaderboard —
+# the split machinery under a computed label gets its own row).
+R9 = [
+    "ml1b_validation_leaderboard",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -248,6 +255,7 @@ def main() -> None:
         + [(n, 4) for n in R6]
         + [(n, 4) for n in R7]
         + [(n, 4) for n in R8]
+        + [(n, 4) for n in R9]
     ):
         # d4's ~2000-node generated aggregate needs the most C2 warm-up of
         # any plan; in a warm session (17 queries already run) its reps
