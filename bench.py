@@ -395,6 +395,14 @@ def main() -> None:
         "r4_comparable_warm": seg(HEADLINE, False),
         "r5_comparable_warm": seg(HEADLINE + HEAVY + R5, False),
         "r6_comparable_warm": seg(HEADLINE + HEAVY + R5 + R6, False),
+        # Per-query slot-1 minima for the headline segment (round-8
+        # verdict #2: the r4-comparable first-pass moved 10.07 -> 11.30 s
+        # in the driver session while the warm fold and solo runs both
+        # beat the target — publishing the per-query slot-1 numbers lets
+        # any reader attribute a future slot-1 delta to the specific
+        # queries whose first-pass JIT/session state inflated, instead of
+        # guessing from the segment sum).
+        "headline_slot1": slot1,
         # Honest-comparison disclosure (round-7 ADVICE): the session conf
         # and warm-up methodology have CHANGED since the rounds the
         # *_comparable_totals are named after, so those deltas mix harness

@@ -88,3 +88,18 @@ class VotingEnsemble:
                 ).cast("double"),
             )
         return out.drop(*prob_cols, *vote_cols)
+
+
+def get_base_models(models: list) -> list[tuple[str, object]]:
+    """Pair each fitted base model with its OWN final-estimator class name
+    (reference /root/reference/src/training/core/ensemble.py:77-103,
+    pinned by test_ensemble_and_config.py::
+    test_get_base_models_uses_each_classifier_name): a PipelineModel
+    reports the class of its LAST stage (the classifier), a bare model
+    its own class — so a [LogisticRegression, RandomForest] list never
+    collapses to one repeated name."""
+    out = []
+    for m in models:
+        est = m.stages[-1] if hasattr(m, "stages") else m
+        out.append((type(est).__name__, m))
+    return out

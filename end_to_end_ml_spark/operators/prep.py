@@ -170,16 +170,48 @@ def high_null_columns(
     return [r["column_name"] for r in audit.filter(F.col("null_fraction") >= threshold).collect()]
 
 
-def recode_values(df: DataFrame, col: str, mapping: dict) -> DataFrame:
-    """P9/P10: dict recode of a categorical column. Implemented as a chained
+def recode_values(
+    df: DataFrame, col: str, mapping: dict, on_missing: str = "warn"
+) -> DataFrame:
+    """P9: dict recode of a categorical column. Implemented as a chained
     CASE WHEN (JVM-side, codegen) rather than a UDF; unmapped values pass
-    through unchanged — pandas ``Series.replace`` semantics."""
+    through unchanged — pandas ``Series.replace`` semantics.
+
+    A missing column is a WARNING + no-op by default, matching the
+    reference's map_categorical_features contract exactly
+    (/root/reference/src/feature/utils/prep.py:669-684, pinned by
+    tests/test_feature/test_data_transformer.py's caplog assertion);
+    pass on_missing="error" to raise instead (the class-label contract —
+    use :func:`recode_class_labels`)."""
+    if col not in df.columns:
+        if on_missing == "warn":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Column %s doesn't exist in data.", col
+            )
+            return df
+        raise ValueError(f"Class column {col} doesn't exist in data.")
     expr = F.col(col)
     out = None
     for k, v in mapping.items():
         cond = F.col(col) == F.lit(k)
         out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
     return df.withColumn(col, out.otherwise(expr) if out is not None else expr)
+
+
+def recode_class_labels(df: DataFrame, col: str, mapping: dict) -> DataFrame:
+    """P10: class-label recode — cast to string THEN dict replace, raising
+    ValueError on a missing column (the reference's map_class_labels
+    contract, /root/reference/src/feature/utils/prep.py:686-704: the
+    label column is load-bearing, so silence is not an option there,
+    unlike the advisory categorical recode)."""
+    if col not in df.columns:
+        raise ValueError(f"Class column {col} doesn't exist in data.")
+    return recode_values(
+        df.withColumn(col, F.col(col).cast("string")), col, mapping,
+        on_missing="error",
+    )
 
 
 def sanitize_column_names(df: DataFrame) -> DataFrame:

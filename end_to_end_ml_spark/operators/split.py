@@ -191,6 +191,11 @@ def time_split(
     """T2: rows < cutoff → train, >= cutoff → test. Validation aggregations
     mirror prep.py:249-274; the filters push down to the parquet scan
     (row-group pruning), so at 100 TB each side reads only its time range."""
+    if ts_col not in df.columns:
+        # distinct message for the missing-column branch — the reference
+        # separates "doesn't exist" from "must be in datetime format"
+        # (tests/test_feature/test_data_splitter.py:167-177)
+        raise ValueError(f"{ts_col!r} doesn't exist in dataset")
     if dict(df.dtypes).get(ts_col) not in ("timestamp", "date", "timestamp_ntz"):
         raise ValueError(f"{ts_col!r} is not a timestamp/date column")
     stats = df.agg(

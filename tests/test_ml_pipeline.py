@@ -304,6 +304,65 @@ def test_voting_ensemble_soft_and_hard(spark, frame):
         VotingEnsemble([m1])
 
 
+def test_get_base_models_uses_each_classifier_name(spark, frame):
+    """Reference parity (test_ensemble_and_config.py): each base model is
+    paired with its OWN final-estimator class name — LR + RF never
+    collapse to one repeated name."""
+    from end_to_end_ml_spark.features.ensemble import get_base_models
+
+    m = FP.fit_label_indexer(frame, "label_str")
+    labeled = m.transform(frame)
+    stages = FP.build_preprocessing_stages(
+        numeric_cols=["num_a"], categorical_cols=["cat_b"], variance_threshold=0.0
+    )
+    m1 = FP.build_full_pipeline(stages, MZ.logistic_regression()).fit(labeled)
+    m2 = FP.build_full_pipeline(
+        stages, MZ.random_forest(n_estimators=5, max_depth=3)
+    ).fit(labeled)
+    base = get_base_models([m1, m2])
+    names = [n for n, _ in base]
+    assert names == ["LogisticRegressionModel", "RandomForestClassificationModel"]
+    for name, model in base:
+        est = model.stages[-1]
+        assert type(est).__name__ == name
+
+
+def test_positive_class_index_decodes_via_classes():
+    """Reference parity (test_inference_serving.py): a reversed class
+    order still resolves the positive probability column."""
+    from end_to_end_ml_spark.features.calibrate import positive_class_index
+
+    assert positive_class_index([1, 0], pos_label=1) == 0
+    assert positive_class_index([0, 1], pos_label=1) == 1
+    with pytest.raises(ValueError, match="not in classes"):
+        positive_class_index([0, 1], pos_label=2)
+
+
+def test_binary_metrics_has_no_auc_without_probabilities(spark):
+    """Reference parity (test_evaluator_auc.py): AUC is probability-based
+    — the label/prediction-only metric pass must not claim a roc_auc
+    (the repo splits it structurally: binary_metrics is confusion-derived
+    only; evaluate_binary adds roc_auc from the probability column)."""
+    from end_to_end_ml_spark.functions import metrics as M
+
+    df = spark.createDataFrame([(1, 1), (0, 1), (0, 0)], ["y", "p"])
+    cols = set(M.binary_metrics(df, "y", "p").columns)
+    assert "roc_auc" not in cols
+    assert {"accuracy", "precision", "recall", "f1"} <= cols
+
+
+def test_optimizer_metric_resolution_and_direction():
+    """Reference parity (test_training_search.py): fbeta_score resolves to
+    f_{beta}_score and maximize; roc_auc maximize; log_loss minimize."""
+    from end_to_end_ml_spark.train.tuner import resolve_metric
+
+    assert resolve_metric("fbeta_score", 0.5) == ("f_0.5_score", "maximize")
+    assert resolve_metric("roc_auc") == ("roc_auc", "maximize")
+    assert resolve_metric("log_loss") == ("log_loss", "minimize")
+    assert resolve_metric("brier_score") == ("brier_score", "minimize")
+    assert resolve_metric("recall") == ("recall", "maximize")
+
+
 def test_ensemble_soft_probability_is_mean(spark, frame):
     m = FP.fit_label_indexer(frame, "label_str")
     labeled = m.transform(frame)

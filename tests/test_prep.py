@@ -91,6 +91,34 @@ def test_recode_values_passthrough(spark):
     assert [r["g"] for r in out] == ["Poor", "Fair", "9"]  # unmapped passes through
 
 
+def test_recode_missing_column_warns_categorical_raises_class(spark, caplog):
+    """Reference parity (test_data_transformer.py): a missing column is a
+    WARNING + no-op for the categorical recode (prep.py:669-684) but a
+    ValueError for the class-label recode (prep.py:686-704)."""
+    import logging
+
+    df = spark.createDataFrame([("1",)], ["g"])
+    with caplog.at_level(logging.WARNING):
+        out = prep.recode_values(df, "NonExistentColumn", {"1": "First"})
+    assert out is df  # no-op
+    assert any(
+        "Column NonExistentColumn doesn't exist in data." in r.getMessage()
+        for r in caplog.records
+    )
+    with pytest.raises(ValueError, match="doesn't exist in data"):
+        prep.recode_class_labels(df, "Class", {"0": "Non-Diabetic"})
+
+
+def test_recode_class_labels_casts_then_maps(spark):
+    """map_class_labels parity: astype(string) BEFORE replace, so an
+    integer-typed label column maps through its string form."""
+    df = spark.createDataFrame([(0,), (1,), (0,)], ["Class"])
+    out = prep.recode_class_labels(
+        df, "Class", {"0": "Non-Diabetic", "1": "Diabetic"}
+    ).collect()
+    assert [r["Class"] for r in out] == ["Non-Diabetic", "Diabetic", "Non-Diabetic"]
+
+
 def test_sanitize_column_names(spark):
     df = spark.createDataFrame([(1, 2)], ["a col!", "b(c)"])
     assert prep.sanitize_column_names(df).columns == ["a_col_", "b_c_"]

@@ -68,6 +68,8 @@ def test_time_split(spark):
 
 def test_time_split_errors(spark):
     df = spark.createDataFrame([(1, "x")], ["pk", "notts"])
+    with pytest.raises(ValueError, match="doesn't exist in dataset"):
+        split.time_split(df, "no_such_date_col", "2024-01-01")
     with pytest.raises(ValueError, match="not a timestamp"):
         split.time_split(df, "notts", "2024-01-01")
     ts = spark.createDataFrame([(1,)], ["pk"]).select(
