@@ -1454,15 +1454,22 @@ def ml1b_validation_leaderboard(spark, sf_dir):
     valid = split.stratified_split_column(
         labeled, "y", "o_orderkey", 0.8
     ).filter(F.col("split") == "test")
-    rows = None
-    for name, mult in (("m37", 37), ("m59", 59), ("m83", 83)):
+    # ONE aggregation pass scores all three pseudo-models (the split
+    # lineage — join + bucketed-rank window — is the expensive part, so
+    # a per-model union would re-run it 3x); the 1-row wide aggregate
+    # unpivots to the 3-row leaderboard via stack.
+    def _correct(mult: int):
         pred = (((F.col("o_orderkey") * mult) % 1024) >= 512).cast("int")
-        r = valid.select("y", pred.alias("p")).agg(
-            F.lit(name).alias("model"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("y") == F.col("p")).cast("long")).alias("n_correct"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
+        return F.sum((F.col("y") == pred).cast("long")).alias(f"nc_{mult}")
+
+    wide = valid.agg(
+        F.count(F.lit(1)).alias("n"), _correct(37), _correct(59), _correct(83)
+    )
+    rows = wide.selectExpr(
+        "stack(3, 'm37', nc_37, 'm59', nc_59, 'm83', nc_83)"
+        " AS (model, n_correct)",
+        "n",
+    ).select("model", "n", "n_correct")
     w = Window.orderBy(F.col("n_correct").desc(), "model")
     return (
         rows.withColumn(
