@@ -90,8 +90,10 @@ def _window_input_bounded(node) -> bool:
     bounded — fact.join(aggregatedDim) is still fact-sized, and the old
     any-descendant walk wrongly accepted it, while aggA.join(aggB) (e.g.
     the drift-bins full-outer of two bin-count aggregates) is genuinely
-    bounded (output ≤ product of bounded inputs). Generators (explode) and
-    scans stop the walk as unbounded."""
+    bounded (output ≤ product of bounded inputs). Generators and scans
+    stop the walk as unbounded — EXCEPT a constant-arity stack(k, ...)
+    Generate, which multiplies a bounded input by the literal k (the
+    1-row-agg → k-row unpivot shape)."""
     ch = node.children()
 
     def bounded(n) -> bool:
@@ -110,7 +112,18 @@ def _window_input_bounded(node) -> bool:
             return cc.size() > 0 and all(
                 bounded(cc.apply(i)) for i in range(cc.size())
             )
-        return False  # generate/scan/other: stop — unbounded
+        if short.startswith("Generate"):
+            # stack(k, ...) multiplies rows by the CONSTANT k — a bounded
+            # input stays bounded (the 1-row-agg → k-row unpivot shape,
+            # e.g. ml1b's leaderboard). explode/posexplode multipliers are
+            # data-dependent and stay unbounded.
+            first = n.toString().splitlines()[0]
+            if "stack(" in first:
+                return cc.size() > 0 and all(
+                    bounded(cc.apply(i)) for i in range(cc.size())
+                )
+            return False
+        return False  # explode-generate/scan/other: stop — unbounded
 
     return any(bounded(ch.apply(i)) for i in range(ch.size()))
 

@@ -82,6 +82,29 @@ def test_accepts_global_window_over_join_of_aggregates(spark):
     assert any(h.startswith(INFO_BOUNDED_WINDOW) for h in tagged), tagged
 
 
+def test_accepts_global_window_over_stack_of_aggregate(spark):
+    """A constant-arity stack(k, ...) unpivot of a 1-row aggregate stays
+    bounded (ml1b's wide-agg → 3-row leaderboard shape); a data-dependent
+    explode of the same aggregate must STILL be flagged."""
+    wide = spark.range(1000).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("s"),
+        F.max("id").alias("m"),
+    )
+    stacked = wide.selectExpr(
+        "stack(3, 'n', n, 's', s, 'm', m) AS (metric, value)"
+    ).withColumn("r", F.rank().over(Window.orderBy("value")))
+    assert audit_plan(stacked) == []
+    exploded = (
+        spark.range(1000)
+        .agg(F.collect_list("id").alias("xs"))
+        .select(F.explode("xs").alias("x"))
+        .withColumn("r", F.rank().over(Window.orderBy("x")))
+    )
+    hazards = audit_plan(exploded)
+    assert any(h.startswith("global-window") for h in hazards), hazards
+
+
 def test_flags_midplan_global_sort(spark):
     # Catalyst's EliminateSorts removes orderings nothing consumes, so a
     # surviving mid-plan global sort needs an order-sensitive consumer
