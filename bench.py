@@ -167,6 +167,9 @@ R8 = [
 # the split machinery under a computed label gets its own row).
 R9 = [
     "ml1b_validation_leaderboard",
+    # exact-substring tile dedup WITH document rewrite (keep-first window
+    # partitioned by tile text + per-doc rebuild agg)
+    "d17_tile_dedup_rewrite",
 ]
 
 

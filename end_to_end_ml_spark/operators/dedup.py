@@ -1343,3 +1343,71 @@ def prefix_filter_jaccard_pairs(
             "jaccard"
         ),
     ).orderBy("id_a", "id_b")
+
+
+def tile_dedup_rewrite(
+    df: DataFrame, id_col: str, text_col: str, tile_words: int = 8
+) -> DataFrame:
+    """Exact-substring dedup at fixed tile granularity, WITH document
+    rewrite — the Spark-shaped sibling of suffix-array exact-substring
+    dedup (Lee et al. "Deduplicating Training Data Makes Language Models
+    Better"; MassiveText/RefinedWeb run the same family): each document
+    splits into consecutive NON-overlapping ``tile_words``-token tiles,
+    every distinct tile keeps only its FIRST corpus occurrence (ordered
+    by (doc_id, tile_idx) — deterministic, partition-independent), and
+    each document is reassembled from its surviving tiles in original
+    order. Dedup applies WITHIN documents as well as across them (a
+    tile repeated inside one document keeps only its first copy — same
+    rule, no special case). Unlike d10's span STATS (positional grams,
+    overlap-aware detection), this is the destructive rewrite step a
+    curation pipeline actually applies before training.
+
+    Output: (doc_id, n_tiles_kept, rewritten_text), one row per document
+    that keeps >= 1 tile (a document whose every tile already occurred
+    earlier in corpus order disappears — by construction the earliest
+    holder of each tile survives, so the corpus never loses a tile's
+    last copy).
+
+    Scale shape: tiles are built ROW-LOCALLY (transform over a sequence,
+    slice + concat_ws — no token explode), so the only row growth is the
+    bounded n_tokens/tile_words tile fan-out. One shuffle partitions by
+    tile_text for the keep-first window (tile cardinality ~ corpus
+    tokens / tile_words, heavy hitters bounded by duplication itself),
+    one groupBy(doc) reassembles via array_sort(collect_list(struct)) —
+    tile_idx is unique per doc, so the sort is total and the rebuild
+    deterministic. Both shuffles are on high-cardinality keys; nothing
+    global, no driver state. DuckDB replays it exactly (string + integer
+    ops only), so the query form is fully oracled."""
+    tw = int(tile_words)
+    if tw < 1:
+        raise ValueError("tile_words must be >= 1")
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    n_tiles = F.ceil(F.size("__toks") / F.lit(float(tw))).cast("int")
+    tile_structs = F.transform(
+        F.sequence(F.lit(0), n_tiles - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("tile_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), i * tw + 1, tw)
+            ).alias("tile_text"),
+        ),
+    )
+    ex = staged.select(
+        "doc_id", F.explode(tile_structs).alias("t")
+    ).select("doc_id", F.col("t.tile_idx").alias("tile_idx"), F.col("t.tile_text").alias("tile_text"))
+    w = Window.partitionBy("tile_text").orderBy("doc_id", "tile_idx")
+    kept = ex.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("tile_idx", "tile_text"))),
+            lambda s: s.tile_text,
+        ),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles_kept"),
+        rebuilt.alias("rewritten_text"),
+    )

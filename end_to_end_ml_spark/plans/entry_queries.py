@@ -7600,6 +7600,50 @@ FROM s ORDER BY slice
 REGISTRY["t14_rolling_origin"] = (t14_rolling_origin, T14_SQL)
 
 
+def d17_tile_dedup_rewrite(spark, sf_dir):
+    """Exact-substring dedup WITH document rewrite at 8-token tile
+    granularity (dedup.tile_dedup_rewrite — the Lee-et-al./MassiveText
+    family's destructive step, vs d10's detection-only span stats): every
+    distinct tile keeps its first corpus occurrence, documents are
+    reassembled from surviving tiles in original order, fully-duplicated
+    documents vanish. Row-local tile build (no token explode), one
+    keep-first window partitioned BY TILE TEXT, one per-doc rebuild agg —
+    two high-cardinality shuffles, nothing global. String+integer ops
+    only, so the DuckDB replay is exact (incl. the rebuilt text)."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.tile_dedup_rewrite(docs, "doc_id", "text", tile_words=8).orderBy(
+        "doc_id"
+    )
+
+
+D17_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord FROM base
+),
+tiles AS (
+  SELECT doc_id, CAST((ord - 1) // 8 AS INTEGER) AS tile_idx,
+         string_agg(tok, ' ' ORDER BY ord) AS tile_text
+  FROM toks GROUP BY doc_id, (ord - 1) // 8
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY tile_text ORDER BY doc_id, tile_idx) AS rn
+    FROM tiles
+  ) WHERE rn = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tiles_kept,
+       string_agg(tile_text, ' ' ORDER BY tile_idx) AS rewritten_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+REGISTRY["d17_tile_dedup_rewrite"] = (d17_tile_dedup_rewrite, D17_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver window (first 50 registry entries) — POLICY-PICKED since round 8.
 #
@@ -7631,6 +7675,7 @@ REGISTRY["t14_rolling_origin"] = (t14_rolling_origin, T14_SQL)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
+    "d17_tile_dedup_rewrite",
     "ml1b_validation_leaderboard",
     "emb3_int8_quantization",
     "x11_token_rarity",
@@ -7680,7 +7725,6 @@ DRIVER_WINDOW = [
     "pack3_shard_shuffle",
     "skew3_key_skew_report",
     "p15_profile_columns",
-    "prof1_column_profile",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"

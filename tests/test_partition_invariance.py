@@ -173,6 +173,13 @@ class TestPartitionInvariance:
             ),
         )
 
+    def test_tile_dedup_rewrite(self, spark):
+        from end_to_end_ml_spark.operators.dedup import tile_dedup_rewrite
+
+        self._invariant(
+            spark, lambda df: tile_dedup_rewrite(df, "doc_id", "text", 4)
+        )
+
     def test_id_gap_audit(self, spark):
         from end_to_end_ml_spark.operators.prep import id_gap_audit
 
