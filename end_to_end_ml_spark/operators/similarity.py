@@ -736,6 +736,121 @@ def ivf_pruning_report(
     )
 
 
+def _probe_nearest_cells(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index: IvfIndex,
+    n_probe: int,
+) -> DataFrame:
+    """(cell, qid, qvec) rows for each query's ``n_probe`` NEAREST cells
+    by centroid angle — the bounded-cost approximate candidate set (sim3's
+    probe rule applied to the pairs problem). Unlike the lossless
+    triangle-inequality probe, cost is capped at |batch| × n_probe cells
+    regardless of geometry."""
+    import numpy as np
+    import pandas as pd
+
+    spark = new_df.sparkSession
+    bc = spark.sparkContext.broadcast(index.centroids)
+    npb = int(n_probe)
+
+    def probe(batches):
+        c = bc.value
+        cn = np.sqrt((c * c).sum(axis=1))
+        k = min(npb, len(c))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
+            xn = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ c.T) / np.outer(xn, cn)
+            nearest = np.argsort(-cos, axis=1)[:, :k]
+            qi = np.repeat(np.arange(len(pdf)), k)
+            yield pd.DataFrame(
+                {
+                    "cell": nearest.ravel().astype(np.int32),
+                    "qid": pdf["qid"].to_numpy(dtype=np.int64)[qi],
+                    "qvec": pdf["qvec"].to_numpy()[qi],
+                }
+            )
+
+    return _spread(
+        new_df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    ).mapInPandas(probe, "cell int, qid long, qvec array<float>")
+
+
+def ivf_probe_pairs_adaptive(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index: IvfIndex,
+    threshold: float = 0.4,
+    min_pruned_fraction: float = 0.05,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> tuple[DataFrame, str]:
+    """The maintenance-loop router the pruning report was built for
+    (round-8 verdict #4's 'fall back to the approximate sim3 path
+    deliberately'): measure the regime with :func:`ivf_pruning_report`,
+    then route — when triangle-inequality pruning actually engages
+    (pruned_fraction ≥ min_pruned_fraction) run the LOSSLESS
+    :func:`ivf_probe_pairs`; when the corpus is in the degenerate
+    near-uniform-direction regime (nothing prunable — the exact probe
+    would pay the full batch × history cross join) run the bounded
+    approximate probe instead: each query visits only its ``n_probe``
+    nearest cells, capping cost at |batch| × n_probe cells at the price
+    of recall < 1 for pairs whose history member sits outside those
+    cells. Returns (pairs DataFrame, mode) with mode in
+    {"exact", "approx"} so callers can record which contract the batch
+    got. The report costs two small jobs against the persisted index —
+    noise next to either probe path."""
+    rep = ivf_pruning_report(
+        new_df, id_col, vec_col, index, threshold, round_digits
+    ).collect()[0]
+    if rep["pruned_fraction"] >= min_pruned_fraction:
+        return (
+            ivf_probe_pairs(
+                new_df, id_col, vec_col, threshold=threshold, index=index,
+                round_digits=round_digits,
+            ),
+            "exact",
+        )
+    import numpy as np
+    import pandas as pd
+
+    cand = _probe_nearest_cells(new_df, id_col, vec_col, index, n_probe)
+    joined = cand.join(index.cells, "cell").select("qid", "qvec", "nid", "nvec")
+    thr = float(threshold)
+    rd = int(round_digits)
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
+            y = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nvec"]])
+            cos = (x * y).sum(axis=1) / (
+                np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
+            )
+            cos = np.round(cos, rd)
+            keep = cos >= thr
+            yield pd.DataFrame(
+                {
+                    "new_id": pdf["qid"].to_numpy(dtype=np.int64)[keep],
+                    "hist_id": pdf["nid"].to_numpy(dtype=np.int64)[keep],
+                    "cosine_sim": cos[keep],
+                }
+            )
+
+    out = (
+        joined.mapInPandas(verify, "new_id long, hist_id long, cosine_sim double")
+        .dropDuplicates(["new_id", "hist_id"])
+        .orderBy("new_id", "hist_id")
+    )
+    return out, "approx"
+
+
 def _rp_signs(dim: int, n_out: int, seed: int = 13) -> list[list[int]]:
     """Deterministic ±1 sign matrix for random projection, derived from md5
     so any engine (or the DuckDB oracle) can regenerate it: sign(j, i) =

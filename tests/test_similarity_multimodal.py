@@ -280,6 +280,71 @@ class TestIvfProbePairs:
             idx2.unpersist()
 
 
+class TestIvfProbePairsAdaptive:
+    def test_routes_exact_on_clusterable_corpus(self, spark):
+        """Planted clusters: pruning engages, the router picks the
+        lossless path and the result equals brute force."""
+        from end_to_end_ml_spark.operators import dedup
+
+        df = _planted_clusters(spark)
+        batch = df.filter(F.col("vec_id") % 4 == 0)
+        hist = df.filter(F.col("vec_id") % 4 != 0)
+        idx = similarity.ivf_build_index(hist, "vec_id", "embedding", n_centroids=8)
+        try:
+            out, mode = similarity.ivf_probe_pairs_adaptive(
+                batch, "vec_id", "embedding", idx, threshold=0.9
+            )
+            assert mode == "exact"
+            got = {(r["new_id"], r["hist_id"]) for r in out.collect()}
+            brute = {
+                tuple(sorted((r["id_a"], r["id_b"]), key=lambda v: v % 4 != 0))
+                for r in dedup.embedding_near_dup_pairs(
+                    df, "vec_id", "embedding", threshold=0.9
+                ).collect()
+                if (r["id_a"] % 4 == 0) != (r["id_b"] % 4 == 0)
+            }
+            brute = {
+                (a, b) if a % 4 == 0 else (b, a) for a, b in brute
+            }
+            assert got == brute and got
+        finally:
+            idx.unpersist()
+
+    def test_routes_approx_on_degenerate_corpus(self, spark):
+        """Positive-orthant arc (nothing prunable): the router picks the
+        bounded approximate path; every emitted pair is a TRUE pair
+        (subset of brute force — the verify stage is exact), and the
+        mode string records the weaker contract."""
+        import math
+
+        from end_to_end_ml_spark.operators import dedup
+
+        rows = [
+            (i, [math.cos(math.pi * i / 46), math.sin(math.pi * i / 46), 0.1])
+            for i in range(24)
+        ]
+        arc = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        batch = arc.filter(F.col("vec_id") % 4 == 0)
+        hist = arc.filter(F.col("vec_id") % 4 != 0)
+        idx = similarity.ivf_build_index(hist, "vec_id", "embedding", n_centroids=2)
+        try:
+            out, mode = similarity.ivf_probe_pairs_adaptive(
+                batch, "vec_id", "embedding", idx, threshold=0.2, n_probe=1
+            )
+            assert mode == "approx"
+            got = {(r["new_id"], r["hist_id"]) for r in out.collect()}
+            brute = {
+                (r["id_a"], r["id_b"]) if r["id_a"] % 4 == 0 else (r["id_b"], r["id_a"])
+                for r in dedup.embedding_near_dup_pairs(
+                    arc, "vec_id", "embedding", threshold=0.2
+                ).collect()
+                if (r["id_a"] % 4 == 0) != (r["id_b"] % 4 == 0)
+            }
+            assert got and got <= brute
+        finally:
+            idx.unpersist()
+
+
 def test_ivf_topk_high_recall_vs_bruteforce(spark):
     """IVF with generous probes on a small set should recover most exact
     neighbors; structure checks: no self matches, k per query."""
