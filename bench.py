@@ -170,6 +170,9 @@ R9 = [
     # exact-substring tile dedup WITH document rewrite (keep-first window
     # partitioned by tile text + per-doc rebuild agg)
     "d17_tile_dedup_rewrite",
+    # incremental curation flagship: gopher gate -> within-batch +
+    # vs-history exact dedup -> budget admission, one plan
+    "pipe11_incremental_curation",
 ]
 
 

@@ -7644,6 +7644,126 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 REGISTRY["d17_tile_dedup_rewrite"] = (d17_tile_dedup_rewrite, D17_SQL)
 
 
+def pipe11_incremental_curation(spark, sf_dir):
+    """Round-9 composition flagship — the INCREMENTAL sibling of pipe10:
+    the nightly-batch curation a production corpus actually runs. The NEW
+    batch (doc_id%4==0, pipe6's split) goes through the Gopher quality
+    gate (x22's scan-fused integer rules) → exact dedup BOTH within the
+    batch (keep-min window on the normalized prefix-8 fingerprint) AND
+    against the HISTORY fingerprint store (left ANTI join — history ships
+    16-byte fps only, never text, exactly pipe6's contract) → per-source
+    token-budget admission at a 3000-token batch budget (mix2's integer
+    machinery, 1.0-epoch cap) → integer md5 admit draws (hash48·10^6 <
+    admit_ppm·2^48 — no float in any keep decision). Output: per-source
+    kept doc/token counts + admit rate.
+
+    Scale: the gate and fingerprints fuse into the batch scan; the
+    history probe is one anti equi-join on the hash (broadcast when the
+    batch is small); the budget table is |sources| rows. Per-batch cost
+    is O(|batch|) + one probe — the full corpus is never re-curated.
+    Composition of oracled primitives (x22 + pipe6 + mix2 + pipe10's
+    draw), so the chain is fully oracled."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
+    )
+    hist = docs.filter(F.col("doc_id") % 4 != 0).select(fp.alias("fp")).distinct()
+    feat = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id",
+            "source",
+            fp.alias("fp"),
+            *text.gopher_evidence_columns("text"),
+        )
+        .select("*", *text.gopher_rule_columns())
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        feat.filter(F.col("keep") & F.col("source").isNotNull())
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .join(hist, "fp", "left_anti")
+        .select("doc_id", "source", "n_words")
+    )
+    rates = split.token_budget_allocation(
+        surv, "source", "n_words", budget_tokens=3000, max_epochs_x1024=1024
+    ).select("source", F.col("epochs_ppm").alias("admit_ppm"))
+    draw = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', 'bud2',"
+        " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DECIMAL(38,0))"
+        " * 1000000 < CAST(admit_ppm AS DECIMAL(38,0)) * 281474976710656"
+    )
+    return (
+        surv.join(F.broadcast(rates), "source")
+        .filter(draw)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_words").cast("long").alias("n_tokens_kept"),
+            F.min("admit_ppm").cast("long").alias("admit_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPE11_SQL = r"""
+WITH hist AS (
+  SELECT DISTINCT md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:8], ' ')) AS fp
+  FROM documents WHERE doc_id % 4 <> 0
+),
+feat AS (
+  SELECT doc_id, source,
+         md5(array_to_string(toks[1:8], ' ')) AS fp,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS swc,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS naw,
+         CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+              ['the','a','of','to','and','in','is','that','for','it'])) AS BIGINT) AS nsh
+  FROM (SELECT doc_id, source, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        WHERE doc_id % 4 = 0)
+),
+kept AS (
+  SELECT * FROM feat
+  WHERE source IS NOT NULL
+    AND n_words BETWEEN 50 AND 100000
+    AND swc >= 3 * n_words AND swc <= 10 * n_words
+    AND naw * 100 >= 80 * n_words AND nsh >= 2
+),
+surv AS (
+  SELECT doc_id, source, n_words FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
+  ) k WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = k.fp)
+),
+g AS (
+  SELECT source, CAST(sum(n_words) AS BIGINT) AS t_tokens FROM surv GROUP BY source
+),
+w AS (
+  SELECT *, CAST(floor(1024 * sqrt(CAST(t_tokens AS DOUBLE))) AS BIGINT) AS wq FROM g
+),
+tw AS (SELECT CAST(sum(wq) AS BIGINT) AS total_w FROM w),
+rates AS (
+  SELECT source,
+         CAST((CAST(1000000 AS HUGEINT) *
+               least(CAST((CAST(3000 AS HUGEINT) * wq) // total_w AS BIGINT),
+                     CAST((CAST(1024 AS HUGEINT) * t_tokens) // 1024 AS BIGINT)))
+              // t_tokens AS BIGINT) AS admit_ppm
+  FROM w CROSS JOIN tw
+)
+SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(s.n_words) AS BIGINT) AS n_tokens_kept,
+       CAST(min(r.admit_ppm) AS BIGINT) AS admit_ppm
+FROM surv s JOIN rates r ON s.source = r.source
+WHERE CAST(('0x' || substr(md5('bud2|' || CAST(s.doc_id AS VARCHAR)), 1, 12))::BIGINT
+           AS HUGEINT) * 1000000
+      < CAST(r.admit_ppm AS HUGEINT) * 281474976710656
+GROUP BY s.source ORDER BY s.source
+"""
+
+REGISTRY["pipe11_incremental_curation"] = (pipe11_incremental_curation, PIPE11_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver window (first 50 registry entries) — POLICY-PICKED since round 8.
 #
@@ -7675,6 +7795,7 @@ REGISTRY["d17_tile_dedup_rewrite"] = (d17_tile_dedup_rewrite, D17_SQL)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
+    "pipe11_incremental_curation",
     "d17_tile_dedup_rewrite",
     "ml1b_validation_leaderboard",
     "emb3_int8_quantization",
@@ -7724,7 +7845,6 @@ DRIVER_WINDOW = [
     "mix1_temperature_sample",
     "pack3_shard_shuffle",
     "skew3_key_skew_report",
-    "p15_profile_columns",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
