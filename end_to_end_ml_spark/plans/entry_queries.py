@@ -7658,11 +7658,15 @@ def pipe11_incremental_curation(spark, sf_dir):
     kept doc/token counts + admit rate.
 
     Scale: the gate and fingerprints fuse into the batch scan; the
-    history probe is one anti equi-join on the hash (broadcast when the
-    batch is small); the budget table is |sources| rows. Per-batch cost
-    is O(|batch|) + one probe — the full corpus is never re-curated.
-    Composition of oracled primitives (x22 + pipe6 + mix2 + pipe10's
-    draw), so the chain is fully oracled."""
+    history probe is an anti equi-join on the hash (broadcast when the
+    batch is small); the budget table is |sources| rows. The survivor
+    frame is evaluated twice (allocation pass + draw pass — same trade
+    documented on pipe10/temperature_sample: free over a parquet scan
+    with fused narrow stages; a production run materializes survivors
+    once, as tools/run_curation_pipeline does for pipe10). Per-batch
+    cost is O(|batch|) + the probe — the full corpus is never
+    re-curated. Composition of oracled primitives (x22 + pipe6 + mix2 +
+    pipe10's draw), so the chain is fully oracled."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(
         F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))

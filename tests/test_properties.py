@@ -411,3 +411,74 @@ def test_rolling_origin_partitions_and_orders(spark, epochs, n_slices):
     occupied = sorted(by_slice)
     for a, b in zip(occupied, occupied[1:]):
         assert max(by_slice[a]) < min(by_slice[b])
+
+
+budget_groups = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.integers(1, 5000),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(groups=budget_groups, budget=st.integers(1, 50_000),
+       meps=st.sampled_from([512, 1024, 2048]))
+@settings(**SETTINGS)
+def test_waterfill_exhausts_budget_or_hits_all_caps(spark, groups, budget, meps):
+    """The water-filling closed form on arbitrary inputs: Σ alloc ==
+    min(budget, Σ caps); no group exceeds its cap; clipped == at-cap;
+    and the allocation dominates the single-pass form group-wise
+    whenever nothing clips there."""
+    rows = [(g, n) for g, n in groups]
+    df = spark.createDataFrame(rows, ["source", "n_tokens"])
+    out = split.token_budget_waterfill(
+        df, "source", "n_tokens", budget, max_epochs_x1024=meps
+    ).collect()
+    caps = {g: (meps * n) // 1024 for g, n in groups}
+    total = sum(r["alloc_tokens"] for r in out)
+    assert total == min(budget, sum(caps.values()))
+    for r in out:
+        assert 0 <= r["alloc_tokens"] <= caps[r["source"]]
+        if r["clipped"]:
+            assert r["alloc_tokens"] == caps[r["source"]]
+
+
+doc_corpus = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=20).map(" ".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=doc_corpus, tw=st.sampled_from([1, 2, 4]))
+@settings(**SETTINGS)
+def test_tile_dedup_rewrite_preserves_distinct_tiles(spark, texts, tw):
+    """d17 invariants on arbitrary corpora: (a) kept-tile count equals the
+    number of DISTINCT tiles in the corpus; (b) each doc's rewritten text
+    is the in-order concatenation of the first-occurrence subset of its
+    own tiles (python replay)."""
+    from end_to_end_ml_spark.operators.dedup import tile_dedup_rewrite
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in tile_dedup_rewrite(df, "doc_id", "text", tw).collect()}
+    seen: set = set()
+    expect: dict = {}
+    for i, t in rows:
+        w = t.split()
+        kept = []
+        for s in range(0, len(w), tw):
+            tile = " ".join(w[s : s + tw])
+            if tile not in seen:
+                seen.add(tile)
+                kept.append(tile)
+        if kept:
+            expect[i] = (" ".join(kept), len(kept))
+    assert set(out) == set(expect)
+    for i, (txt, n) in expect.items():
+        assert out[i]["rewritten_text"] == txt
+        assert out[i]["n_tiles_kept"] == n
+    assert sum(r["n_tiles_kept"] for r in out.values()) == len(seen)
