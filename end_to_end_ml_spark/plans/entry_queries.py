@@ -7785,16 +7785,19 @@ REGISTRY["pipe11_incremental_curation"] = (pipe11_incremental_curation, PIPE11_S
 # a round later; (3) previously-exposed fill by (exposure count, last
 # exposed round) with a best-effort family-coverage guard — ties broken
 # by md5(f"r{N}:{name}") so no name starves behind a fixed order.
-# Round-9 pick: ALL 44 remaining never-exposed oracled queries (the r6-r8
-# registration tail — fn_* suites, q-series stragglers, set1-3, emb2/3,
-# mm3/4, pipe2/4, dq2/4, x10/11/14/15/21, a9/a17/a19, d9, ts1/ts9,
-# t8/t9b, s14/s15, ev5, f12, q2/q6/q8/q13/q14/q17/q19/q22) + 6
-# previously-green fills chosen by the guard. After this window drains,
-# EVERY oracled registry query has a driver correctness row — full
-# driver coverage, one round earlier than the r8 verdict projected. All
-# registry entries remain locally verified via tools/check_oracle.py
-# (the full-registry result is committed as CHECK_ORACLE_LOCAL_r08.json);
-# counts are asserted below
+# Round-9 FINAL pick (after this round's three new oracled queries
+# registered): 47 first exposures / 50 — ALL 44 legacy never-exposed
+# oracled queries (the r6-r8 registration tail — fn_* suites, q-series
+# stragglers, set1-3, emb2/3, mm3/4, pipe2/4, dq2/4, x10/11/14/15/21,
+# a9/a17/a19, d9, ts1/ts9, t8/t9b, s14/s15, ev5, f12,
+# q2/q6/q8/q13/q14/q17/q19/q22) PLUS the round-9 additions
+# pipe11/d17/ml1b, + 3 previously-green fills chosen by the guard.
+# After this window drains, EVERY oracled registry query has a driver
+# correctness row — full driver coverage, one round earlier than the r8
+# verdict projected. All registry entries remain locally verified via
+# tools/check_oracle.py (full-registry + full-window-at-sf0.1 results
+# committed as CHECK_ORACLE_LOCAL_r09.json /
+# CHECK_ORACLE_SF01_WINDOW_r09.json); counts are asserted below
 # and in tests (tests/test_plan_lint.py::test_registry_count_claims).
 # ---------------------------------------------------------------------------
 
