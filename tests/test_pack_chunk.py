@@ -520,3 +520,60 @@ def test_curation_pipeline_e2e(spark, tmp_path):
     # deterministic: re-run reproduces the identical layout
     curated2, _ = curate(spark, "/root/testdata/sf0.001", budget_tokens=5000)
     assert sorted(map(tuple, c)) == sorted(map(tuple, curated2.collect()))
+
+
+def test_curation_pipeline_incremental_e2e(spark, tmp_path):
+    """--incremental (pipe11 operationally): batch-only curation against
+    the history fingerprint store with the survivor frame persisted
+    once. Stats must MATCH the declarative pipe11 registry query (same
+    chain, materialized vs recomputed), coordinates unique, re-run
+    byte-identical, and no curated doc may collide with a history
+    prefix-8 fingerprint."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_curation_pipeline import curate_incremental
+
+    from end_to_end_ml_spark.plans.entry_queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    curated, stats = curate_incremental(spark, sf, budget_tokens=3000)
+    c = curated.collect()
+    assert len(c) > 0
+    assert all(r["doc_id"] % 4 == 0 for r in c)  # batch only
+    coords = [(r["shard"], r["pos"]) for r in c]
+    assert len(coords) == len(set(coords))
+    # parity with the declarative pipe11 form: same kept counts per source
+    pipe11 = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"])
+        for r in REGISTRY["pipe11_incremental_curation"][0](spark, sf).collect()
+    }
+    got = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"])
+        for r in stats.collect()
+    }
+    assert got == pipe11
+    # no curated fingerprint exists in history
+    from end_to_end_ml_spark.sources import load_table
+
+    docs = load_table(spark, sf, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
+    )
+    hist_fps = {
+        r["fp"]
+        for r in docs.filter(F.col("doc_id") % 4 != 0).select(fp.alias("fp")).collect()
+    }
+    kept_ids = {r["doc_id"] for r in c}
+    kept_fps = {
+        r["fp"]
+        for r in docs.filter(F.col("doc_id").isin(*kept_ids))
+        .select(fp.alias("fp"))
+        .collect()
+    }
+    assert kept_fps.isdisjoint(hist_fps)
+    # deterministic re-run
+    curated2, _ = curate_incremental(spark, sf, budget_tokens=3000)
+    assert sorted(map(tuple, c)) == sorted(map(tuple, curated2.collect()))
