@@ -173,6 +173,9 @@ R9 = [
     # incremental curation flagship: gopher gate -> within-batch +
     # vs-history exact dedup -> budget admission, one plan
     "pipe11_incremental_curation",
+    # epoch-expansion stream materialization (broadcast rates + row-local
+    # bounded explode)
+    "mix3_epoch_expansion",
 ]
 
 

@@ -7768,6 +7768,94 @@ GROUP BY s.source ORDER BY s.source
 REGISTRY["pipe11_incremental_curation"] = (pipe11_incremental_curation, PIPE11_SQL)
 
 
+def mix3_epoch_expansion(spark, sf_dir):
+    """Materialize the mix2 allocation as the REPEATED-document training
+    stream a pretraining job actually consumes (the LLaMA-style 'epochs
+    over source' schedule made concrete): per source, every document
+    repeats floor(epochs_ppm / 10^6) times, plus ONE extra copy admitted
+    by the integer md5 draw against the fractional part (hash48·10^6 <
+    frac_ppm·2^48) — so each source's expected token volume equals its
+    alloc_tokens and every copy decision is engine-replayable integer
+    arithmetic (no float anywhere). Output: (doc_id, source, copy_idx),
+    copy_idx 1-based.
+
+    Scale shape: rates are mix2's one map-side-combined groupBy to
+    |sources| rows broadcast back; the expansion is a ROW-LOCAL
+    explode(sequence) with fan-out bounded by the repetition cap
+    (max_epochs_x1024 div 1024 + 1 copies) — no shuffle beyond the
+    broadcast, fuses with the scan. 40k-token budget at a 2.0-epoch cap
+    makes the fractional branch live at every SF (per-source epochs
+    straddle 1.0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "source",
+        F.size(text.tokens("text")).cast("long").alias("n_ws_tokens"),
+    )
+    rates = split.token_budget_allocation(
+        staged, "source", "n_ws_tokens", budget_tokens=40_000,
+        max_epochs_x1024=2048,
+    ).select("source", "epochs_ppm")
+    frac = F.col("epochs_ppm") % 1_000_000
+    extra = (
+        F.expr(
+            "CAST(conv(substring(md5(concat_ws('|', 'mix3',"
+            " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DECIMAL(38,0))"
+            " * 1000000"
+        )
+        < frac.cast("decimal(38,0)") * F.lit(281474976710656).cast("decimal(38,0)")
+    ).cast("long")
+    n_copies = (F.col("epochs_ppm") / F.lit(1_000_000)).cast("long") + extra
+    return (
+        staged.join(F.broadcast(rates), "source")
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("__n").cast("int"))).alias(
+                "copy_idx"
+            ),
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+MIX3_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents WHERE source IS NOT NULL
+), g AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source HAVING CAST(sum(n_tokens) AS BIGINT) > 0
+), w AS (
+  SELECT *, CAST(floor(1024 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight_q
+  FROM g
+), tw AS (SELECT CAST(sum(weight_q) AS BIGINT) AS total_w FROM w),
+rates AS (
+  SELECT source,
+         CAST((CAST(1000000 AS HUGEINT) *
+               least(CAST((CAST(40000 AS HUGEINT) * weight_q) // total_w AS BIGINT),
+                     CAST((CAST(2048 AS HUGEINT) * n_tokens) // 1024 AS BIGINT)))
+              // n_tokens AS BIGINT) AS epochs_ppm
+  FROM w CROSS JOIN tw
+),
+expanded AS (
+  SELECT t.doc_id, t.source,
+         (r.epochs_ppm // 1000000)
+         + CASE WHEN CAST(('0x' || substr(md5('mix3|' || CAST(t.doc_id AS VARCHAR)), 1, 12))::BIGINT
+                     AS HUGEINT) * 1000000
+                     < CAST(r.epochs_ppm % 1000000 AS HUGEINT) * 281474976710656
+                THEN 1 ELSE 0 END AS n_copies
+  FROM tok t JOIN rates r ON t.source = r.source
+)
+SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+FROM expanded WHERE n_copies >= 1
+ORDER BY doc_id, copy_idx
+"""
+
+REGISTRY["mix3_epoch_expansion"] = (mix3_epoch_expansion, MIX3_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver window (first 50 registry entries) — POLICY-PICKED since round 8.
 #
@@ -7803,6 +7891,7 @@ REGISTRY["pipe11_incremental_curation"] = (pipe11_incremental_curation, PIPE11_S
 
 DRIVER_WINDOW = [
     "pipe11_incremental_curation",
+    "mix3_epoch_expansion",
     "d17_tile_dedup_rewrite",
     "ml1b_validation_leaderboard",
     "emb3_int8_quantization",
@@ -7849,7 +7938,6 @@ DRIVER_WINDOW = [
     "fn_udtf_word_rows",
     "s15_orc_roundtrip",
     "mm3_resize_payloads",
-    "mix1_temperature_sample",
     "pack3_shard_shuffle",
     "skew3_key_skew_report",
 ]
