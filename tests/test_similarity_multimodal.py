@@ -345,6 +345,35 @@ class TestIvfProbePairsAdaptive:
             idx.unpersist()
 
 
+def test_real_testdata_embeddings_are_the_degenerate_regime(spark):
+    """Executable pin of the r8-verdict observation: on the REAL synthetic
+    embeddings corpus (near-uniform directions, radii ~1.3-1.45 rad) NO
+    cell is prunable at τ=0.4 — pruned_fraction is exactly 0 and the
+    adaptive router deliberately takes the bounded approximate path
+    instead of paying the exact cross join."""
+    from end_to_end_ml_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    hist = emb.filter(F.col("vec_id") % 4 != 0)
+    idx = similarity.ivf_build_index(hist, "vec_id", "embedding", n_centroids=16)
+    try:
+        rep = similarity.ivf_pruning_report(
+            batch, "vec_id", "embedding", idx, threshold=0.4
+        ).collect()[0]
+        assert rep["pruned_fraction"] == 0.0
+        out, mode = similarity.ivf_probe_pairs_adaptive(
+            batch, "vec_id", "embedding", idx, threshold=0.4
+        )
+        assert mode == "approx"
+        rows = out.collect()
+        assert len(rows) > 0
+        # approximate pairs are still EXACT-verified: round(cos,6) >= τ
+        assert all(r["cosine_sim"] >= 0.4 for r in rows)
+    finally:
+        idx.unpersist()
+
+
 def test_ivf_topk_high_recall_vs_bruteforce(spark):
     """IVF with generous probes on a small set should recover most exact
     neighbors; structure checks: no self matches, k per query."""
