@@ -1371,13 +1371,17 @@ def tile_dedup_rewrite(
     Scale shape: tiles are built ROW-LOCALLY (transform over a sequence,
     slice + concat_ws — no token explode), so the only row growth is the
     bounded n_tokens/tile_words tile fan-out. One shuffle partitions by
-    tile_text for the keep-first window (tile cardinality ~ corpus
-    tokens / tile_words, heavy hitters bounded by duplication itself),
-    one groupBy(doc) reassembles via array_sort(collect_list(struct)) —
-    tile_idx is unique per doc, so the sort is total and the rebuild
-    deterministic. Both shuffles are on high-cardinality keys; nothing
-    global, no driver state. DuckDB replays it exactly (string + integer
-    ops only), so the query form is fully oracled."""
+    tile_text for the keep-first window; a boilerplate tile duplicated
+    10^9 times is NOT a hot-key hazard because Spark pushes the rank-1
+    limit below the exchange (WindowGroupLimit, visible in PLANS.md):
+    each map partition forwards at most ONE row per tile, so the
+    reducer-side hot tile sees <= #map-partitions rows regardless of
+    duplication. One groupBy(doc) then reassembles via
+    array_sort(collect_list(struct)) — tile_idx is unique per doc, so
+    the sort is total and the rebuild deterministic. Both shuffles are
+    on high-cardinality keys; nothing global, no driver state. DuckDB
+    replays it exactly (string + integer ops only), so the query form is
+    fully oracled."""
     tw = int(tile_words)
     if tw < 1:
         raise ValueError("tile_words must be >= 1")
