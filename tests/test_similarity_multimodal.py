@@ -583,3 +583,22 @@ class TestBinaryAssetIngest:
         ).collect()
         fmts = {m["format"] for m in meta}
         assert "jpeg" in fmts and "png" in fmts
+
+
+def test_ann_maintenance_runner_e2e(spark):
+    """tools/run_ann_maintenance.maintain: on the real (degenerate-regime)
+    embeddings the runner records mode=approx with pruned_fraction 0 and
+    exact-verified pairs; stats reconcile with the returned rows."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_ann_maintenance import maintain
+
+    rows, schema, stats = maintain(spark, "/root/testdata/sf0.001", threshold=0.4)
+    assert stats["mode"] == "approx"
+    assert stats["pruned_fraction"] == 0.0
+    assert stats["n_pairs"] == len(rows) > 0
+    assert stats["n_queries"] > 0
+    assert [f.name for f in schema.fields] == ["new_id", "hist_id", "cosine_sim"]
+    assert all(r["cosine_sim"] >= 0.4 for r in rows)
