@@ -230,3 +230,25 @@ def test_driver_window_is_pick_window_output():
     ]
     current_round = max(rounds) + 1
     assert pick_window.pick(current_round) == DRIVER_WINDOW
+
+
+def test_bench_and_plandump_lists_reference_live_queries():
+    """Round-9 retired two registry names (ts4, ml1) — a stale name left
+    in bench.py or tools/dump_plans.py would only surface as a runtime
+    KeyError in the driver's bench run. Pin every list statically."""
+    import os
+    import re
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import __spark_entry__ as entry_mod
+
+    live = set(entry_mod.queries())
+    for path in ("bench.py", os.path.join("tools", "dump_plans.py")):
+        src = open(os.path.join(root, path)).read()
+        names = set()
+        for block in re.findall(r"^\w+ = \[(.*?)^\]", src, re.S | re.M):
+            names |= set(re.findall(r'"([a-z][a-z0-9_]+)"', block))
+        stale = names - live
+        assert not stale, f"{path} references non-registry queries: {sorted(stale)}"

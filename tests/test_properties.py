@@ -482,3 +482,22 @@ def test_tile_dedup_rewrite_preserves_distinct_tiles(spark, texts, tw):
         assert out[i]["rewritten_text"] == txt
         assert out[i]["n_tiles_kept"] == n
     assert sum(r["n_tiles_kept"] for r in out.values()) == len(seen)
+
+
+recode_rows = st.lists(st.sampled_from(["1", "2", "3", "9", None]), min_size=1, max_size=30)
+recode_map = st.dictionaries(
+    st.sampled_from(["1", "2", "3"]), st.sampled_from(["A", "B", "C"]), max_size=3
+)
+
+
+@given(vals=recode_rows, mapping=recode_map)
+@settings(**SETTINGS)
+def test_recode_values_matches_python_replace(spark, vals, mapping):
+    """P9 parity law: chained CASE WHEN == pandas Series.replace on
+    arbitrary values/mappings — unmapped (incl. NULL) pass through."""
+    from end_to_end_ml_spark.operators import prep
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "g"])
+    out = {r["i"]: r["g"] for r in prep.recode_values(df, "g", mapping).collect()}
+    for i, v in enumerate(vals):
+        assert out[i] == (mapping.get(v, v) if v is not None else None)
