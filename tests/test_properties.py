@@ -497,7 +497,9 @@ def test_recode_values_matches_python_replace(spark, vals, mapping):
     arbitrary values/mappings — unmapped (incl. NULL) pass through."""
     from end_to_end_ml_spark.operators import prep
 
-    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "g"])
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, g string"
+    )
     out = {r["i"]: r["g"] for r in prep.recode_values(df, "g", mapping).collect()}
     for i, v in enumerate(vals):
         assert out[i] == (mapping.get(v, v) if v is not None else None)
