@@ -77,6 +77,12 @@ def test_time_split_errors(spark):
     )
     with pytest.raises(ValueError, match="outside"):
         split.time_split(ts, "ts", "2030-01-01 00:00:00")
+    # null timestamps (the reference's 'date contains missing values.')
+    nulls = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (2, None)], "pk int, s string"
+    ).select("pk", F.to_timestamp("s").alias("ts"))
+    with pytest.raises(ValueError, match="null timestamps"):
+        split.time_split(nulls, "ts", "2024-01-05 00:00:00")
 
 
 def test_validate_disjoint_raises(spark, labeled):
