@@ -577,3 +577,50 @@ def test_curation_pipeline_incremental_e2e(spark, tmp_path):
     # deterministic re-run
     curated2, _ = curate_incremental(spark, sf, budget_tokens=3000)
     assert sorted(map(tuple, c)) == sorted(map(tuple, curated2.collect()))
+
+
+def test_curation_cli_incremental_flag_and_sidecar(spark, tmp_path, monkeypatch):
+    """The CLI paths (argv parsing incl. --incremental) were untested:
+    run main() in-process (get_spark -> getOrCreate reuses the session)
+    and assert the partitioned parquet + stats sidecar land with the
+    mode recorded."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_curation_pipeline as rcp
+
+    out = str(tmp_path / "run")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_curation_pipeline.py", "/root/testdata/sf0.001", out, "3000",
+         "--incremental"],
+    )
+    rcp.main()
+    stats = json.load(open(os.path.join(out, "curation_stats.json")))
+    assert stats["mode"] == "incremental"
+    assert stats["budget_tokens"] == 3000
+    assert stats["total_docs_kept"] > 0
+    shards = [d for d in os.listdir(os.path.join(out, "curated")) if d.startswith("shard=")]
+    assert shards
+
+
+def test_ann_maintenance_cli_writes_pairs_and_stats(spark, tmp_path, monkeypatch):
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_ann_maintenance as ram
+
+    out = str(tmp_path / "ann")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_ann_maintenance.py", "/root/testdata/sf0.001", out, "0.4"],
+    )
+    ram.main()
+    stats = json.load(open(os.path.join(out, "ann_stats.json")))
+    assert stats["mode"] == "approx" and stats["n_pairs"] > 0
+    pairs = spark.read.parquet(os.path.join(out, "pairs"))
+    assert pairs.count() == stats["n_pairs"]
