@@ -7804,7 +7804,10 @@ def mix3_epoch_expansion(spark, sf_dir):
         )
         < frac.cast("decimal(38,0)") * F.lit(281474976710656).cast("decimal(38,0)")
     ).cast("long")
-    n_copies = (F.col("epochs_ppm") / F.lit(1_000_000)).cast("long") + extra
+    # INTEGER division (house discipline): float-div-then-cast is exact
+    # here only because ppm <= 2e6 keeps the quotient far from a double
+    # boundary — div never depends on that argument
+    n_copies = F.expr("epochs_ppm div 1000000") + extra
     return (
         staged.join(F.broadcast(rates), "source")
         .withColumn("__n", n_copies)
