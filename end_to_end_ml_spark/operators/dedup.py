@@ -1389,7 +1389,8 @@ def tile_dedup_rewrite(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
     )
-    n_tiles = F.ceil(F.size("__toks") / F.lit(float(tw))).cast("int")
+    # integer ceiling division (house discipline — no float on the path)
+    n_tiles = F.expr(f"CAST((size(__toks) + {tw - 1}) div {tw} AS INT)")
     tile_structs = F.transform(
         F.sequence(F.lit(0), n_tiles - 1),
         lambda i: F.struct(
