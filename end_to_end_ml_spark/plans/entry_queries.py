@@ -7866,7 +7866,7 @@ REGISTRY["mix3_epoch_expansion"] = (mix3_epoch_expansion, MIX3_SQL)
 # round-8 verdict asked for a deterministic rotation policy that bounds
 # every oracled query's driver-exposure latency; it lives in
 # tools/pick_window.py and this list is its verbatim output for
-# `--round 9` (re-run the tool to audit). Policy: (1) queries red in the
+# `--round 10` (re-run the tool to audit). Policy: (1) queries red in the
 # latest committed CORRECTNESS artifact are forced in until proven green
 # (none this round); (2) never-driver-exposed queries UNCONDITIONALLY,
 # newest registration round first (DRIVER_LEDGER.json) — round-9
@@ -7876,73 +7876,69 @@ REGISTRY["mix3_epoch_expansion"] = (mix3_epoch_expansion, MIX3_SQL)
 # a round later; (3) previously-exposed fill by (exposure count, last
 # exposed round) with a best-effort family-coverage guard — ties broken
 # by md5(f"r{N}:{name}") so no name starves behind a fixed order.
-# Round-9 FINAL pick (after this round's three new oracled queries
-# registered): 47 first exposures / 50 — ALL 44 legacy never-exposed
-# oracled queries (the r6-r8 registration tail — fn_* suites, q-series
-# stragglers, set1-3, emb2/3, mm3/4, pipe2/4, dq2/4, x10/11/14/15/21,
-# a9/a17/a19, d9, ts1/ts9, t8/t9b, s14/s15, ev5, f12,
-# q2/q6/q8/q13/q14/q17/q19/q22) PLUS the round-9 additions
-# pipe11/d17/ml1b, + 3 previously-green fills chosen by the guard.
-# After this window drains, EVERY oracled registry query has a driver
-# correctness row — full driver coverage, one round earlier than the r8
-# verdict projected. All registry entries remain locally verified via
-# tools/check_oracle.py (full-registry + full-window-at-sf0.1 results
-# committed as CHECK_ORACLE_LOCAL_r09.json /
-# CHECK_ORACLE_SF01_WINDOW_r09.json); counts are asserted below
-# and in tests (tests/test_plan_lint.py::test_registry_count_claims).
+# Round-10 pick: 0 first exposures / 50 — the RE-CHECK ROTATION ERA.
+# As of CORRECTNESS_r09 every oracled registry query has at least one
+# green driver row, so windows are now pure least-exposed-first
+# re-checks: fill order (exposure count, last exposed round), ties
+# broken by md5(f"r10:{name}"), with the best-effort family guard.
+# All registry entries remain locally verified via tools/check_oracle.py
+# (full-registry + full-window-at-sf0.1 results committed as
+# CHECK_ORACLE_LOCAL_r10.json / CHECK_ORACLE_SF01_WINDOW_r10.json);
+# counts are asserted below and in tests
+# (tests/test_plan_lint.py::test_registry_count_claims).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    "pipe11_incremental_curation",
-    "mix3_epoch_expansion",
-    "d17_tile_dedup_rewrite",
+    "agg_percentiles",
+    "f8_label_index",
+    "s9_online_export",
+    "q7_volume_shipping",
+    "ts2_gap_fill",
+    "x5_repetition_scores",
+    "ev1_funnel_conversion",
+    "a15_drift_bins",
+    "ev2_retention_cohorts",
+    "ev4_top_session_paths",
+    "pipe5_eval_set",
+    "t9_weighted_sample",
+    "dq1_expectations",
+    "emb4_negative_pairs",
+    "ev6_linear_attribution",
+    "ts7_countmin_heavy_hitters",
+    "mix1_temperature_sample",
+    "t10_fixed_count_sample",
+    "p15_profile_columns",
+    "d12_source_overlap_matrix",
+    "a18_spearman_components",
+    "dq3_referential_integrity",
+    "ts8_weekly_profile",
+    "fn_array_suite",
+    "f13_robust_scale",
+    "x17_bm25_components",
+    "ev8_time_to_conversion",
+    "a11_champion_leaderboard",
+    "t13_four_way_carve",
+    "p14_winsorize",
+    "pipe7_curated_shards",
+    "f11_quantile_uniform",
+    "x12_dup_ngram_fraction",
+    "s16_csv_roundtrip",
+    "pack2_bin_summary",
+    "q12_late_shipments",
+    "t12_replicated_sample",
+    "mm2_frame_sample",
+    "w7_pivot_matrix",
+    "prof1_column_profile",
+    "set4_multiset_ops",
     "ml1b_validation_leaderboard",
-    "emb3_int8_quantization",
-    "x11_token_rarity",
-    "t8_kfold_audit",
-    "fn_range_frame_rolling_sum",
-    "dq2_corpus_expectations",
-    "f12_feature_hash_audit",
-    "mm4_payload_dup_groups",
-    "fn_date_suite",
-    "x21_lang_mismatch_audit",
-    "emb2_label_centroids",
-    "x15_charset_audit",
-    "pipe2_corpus_mix",
-    "a19_brier_components",
-    "ev5_daily_state_snapshot",
-    "q8_market_share",
-    "set3_union_targets",
-    "ts9_arrival_completeness",
-    "q17_small_qty_revenue",
-    "a9_ece_multiclass",
-    "q22_idle_balances",
-    "a17_corr_components",
-    "dq4_volume_anomaly",
-    "q13_order_distribution",
-    "x14_data_card",
-    "agg_pivot_event_matrix",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "set2_lapsed_customers",
-    "x10_vocabulary",
-    "d9_decontaminate",
-    "ts1_hourly_downsample",
-    "fn_string_suite",
-    "fn_unpivot_order_metrics",
-    "t9b_replicated_sample",
-    "q2_min_cost_supplier",
-    "pipe4_shard_stats",
-    "fn_higher_order_text_suite",
-    "fn_window_suite",
-    "s14_snapshot_diff",
-    "set1_repeat_customers",
-    "q6_forecast_revenue",
-    "fn_udtf_word_rows",
-    "s15_orc_roundtrip",
-    "mm3_resize_payloads",
-    "pack3_shard_shuffle",
-    "skew3_key_skew_report",
+    "skew1_salted_join_agg",
+    "h7_asha_schedule",
+    "sim1b_topk_sharded",
+    "ord1_global_ordinal",
+    "j5_customers_without_orders",
+    "m8q_threshold_sweep_quantized",
+    "rj1_event_pairs",
+    "st_sessionize",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
