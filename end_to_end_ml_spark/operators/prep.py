@@ -191,7 +191,11 @@ def recode_values(
                 "Column %s doesn't exist in data.", col
             )
             return df
-        raise ValueError(f"Class column {col} doesn't exist in data.")
+        # generic message: recode_values serves ordinary categorical
+        # columns too — the class-specific wording belongs to
+        # recode_class_labels, which pre-checks and raises its own
+        # (round-9 ADVICE)
+        raise ValueError(f"Column {col} doesn't exist in data.")
     expr = F.col(col)
     out = None
     for k, v in mapping.items():

@@ -719,10 +719,19 @@ def ivf_pruning_report(
     join; on a clusterable corpus pruned_fraction > 0 and the lossless
     probe is the right tool. Costs two small jobs (a count over the batch
     and a 1-row aggregate over the candidate frame) — report-only, never
-    on the probe's hot path."""
+    on the probe's hot path.
+
+    ``cells_total`` is the CENTROID count, not the populated-cell count
+    (round-9 ADVICE): _probe_candidate_cells prunes against every
+    centroid — an empty cell (radius 0) can still be a candidate when its
+    centroid lies within the threshold angle — so a populated-cell
+    denominator could make candidate_cell_rows exceed n_queries ×
+    cells_total and push pruned_fraction slightly negative, mislabeling
+    the regime at the min_pruned_fraction boundary. The centroid count is
+    also a driver-side constant, so the report costs one job fewer."""
     spark = new_df.sparkSession
     n_queries = new_df.count()
-    n_cells = index.cells.select("cell").distinct().count()
+    n_cells = len(index.centroids)
     cand = _probe_candidate_cells(
         new_df, id_col, vec_col, index, threshold, round_digits=round_digits
     )
@@ -789,6 +798,7 @@ def ivf_probe_pairs_adaptive(
     min_pruned_fraction: float = 0.05,
     n_probe: int = 4,
     round_digits: int = 6,
+    report=None,
 ) -> tuple[DataFrame, str]:
     """The maintenance-loop router the pruning report was built for
     (round-8 verdict #4's 'fall back to the approximate sim3 path
@@ -804,10 +814,15 @@ def ivf_probe_pairs_adaptive(
     cells. Returns (pairs DataFrame, mode) with mode in
     {"exact", "approx"} so callers can record which contract the batch
     got. The report costs two small jobs against the persisted index —
-    noise next to either probe path."""
-    rep = ivf_pruning_report(
-        new_df, id_col, vec_col, index, threshold, round_digits
-    ).collect()[0]
+    noise next to either probe path; a caller that already ran
+    :func:`ivf_pruning_report` (e.g. tools/run_ann_maintenance.py, which
+    records the report in its stats sidecar) passes it via ``report=`` so
+    the candidate-cell probe is not computed twice (round-9 ADVICE)."""
+    if report is None:
+        report = ivf_pruning_report(
+            new_df, id_col, vec_col, index, threshold, round_digits
+        ).collect()[0]
+    rep = report
     if rep["pruned_fraction"] >= min_pruned_fraction:
         return (
             ivf_probe_pairs(

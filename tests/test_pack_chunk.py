@@ -522,6 +522,34 @@ def test_curation_pipeline_e2e(spark, tmp_path):
     assert sorted(map(tuple, c)) == sorted(map(tuple, curated2.collect()))
 
 
+def test_curation_full_mode_matches_pipe10(spark):
+    """round-9 ADVICE: full-mode curate() must use the SAME keeper
+    selection as the oracled pipe10 form — the NULL-source filter runs
+    AFTER the fingerprint keep-min window, so a NULL-source doc that is
+    the min-doc_id keeper of a fingerprint still suppresses its non-NULL
+    duplicates. Pinned by exact per-source stats parity at pipe10's
+    budget (50 000 tokens)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_curation_pipeline import curate
+
+    from end_to_end_ml_spark.plans.entry_queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    _, stats = curate(spark, sf, budget_tokens=50_000)
+    pipe10 = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"], r["admit_ppm"])
+        for r in REGISTRY["pipe10_budget_curation"][0](spark, sf).collect()
+    }
+    got = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"], int(r["admit_ppm"]))
+        for r in stats.collect()
+    }
+    assert got == pipe10
+
+
 def test_curation_pipeline_incremental_e2e(spark, tmp_path):
     """--incremental (pipe11 operationally): batch-only curation against
     the history fingerprint store with the survivor frame persisted

@@ -109,6 +109,17 @@ def test_recode_missing_column_warns_categorical_raises_class(spark, caplog):
         prep.recode_class_labels(df, "Class", {"0": "Non-Diabetic"})
 
 
+def test_recode_error_messages_distinguish_paths(spark):
+    """round-9 ADVICE: recode_values serves ordinary categorical columns,
+    so its on_missing='error' message is generic; only
+    recode_class_labels (which pre-checks) says 'Class column'."""
+    df = spark.createDataFrame([("1",)], ["g"])
+    with pytest.raises(ValueError, match=r"^Column cat doesn't exist"):
+        prep.recode_values(df, "cat", {"1": "First"}, on_missing="error")
+    with pytest.raises(ValueError, match=r"^Class column y doesn't exist"):
+        prep.recode_class_labels(df, "y", {"0": "No"})
+
+
 def test_recode_class_labels_casts_then_maps(spark):
     """map_class_labels parity: astype(string) BEFORE replace, so an
     integer-typed label column maps through its string form."""

@@ -595,10 +595,18 @@ def test_ann_maintenance_runner_e2e(spark):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from run_ann_maintenance import maintain
 
-    rows, schema, stats = maintain(spark, "/root/testdata/sf0.001", threshold=0.4)
-    assert stats["mode"] == "approx"
-    assert stats["pruned_fraction"] == 0.0
-    assert stats["n_pairs"] == len(rows) > 0
-    assert stats["n_queries"] > 0
-    assert [f.name for f in schema.fields] == ["new_id", "hist_id", "cosine_sim"]
-    assert all(r["cosine_sim"] >= 0.4 for r in rows)
+    pairs, index, stats = maintain(spark, "/root/testdata/sf0.001", threshold=0.4)
+    try:
+        rows = pairs.collect()  # test-only materialization; maintain() no
+        # longer collects (round-9 ADVICE: the runner must stay distributed)
+        assert stats["mode"] == "approx"
+        assert stats["pruned_fraction"] == 0.0
+        assert "n_pairs" not in stats  # counted off the written parquet in main()
+        assert len(rows) > 0
+        assert stats["n_queries"] > 0
+        assert [f.name for f in pairs.schema.fields] == [
+            "new_id", "hist_id", "cosine_sim",
+        ]
+        assert all(r["cosine_sim"] >= 0.4 for r in rows)
+    finally:
+        index.unpersist()

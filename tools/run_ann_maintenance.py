@@ -40,43 +40,46 @@ def maintain(
     n_probe: int = 4,
     batch_mod: int = 4,
 ):
-    """(pairs_df, stats_dict). Kept as a function so tests can run it on
-    sf0.001 without the CLI path. The index is built per call here; a
-    long-lived maintenance loop holds one IvfIndex across batches and
-    pays only the probe per batch (the pipe9 contract)."""
+    """(pairs_df, index, stats_dict) — the pairs frame is returned
+    DISTRIBUTED (never collected) together with the live index so the
+    caller can write/count the pairs and then unpersist. Kept as a
+    function so tests can run it on sf0.001 without the CLI path. The
+    index is built per call here; a long-lived maintenance loop holds one
+    IvfIndex across batches and pays only the probe per batch (the pipe9
+    contract)."""
     emb = load_table(spark, sf_dir, "embeddings")
     batch = emb.filter(F.col("vec_id") % batch_mod == 0)
     hist = emb.filter(F.col("vec_id") % batch_mod != 0)
     index = similarity.ivf_build_index(
         hist, "vec_id", "embedding", n_centroids=n_centroids
     )
-    try:
-        rep = similarity.ivf_pruning_report(
-            batch, "vec_id", "embedding", index, threshold
-        ).collect()[0]
-        pairs, mode = similarity.ivf_probe_pairs_adaptive(
-            batch, "vec_id", "embedding", index,
-            threshold=threshold, n_probe=n_probe,
-        )
-        rows = pairs.collect()
-        stats = {
-            "mode": mode,
-            "threshold": threshold,
-            "n_probe": n_probe if mode == "approx" else None,
-            "pruned_fraction": rep["pruned_fraction"],
-            "cells_total": rep["cells_total"],
-            "n_queries": rep["n_queries"],
-            "n_pairs": len(rows),
-            "contract": (
-                "exact: every pair with round(cos,6) >= threshold is present"
-                if mode == "exact"
-                else "approx: every emitted pair is true (exact verify); "
-                "recall < 1 possible outside the n_probe nearest cells"
-            ),
-        }
-        return rows, pairs.schema, stats
-    finally:
-        index.unpersist()
+    rep = similarity.ivf_pruning_report(
+        batch, "vec_id", "embedding", index, threshold
+    ).collect()[0]
+    # the report is handed to the router so the candidate-cell probe is
+    # computed ONCE (round-9 ADVICE — the router used to re-run it)
+    pairs, mode = similarity.ivf_probe_pairs_adaptive(
+        batch, "vec_id", "embedding", index,
+        threshold=threshold, n_probe=n_probe, report=rep,
+    )
+    stats = {
+        "mode": mode,
+        "threshold": threshold,
+        "n_probe": n_probe if mode == "approx" else None,
+        "pruned_fraction": rep["pruned_fraction"],
+        "cells_total": rep["cells_total"],
+        "n_queries": rep["n_queries"],
+        "contract": (
+            "exact: every pair with round(cos,6) >= threshold is present"
+            if mode == "exact"
+            else "approx: every emitted pair is true (exact verify); "
+            "recall < 1 possible outside the n_probe nearest cells"
+        ),
+    }
+    # NOTE: the pairs frame stays distributed (round-9 ADVICE — no
+    # driver-side collect funnel); callers write/count it, then
+    # index.unpersist() when done with the batch.
+    return pairs, index, stats
 
 
 def main() -> None:
@@ -84,11 +87,14 @@ def main() -> None:
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_ann_maintenance"
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 0.4
     spark = get_spark("run-ann-maintenance")
-    rows, schema, stats = maintain(spark, sf_dir, threshold)
+    pairs, index, stats = maintain(spark, sf_dir, threshold)
     os.makedirs(out_dir, exist_ok=True)
-    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "pairs")
-    )
+    # executor-side write — pairs never touch the driver; the count reads
+    # back the written parquet footers (cheap metadata job)
+    target = os.path.join(out_dir, "pairs")
+    pairs.write.mode("overwrite").parquet(target)
+    index.unpersist()
+    stats["n_pairs"] = spark.read.parquet(target).count()
     stats["sf_dir"] = sf_dir
     with open(os.path.join(out_dir, "ann_stats.json"), "w") as f:
         json.dump(stats, f, indent=1, sort_keys=True)

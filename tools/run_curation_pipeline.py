@@ -53,13 +53,16 @@ def curate(spark, sf_dir: str, budget_tokens: int, n_shards: int = 8):
     ).select("*", *text.gopher_rule_columns())
     w_fp = Window.partitionBy("fp")
     surv = (
-        # NULL-source docs can never be admitted (token_budget_allocation
-        # drops NULL groups, so the rates join would drop them anyway) —
-        # filter them explicitly at the scan so the intent is visible and
-        # the predicate pushes down (round-8 ADVICE consistency note)
-        feat.filter(F.col("keep") & F.col("source").isNotNull())
+        # Keeper selection MUST see NULL-source docs (round-9 ADVICE): in
+        # the oracled pipe10 form a NULL-source doc that is the min-doc_id
+        # keeper of a fingerprint suppresses its non-NULL duplicates, and
+        # only the allocation/rates join drops the NULL-source survivor
+        # itself. Filtering source before the window would let those
+        # duplicates through — so the NULL filter runs AFTER dedup here,
+        # exactly as PIPE10_SQL does.
+        feat.filter(F.col("keep"))
         .withColumn("keeper", F.min("doc_id").over(w_fp))
-        .filter(F.col("doc_id") == F.col("keeper"))
+        .filter((F.col("doc_id") == F.col("keeper")) & F.col("source").isNotNull())
         .select("doc_id", "source", "text", "n_words")
     )
     rates = split.token_budget_allocation(
