@@ -7390,6 +7390,81 @@ ORDER BY new_id, hist_id
 REGISTRY["pipe9_incremental_ann"] = (pipe9_incremental_ann, PIPE9_SQL)
 
 
+def pipe12_adaptive_ann_exact(spark, sf_dir):
+    """Driver-grade evidence for the adaptive ANN router's EXACT mode
+    (round-9 verdict #4): a deterministic planted-cluster slice of the
+    embeddings table where triangle-inequality pruning PROVABLY engages,
+    so ivf_probe_pairs_adaptive routes to the lossless probe — and the
+    brute-force cross-split SQL is an unconditional oracle, exactly as
+    for pipe9 (which pins the opposite, degenerate regime on the raw
+    near-uniform corpus).
+
+    Planted geometry (the x6 grafting pattern): cluster c = (vec_id div
+    4) % 4 — deliberately independent of the vec_id%4 batch/history
+    split so every cluster spans both sides; coordinate c is REPLACED by
+    1.0 and every other coordinate scaled by 2^-5. Both values are
+    exactly float32-representable (1.0, and a power-of-two scale of a
+    stored float32 is a pure exponent shift), so the float32 vectors the
+    probe machinery stores and the float64 vectors DuckDB derives agree
+    bit-for-bit — no representation gap anywhere. In-cluster cosines sit
+    near 1, cross-cluster near 0 (coordinates bounded by 0.58·2^-5), so
+    at τ=0.5 every cross-cluster cell is prunable with a wide margin and
+    the router MUST pick mode='exact' — the function raises if it ever
+    routes approx, turning a silent regime misread into a loud red row.
+
+    Scale shape: identical to pipe9 — index build is one Arrow-batched
+    assignment pass + a ≤ n_centroids-row radii aggregate; the probe
+    ships each query only to its non-prunable cells (here: its own
+    cluster's cells), so candidate pairs are Σ_c |batch_c|·|hist_c|, not
+    |batch|·|hist|."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(CASE WHEN i = CAST((vec_id div 4) % 4 AS INT)"
+            " THEN 1.0 ELSE CAST(x AS DOUBLE) * 0.03125 END AS FLOAT))"
+        ).alias("embedding"),
+    )
+    batch = planted.filter(F.col("vec_id") % 4 == 0)
+    hist = planted.filter(F.col("vec_id") % 4 != 0)
+    index = similarity.ivf_build_index(hist, "vec_id", "embedding", n_centroids=16)
+    pairs, mode = similarity.ivf_probe_pairs_adaptive(
+        batch, "vec_id", "embedding", index, threshold=0.5, n_probe=4
+    )
+    if mode != "exact":
+        raise RuntimeError(
+            f"pipe12 planted geometry must route exact, got {mode!r}"
+        )
+    return pairs
+
+
+PIPE12_SQL = """
+WITH p AS (
+  SELECT vec_id,
+    list_transform(embedding, (x, i) ->
+      CASE WHEN i - 1 = (vec_id // 4) % 4
+           THEN 1.0 ELSE CAST(x AS DOUBLE) * 0.03125 END) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+  FROM p
+), pairs AS (
+  SELECT a.vec_id AS new_id, b.vec_id AS hist_id,
+    round(list_reduce(list_transform(list_zip(a.v, b.v),
+                                     q -> q[1] * q[2]),
+                      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM n a JOIN n b ON a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0
+)
+SELECT new_id, hist_id, cosine_sim FROM pairs WHERE cosine_sim >= 0.5
+ORDER BY new_id, hist_id
+"""
+
+REGISTRY["pipe12_adaptive_ann_exact"] = (pipe12_adaptive_ann_exact, PIPE12_SQL)
+
+
 def pipe10_budget_curation(spark, sf_dir):
     """Budget-aware corpus curation — the round-8 composition flagship,
     chaining this round's operators into ONE declarative plan: Gopher
@@ -7857,6 +7932,126 @@ ORDER BY doc_id, copy_idx
 """
 
 REGISTRY["mix3_epoch_expansion"] = (mix3_epoch_expansion, MIX3_SQL)
+
+
+def mix4_waterfill(spark, sf_dir):
+    """Water-filling token-budget mixture (operators/split.
+    token_budget_waterfill — round-9 verdict #3's oracle ask): the
+    LLaMA-style EXACT mixture where clipped surplus is redistributed —
+    share = R·w div W over the uncapped set, remainder by LARGEST
+    REMAINDER (mod desc, str(group) asc), any group pushed past its
+    1.0-epoch cap frozen at the cap, loop repeats on the residual
+    budget until no group overflows — so Σ alloc_tokens == budget
+    exactly whenever Σ caps ≥ budget. Groups are log2 document-length
+    buckets (len_bucket = bit_length(n_ws_tokens) − 1 — PURE INTEGER
+    via length(bin(n)), engine-exact by construction, no float log),
+    whose token sums are skewed enough that the cascade genuinely
+    engages at every SF (the smallest bucket's proportional share
+    overshoots its cap and freezes; at sf0.01 a SECOND bucket freezes
+    only in round 2, exercising the iterative refreeze). Budget =
+    total_tokens div 2, derived from the data so the freeze geometry is
+    scale-invariant.
+
+    The oracle replays the integer loop as a DuckDB RECURSIVE CTE
+    carrying (frozen list, residual budget) single-row state — the
+    pack1 pattern extended with list lambdas for the largest-remainder
+    rank (correlated windows are unsupported in recursion).
+
+    Scale shape: ONE map-side-combined groupBy over the fact table to
+    ≤|buckets| rows + a 1-row total aggregate; the freeze loop is
+    driver-side integer arithmetic over that handful of rows
+    (≤|groups| rounds of O(|groups| log |groups|)) — trivial at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = (
+        docs.select(F.size(text.tokens("text")).cast("long").alias("n_ws_tokens"))
+        .filter(F.col("n_ws_tokens") > 0)
+        .select(
+            (F.length(F.bin(F.col("n_ws_tokens"))) - 1)
+            .cast("long")
+            .alias("len_bucket"),
+            "n_ws_tokens",
+        )
+    )
+    total = staged.agg(F.sum("n_ws_tokens")).collect()[0][0]
+    return split.token_budget_waterfill(
+        staged, "len_bucket", "n_ws_tokens",
+        budget_tokens=int(total) // 2, max_epochs_x1024=1024,
+    ).orderBy("len_bucket")
+
+
+MIX4_SQL = r"""
+WITH RECURSIVE
+tok AS (
+  SELECT length(bin(nw)) - 1 AS len_bucket, nw
+  FROM (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS nw FROM documents)
+  WHERE nw IS NOT NULL AND nw > 0
+),
+g AS (
+  SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS n_tokens,
+         CAST(floor(1024 * sqrt(CAST(sum(nw) AS DOUBLE))) AS BIGINT) AS weight_q,
+         CAST((CAST(1024 AS HUGEINT) * sum(nw)) // 1024 AS BIGINT) AS cap_tokens
+  FROM tok GROUP BY len_bucket HAVING CAST(sum(nw) AS BIGINT) > 0
+),
+bud AS (SELECT CAST(sum(nw) // 2 AS BIGINT) AS b0 FROM tok),
+-- single-row state recursion: (frozen buckets, residual budget, provisional
+-- shares, done). Each round computes exact-integer proportional shares with
+-- largest-remainder top-up over the ACTIVE set via list lambdas, freezes
+-- every over-cap group at its cap, and repeats on the residual budget.
+step(iter, frozen, budget_left, shares, done) AS (
+  SELECT 0, CAST([] AS BIGINT[]), (SELECT b0 FROM bud),
+         CAST([] AS STRUCT(b BIGINT, cap BIGINT, share BIGINT)[]), false
+  UNION ALL
+  SELECT iter + 1,
+         list_concat(frozen, list_transform(over_l, o -> o.b)),
+         budget_left - coalesce(CAST(list_sum(list_transform(over_l, o -> o.cap)) AS BIGINT), 0),
+         shares_l,
+         len(over_l) = 0
+  FROM (
+    SELECT *, list_filter(shares_l, a -> a.share > a.cap) AS over_l
+    FROM (
+      SELECT *,
+        list_transform(act, a -> struct_pack(
+          b := a.b, cap := a.cap,
+          share := CAST((CAST(budget_left AS HUGEINT) * a.w) // wtot AS BIGINT)
+            + CASE WHEN
+                len(list_filter(act, z ->
+                  (CAST(budget_left AS HUGEINT) * z.w) % wtot > (CAST(budget_left AS HUGEINT) * a.w) % wtot
+                  OR ((CAST(budget_left AS HUGEINT) * z.w) % wtot = (CAST(budget_left AS HUGEINT) * a.w) % wtot
+                      AND CAST(z.b AS VARCHAR) < CAST(a.b AS VARCHAR)))) + 1
+                <= budget_left - CAST(list_sum(list_transform(act, z ->
+                     CAST((CAST(budget_left AS HUGEINT) * z.w) // wtot AS BIGINT))) AS BIGINT)
+              THEN 1 ELSE 0 END)) AS shares_l
+      FROM (
+        SELECT iter, frozen, budget_left, act,
+               CAST(list_sum(list_transform(act, a -> a.w)) AS HUGEINT) AS wtot
+        FROM (
+          SELECT s.iter, s.frozen, s.budget_left,
+                 (SELECT coalesce(list(struct_pack(b := x.len_bucket, w := x.weight_q, cap := x.cap_tokens)
+                                       ORDER BY x.len_bucket), [])
+                  FROM g x WHERE NOT list_contains(s.frozen, x.len_bucket)) AS act
+          FROM step s WHERE NOT s.done AND s.budget_left > 0
+        ) WHERE len(act) > 0
+      )
+    )
+  )
+),
+last AS (SELECT * FROM step ORDER BY iter DESC LIMIT 1)
+SELECT g.len_bucket, g.n_docs, g.n_tokens, g.weight_q,
+  CASE WHEN list_contains(l.frozen, g.len_bucket) THEN g.cap_tokens
+       WHEN l.done THEN list_filter(l.shares, a -> a.b = g.len_bucket)[1].share
+       ELSE 0 END AS alloc_tokens,
+  CAST((CAST(1000000 AS HUGEINT) *
+        CASE WHEN list_contains(l.frozen, g.len_bucket) THEN g.cap_tokens
+             WHEN l.done THEN list_filter(l.shares, a -> a.b = g.len_bucket)[1].share
+             ELSE 0 END) // g.n_tokens AS BIGINT) AS epochs_ppm,
+  list_contains(l.frozen, g.len_bucket) AS clipped
+FROM g CROSS JOIN last l
+ORDER BY g.len_bucket
+"""
+
+REGISTRY["mix4_waterfill"] = (mix4_waterfill, MIX4_SQL)
 
 
 # ---------------------------------------------------------------------------

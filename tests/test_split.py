@@ -367,6 +367,25 @@ class TestTokenBudgetWaterfill:
         assert not out["c"]["clipped"]
         assert sum(r["alloc_tokens"] for r in out.values()) == budget
 
+    def test_mix4_registry_cascade_engages_on_real_data(self, spark):
+        """The oracled mix4_waterfill registry query (round-9 verdict #3)
+        must exercise the freeze path on the REAL documents table, not
+        just terminate proportionally: at sf0.001 the two smallest log2
+        length buckets are frozen at their 1.0-epoch caps and the budget
+        (total div 2) is exhausted exactly."""
+        from end_to_end_ml_spark.plans.entry_queries import REGISTRY
+
+        out = REGISTRY["mix4_waterfill"][0](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        frozen = {r["len_bucket"] for r in out if r["clipped"]}
+        assert frozen == {3, 4}
+        for r in out:
+            if r["clipped"]:
+                assert r["alloc_tokens"] == r["n_tokens"]  # 1.0-epoch cap
+        total = sum(r["n_tokens"] for r in out)
+        assert sum(r["alloc_tokens"] for r in out) == total // 2
+
 
 def test_carve_assignment_matches_chain(spark):
     """The fused single-pass 4-way carve must be ROW-IDENTICAL to the
