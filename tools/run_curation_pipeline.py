@@ -98,44 +98,49 @@ def curate(spark, sf_dir: str, budget_tokens: int, n_shards: int = 8):
     return curated, stats
 
 
-def curate_incremental(
-    spark, sf_dir: str, budget_tokens: int, n_shards: int = 8, batch_mod: int = 4
-):
-    """The pipe11 chain, operationally: curate only the NEW batch
-    (doc_id % batch_mod == 0) against the history fingerprint store,
-    with the survivor frame persisted ONCE so the allocation pass and
-    the admit-draw pass read cached blocks instead of re-running the
-    gate + dedup lineage (the two-pass trade the declarative query form
-    documents — here the batch is materialized, exactly what a nightly
-    production run does). History ships fingerprints only — 16 bytes
-    per historical doc at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(
+def fingerprint_expr():
+    """pipe11's normalized prefix-8 fingerprint (16-byte md5 of the first
+    8 whitespace tokens) — the ONLY thing the history store ever ships."""
+    return F.md5(
         F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
     )
-    hist = (
-        docs.filter(F.col("doc_id") % batch_mod != 0).select(fp.alias("fp")).distinct()
-    )
-    feat = (
-        docs.filter(F.col("doc_id") % batch_mod == 0)
-        .select(
-            "doc_id",
-            "source",
-            "text",
-            fp.alias("fp"),
-            *text.gopher_evidence_columns("text"),
-        )
-        .select("*", *text.gopher_rule_columns())
-    )
+
+
+def curate_epoch(
+    spark,
+    batch_docs,
+    hist_fps,
+    budget_tokens: int,
+    n_shards: int = 8,
+    salt: str = "cur2",
+):
+    """ONE nightly epoch of the pipe11 chain over an arbitrary batch
+    frame: Gopher gate → within-batch keep-first dedup on the prefix-8
+    fingerprint → LEFT ANTI against ``hist_fps`` (a 1-column `fp` frame,
+    or None for the first epoch) → per-source budget admission →
+    integer md5 draws → shard assignment. The survivor frame is
+    persisted ONCE (the materialization trade pipe11's declarative form
+    documents). Returns (curated_df, stats_df, admitted_fps_df) — the
+    caller unions admitted_fps into its store so the NEXT epoch dedups
+    against everything the corpus already contains (a draw-rejected doc
+    keeps its chance in later epochs; an admitted fingerprint never
+    re-enters)."""
+    feat = batch_docs.select(
+        "doc_id",
+        "source",
+        "text",
+        fingerprint_expr().alias("fp"),
+        *text.gopher_evidence_columns("text"),
+    ).select("*", *text.gopher_rule_columns())
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
     surv = (
         feat.filter(F.col("keep") & F.col("source").isNotNull())
         .withColumn("__rn", F.row_number().over(w_fp))
         .filter(F.col("__rn") == 1)
-        .join(hist, "fp", "left_anti")
-        .select("doc_id", "source", "text", "n_words")
-        .persist()
     )
+    if hist_fps is not None:
+        surv = surv.join(hist_fps, "fp", "left_anti")
+    surv = surv.select("doc_id", "source", "text", "n_words", "fp").persist()
     rates = split.token_budget_allocation(
         surv, "source", "n_words", budget_tokens=budget_tokens,
         max_epochs_x1024=1024,
@@ -155,7 +160,7 @@ def curate_incremental(
         F.broadcast(rates.select("source", "admit_ppm")), "source"
     ).filter(draw)
     curated = pack.shard_shuffle(
-        admitted, "doc_id", n_shards=n_shards, salt="cur2"
+        admitted, "doc_id", n_shards=n_shards, salt=salt
     ).select("shard", "pos", "doc_id", "source", "n_words", "text")
     stats = (
         admitted.groupBy("source")
@@ -166,7 +171,78 @@ def curate_incremental(
         .join(rates, "source")
         .orderBy("source")
     )
+    return curated, stats, admitted.select("fp").distinct()
+
+
+def curate_incremental(
+    spark, sf_dir: str, budget_tokens: int, n_shards: int = 8, batch_mod: int = 4
+):
+    """The pipe11 chain, operationally: curate only the NEW batch
+    (doc_id % batch_mod == 0) against the history fingerprint store,
+    with the survivor frame persisted ONCE so the allocation pass and
+    the admit-draw pass read cached blocks instead of re-running the
+    gate + dedup lineage (the two-pass trade the declarative query form
+    documents — here the batch is materialized, exactly what a nightly
+    production run does). History ships fingerprints only — 16 bytes
+    per historical doc at any corpus size. Delegates to
+    :func:`curate_epoch`; pipe11 parity is pinned by
+    tests/test_pack_chunk.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") % batch_mod != 0)
+        .select(fingerprint_expr().alias("fp"))
+        .distinct()
+    )
+    curated, stats, _ = curate_epoch(
+        spark,
+        docs.filter(F.col("doc_id") % batch_mod == 0),
+        hist,
+        budget_tokens,
+        n_shards=n_shards,
+    )
     return curated, stats
+
+
+def run_epochs(
+    spark, sf_dir: str, budget_tokens: int, n_epochs: int = 3, out_dir: str | None = None
+):
+    """Chain :func:`curate_epoch` across ``n_epochs`` synthetic 'nights'
+    (night e = doc_id % n_epochs == e) carrying the VERSIONED fingerprint
+    store between them — the composed loop the per-epoch function exists
+    for (round-9 verdict #5). The store after night e is exactly the
+    union of all admitted fingerprints through night e (store version e
+    written to fp_store/v{e} when out_dir is given), so no fingerprint
+    is ever admitted twice across epochs. Returns
+    (per_epoch, fp_store_df) where per_epoch is a list of
+    (curated_df, stats_df) per night — frames, never driver collects
+    (their lineage reads the per-epoch persisted survivor frame, so they
+    stay cheap to evaluate after the loop)."""
+    docs = load_table(spark, sf_dir, "documents")
+    store = None
+    per_epoch = []
+    for e in range(n_epochs):
+        batch = docs.filter(F.col("doc_id") % n_epochs == e)
+        curated, stats, admitted_fps = curate_epoch(
+            spark, batch, store, budget_tokens, salt=f"cur2e{e}"
+        )
+        # materialize the store ONCE per night: checkpoint through parquet
+        # when out_dir is given (the versioned store a production loop
+        # keeps), else persist — either way the next epoch reads stored
+        # fps, not a growing lineage over every prior night
+        new_store = (
+            admitted_fps if store is None else store.unionByName(admitted_fps)
+        ).distinct()
+        if out_dir is not None:
+            version_dir = os.path.join(out_dir, "fp_store", f"v{e}")
+            new_store.write.mode("overwrite").parquet(version_dir)
+            store = spark.read.parquet(version_dir)
+            curated.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(out_dir, "curated", f"epoch={e}")
+            )
+        else:
+            store = new_store.persist()
+        per_epoch.append((curated, stats))
+    return per_epoch, store
 
 
 def main() -> None:
