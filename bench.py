@@ -178,6 +178,16 @@ R9 = [
     "mix3_epoch_expansion",
 ]
 
+# Round-10 additions: the two new oracled composites — the LLaMA-style
+# water-filling allocator (one groupBy to |buckets| rows + the exact
+# integer freeze loop driver-side) and the adaptive ANN router's EXACT
+# mode on the planted-cluster geometry (index build + lossless
+# triangle-inequality probe where pruning provably engages).
+R10 = [
+    "mix4_waterfill",
+    "pipe12_adaptive_ann_exact",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -265,6 +275,7 @@ def main() -> None:
         + [(n, 4) for n in R7]
         + [(n, 4) for n in R8]
         + [(n, 4) for n in R9]
+        + [(n, 4) for n in R10]
     ):
         # d4's ~2000-node generated aggregate needs the most C2 warm-up of
         # any plan; in a warm session (17 queries already run) its reps

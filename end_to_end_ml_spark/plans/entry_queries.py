@@ -8071,7 +8071,9 @@ REGISTRY["mix4_waterfill"] = (mix4_waterfill, MIX4_SQL)
 # a round later; (3) previously-exposed fill by (exposure count, last
 # exposed round) with a best-effort family-coverage guard — ties broken
 # by md5(f"r{N}:{name}") so no name starves behind a fixed order.
-# Round-10 pick: 0 first exposures / 50 — the RE-CHECK ROTATION ERA.
+# Round-10 pick: 2 first exposures / 50 (the round-10 registrations
+# mix4_waterfill / pipe12_adaptive_ann_exact, forced in by policy #2)
+# — otherwise the RE-CHECK ROTATION ERA.
 # As of CORRECTNESS_r09 every oracled registry query has at least one
 # green driver row, so windows are now pure least-exposed-first
 # re-checks: fill order (exposure count, last exposed round), ties
@@ -8084,6 +8086,8 @@ REGISTRY["mix4_waterfill"] = (mix4_waterfill, MIX4_SQL)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
+    "mix4_waterfill",
+    "pipe12_adaptive_ann_exact",
     "agg_percentiles",
     "f8_label_index",
     "s9_online_export",
@@ -8119,8 +8123,6 @@ DRIVER_WINDOW = [
     "x12_dup_ngram_fraction",
     "s16_csv_roundtrip",
     "pack2_bin_summary",
-    "q12_late_shipments",
-    "t12_replicated_sample",
     "mm2_frame_sample",
     "w7_pivot_matrix",
     "prof1_column_profile",

@@ -232,6 +232,31 @@ def test_driver_window_is_pick_window_output():
     assert pick_window.pick(current_round) == DRIVER_WINDOW
 
 
+def test_cohort2_is_disjoint_deterministic_and_skips_slow_oracles():
+    """pick_window.cohort2 (round-9 verdict #7's second sf0.1 sweep):
+    50 oracled names, disjoint from the driver window, deterministic for
+    a fixed round, and excluding every query whose DuckDB oracle ran
+    > 5 s at sf0.01 in the latest committed full-registry artifact (the
+    quadratic brute-force oracles that cost ~100x at sf0.1)."""
+    import glob
+    import json
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    import pick_window
+
+    c2 = pick_window.cohort2(10)
+    assert len(c2) == 50 and len(set(c2)) == 50
+    assert c2 == pick_window.cohort2(10)  # deterministic
+    assert not set(c2) & set(pick_window.pick(10))
+    locals_ = sorted(glob.glob(os.path.join(root, "CHECK_ORACLE_LOCAL_r*.json")))
+    res = json.load(open(locals_[-1])).get("results", {})
+    slow = {n for n, r in res.items() if (r.get("duck_s") or 0) > 5}
+    assert not set(c2) & slow
+
+
 def test_bench_and_plandump_lists_reference_live_queries():
     """Round-9 retired two registry names (ts4, ml1) — a stale name left
     in bench.py or tools/dump_plans.py would only surface as a runtime

@@ -158,11 +158,54 @@ def pick(round_n: int, update_ledger: bool = False) -> list[str]:
     return window
 
 
+def cohort2(round_n: int) -> list[str]:
+    """The SECOND 50-query sf0.1 sweep cohort (round-9 verdict #7): the
+    next 50 names in the same priority order, excluding (a) everything
+    pick(round_n) already covers and (b) queries whose DuckDB oracle is
+    quadratic at scale — operationalized as duck_s > 5 s at sf0.01 in
+    the latest committed CHECK_ORACLE_LOCAL artifact (those oracles are
+    brute-force cross joins that cost ~100x at sf0.1; the Spark side is
+    sublinear and already covered by the sf0.01 full-registry run)."""
+    window = set(pick(round_n))
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entry  # noqa: E402
+
+    oracled = list(entry.oracle_sql())
+    exposures, latest_red = artifact_exposures()
+
+    def tiebreak(name: str) -> str:
+        return hashlib.md5(f"r{round_n}:{name}".encode()).hexdigest()
+
+    slow_oracle: set[str] = set()
+    locals_ = sorted(glob.glob(os.path.join(ROOT, "CHECK_ORACLE_LOCAL_r*.json")))
+    if locals_:
+        with open(locals_[-1]) as f:
+            res = json.load(f).get("results", {})
+        slow_oracle = {n for n, r in res.items() if (r.get("duck_s") or 0) > 5}
+    ledger = load_ledger()
+    rest = [n for n in oracled if n not in window and n not in slow_oracle]
+    t1 = [n for n in rest if n not in exposures]
+    t2 = [n for n in rest if n in exposures]
+    t1.sort(key=lambda n: (-ledger.get(n, {}).get("first_seen_round", 0), tiebreak(n)))
+    t2.sort(key=lambda n: (len(exposures[n]), exposures[n][-1], tiebreak(n)))
+    return (t1 + t2)[:WINDOW_SIZE]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--update-ledger", action="store_true")
+    ap.add_argument(
+        "--cohort", type=int, default=1,
+        help="1 = the driver window; 2 = the next-50 sf0.1 sweep cohort",
+    )
     args = ap.parse_args()
+    if args.cohort == 2:
+        names = cohort2(args.round)
+        print(f"# round {args.round} cohort-2 sweep: {len(names)} names")
+        for n in names:
+            print(f'    "{n}",')
+        return
     window = pick(args.round, update_ledger=args.update_ledger)
     exposures, _ = artifact_exposures()
     fresh = sum(1 for n in window if n not in exposures)
