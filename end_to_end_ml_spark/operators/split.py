@@ -619,6 +619,50 @@ def token_budget_allocation(
     )
 
 
+def waterfill_integer_loop(groups, budget_left: int):
+    """The exact-integer freeze loop at the heart of
+    :func:`token_budget_waterfill`, factored out so the mix4 recursive-CTE
+    oracle template can be property-tested against the PRODUCTION loop on
+    arbitrary inputs (tests/test_properties.py), not just the three SF
+    data points. ``groups``: dicts with keys g (key), w (weight_q > 0),
+    cap (cap_tokens ≥ 0). Returns (alloc: dict g→tokens, frozen: set).
+
+    Per round over the ACTIVE set: share_g = R·w_g div W, then the
+    remainder R − Σ shares distributed one token each by LARGEST
+    REMAINDER (R·w_g mod W desc, str(g) asc — deterministic); any group
+    pushed past its cap is frozen AT the cap and the loop repeats with
+    the residual budget. Terminates in ≤ |groups| rounds (each round
+    freezes ≥ 1 group or finishes)."""
+    alloc = {g["g"]: 0 for g in groups}
+    frozen: set = set()
+    active = [g for g in groups]
+    while active and budget_left > 0:
+        w_total = sum(g["w"] for g in active)
+        if w_total == 0:  # unreachable: n_tokens>0 ⇒ weight_q ≥ 1024
+            break
+        shares = {g["g"]: (budget_left * g["w"]) // w_total for g in active}
+        rem = budget_left - sum(shares.values())
+        # largest-remainder: +1 token to `rem` groups, mod desc, name asc
+        order = sorted(
+            active,
+            key=lambda g: (-((budget_left * g["w"]) % w_total), str(g["g"])),
+        )
+        for g in order[: int(rem)]:
+            shares[g["g"]] += 1
+        over = [g for g in active if shares[g["g"]] > g["cap"]]
+        if not over:
+            for g in active:
+                alloc[g["g"]] = shares[g["g"]]
+            budget_left = 0
+        else:
+            for g in over:
+                alloc[g["g"]] = g["cap"]
+                frozen.add(g["g"])
+                budget_left -= g["cap"]
+            active = [g for g in active if g["g"] not in frozen]
+    return alloc, frozen
+
+
 def token_budget_waterfill(
     df: DataFrame,
     group_col: str,
@@ -660,34 +704,7 @@ def token_budget_waterfill(
         }
         for r in rows
     ]
-    alloc = {g["g"]: 0 for g in groups}
-    frozen: set = set()
-    active = [g for g in groups]
-    budget_left = int(budget_tokens)
-    while active and budget_left > 0:
-        w_total = sum(g["w"] for g in active)
-        if w_total == 0:  # unreachable: n_tokens>0 ⇒ weight_q ≥ 1024
-            break
-        shares = {g["g"]: (budget_left * g["w"]) // w_total for g in active}
-        rem = budget_left - sum(shares.values())
-        # largest-remainder: +1 token to `rem` groups, mod desc, name asc
-        order = sorted(
-            active,
-            key=lambda g: (-((budget_left * g["w"]) % w_total), str(g["g"])),
-        )
-        for g in order[: int(rem)]:
-            shares[g["g"]] += 1
-        over = [g for g in active if shares[g["g"]] > g["cap"]]
-        if not over:
-            for g in active:
-                alloc[g["g"]] = shares[g["g"]]
-            budget_left = 0
-        else:
-            for g in over:
-                alloc[g["g"]] = g["cap"]
-                frozen.add(g["g"])
-                budget_left -= g["cap"]
-            active = [g for g in active if g["g"] not in frozen]
+    alloc, frozen = waterfill_integer_loop(groups, int(budget_tokens))
     spark = df.sparkSession
     out = [
         (

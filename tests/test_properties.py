@@ -446,6 +446,98 @@ def test_waterfill_exhausts_budget_or_hits_all_caps(spark, groups, budget, meps)
             assert r["alloc_tokens"] == caps[r["source"]]
 
 
+WATERFILL_CTE_TEMPLATE = r"""
+WITH RECURSIVE
+g(name, weight_q, cap_tokens) AS (VALUES {values}),
+step(iter, frozen, budget_left, shares, done) AS (
+  SELECT 0, CAST([] AS VARCHAR[]), CAST({budget} AS BIGINT),
+         CAST([] AS STRUCT(b VARCHAR, cap BIGINT, share BIGINT)[]), false
+  UNION ALL
+  SELECT iter + 1,
+         list_concat(frozen, list_transform(over_l, o -> o.b)),
+         budget_left - coalesce(CAST(list_sum(list_transform(over_l, o -> o.cap)) AS BIGINT), 0),
+         shares_l,
+         len(over_l) = 0
+  FROM (
+    SELECT *, list_filter(shares_l, a -> a.share > a.cap) AS over_l
+    FROM (
+      SELECT *,
+        list_transform(act, a -> struct_pack(
+          b := a.b, cap := a.cap,
+          share := CAST((CAST(budget_left AS HUGEINT) * a.w) // wtot AS BIGINT)
+            + CASE WHEN
+                len(list_filter(act, z ->
+                  (CAST(budget_left AS HUGEINT) * z.w) % wtot > (CAST(budget_left AS HUGEINT) * a.w) % wtot
+                  OR ((CAST(budget_left AS HUGEINT) * z.w) % wtot = (CAST(budget_left AS HUGEINT) * a.w) % wtot
+                      AND z.b < a.b))) + 1
+                <= budget_left - CAST(list_sum(list_transform(act, z ->
+                     CAST((CAST(budget_left AS HUGEINT) * z.w) // wtot AS BIGINT))) AS BIGINT)
+              THEN 1 ELSE 0 END)) AS shares_l
+      FROM (
+        SELECT iter, frozen, budget_left, act,
+               CAST(list_sum(list_transform(act, a -> a.w)) AS HUGEINT) AS wtot
+        FROM (
+          SELECT s.iter, s.frozen, s.budget_left,
+                 (SELECT coalesce(list(struct_pack(b := x.name, w := x.weight_q, cap := x.cap_tokens)
+                                       ORDER BY x.name), [])
+                  FROM g x WHERE NOT list_contains(s.frozen, x.name)) AS act
+          FROM step s WHERE NOT s.done AND s.budget_left > 0
+        ) WHERE len(act) > 0
+      )
+    )
+  )
+),
+last AS (SELECT * FROM step ORDER BY iter DESC LIMIT 1)
+SELECT g.name,
+  CASE WHEN list_contains(l.frozen, g.name) THEN g.cap_tokens
+       WHEN l.done THEN list_filter(l.shares, a -> a.b = g.name)[1].share
+       ELSE 0 END AS alloc_tokens,
+  list_contains(l.frozen, g.name) AS clipped
+FROM g CROSS JOIN last l
+ORDER BY g.name
+"""
+
+waterfill_groups = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=6),
+        st.integers(1, 10**9),      # weight_q
+        st.integers(0, 10**9),      # cap_tokens
+    ),
+    min_size=1,
+    max_size=7,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(groups=waterfill_groups, budget=st.integers(0, 4 * 10**9))
+@settings(max_examples=200, deadline=None)  # pure DuckDB + Python — no
+# Spark session in the loop, so this law can afford 13x the house budget
+def test_waterfill_cte_replays_production_loop(groups, budget):
+    """mix4's DuckDB recursive-CTE oracle template must replay
+    operators/split.waterfill_integer_loop EXACTLY on arbitrary inputs —
+    same allocations, same frozen set — not just on the three SF data
+    points the registry row pins. Covers: budget 0, infeasible budgets
+    (Σ caps < budget → everyone at cap), zero caps, mod ties broken by
+    key string order, multi-round cascades, and HUGEINT-scale products
+    (budget·weight up to ~4e18·1e9)."""
+    import duckdb
+
+    from end_to_end_ml_spark.operators.split import waterfill_integer_loop
+
+    g = [{"g": name, "w": w, "cap": cap} for name, w, cap in groups]
+    alloc, frozen = waterfill_integer_loop(g, budget)
+    values = ", ".join(
+        f"('{name}', CAST({w} AS BIGINT), CAST({cap} AS BIGINT))"
+        for name, w, cap in groups
+    )
+    sql = WATERFILL_CTE_TEMPLATE.format(values=values, budget=budget)
+    got = {
+        name: (a, c) for name, a, c in duckdb.connect().execute(sql).fetchall()
+    }
+    want = {name: (alloc[name], name in frozen) for name, _, _ in groups}
+    assert got == want
+
+
 doc_corpus = st.lists(
     st.lists(st.sampled_from("abcde"), min_size=1, max_size=20).map(" ".join),
     min_size=1,

@@ -171,7 +171,7 @@ def cohort2(round_n: int) -> list[str]:
     import __spark_entry__ as entry  # noqa: E402
 
     oracled = list(entry.oracle_sql())
-    exposures, latest_red = artifact_exposures()
+    exposures, _ = artifact_exposures()
 
     def tiebreak(name: str) -> str:
         return hashlib.md5(f"r{round_n}:{name}".encode()).hexdigest()
