@@ -485,31 +485,16 @@ class IvfIndex:
         self._owned = False
 
 
-def ivf_build_index(
-    hist_df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_centroids: int = 16,
-    sample_mod: int = 1,
-) -> IvfIndex:
-    """Build the persisted IVF index over the HISTORY corpus: deterministic
-    Lloyd centroids from a sorted, BOUNDED id-mod sample (sim3's
-    quantizer via _quantizer_sample — capped at 65536 driver rows no
-    matter the corpus size), Arrow-batched cell assignment executor-side,
-    one ≤ n_centroids-row aggregate for the per-cell angular radii. Only
-    the sample and the radii rows touch the driver; the assignments stay
-    distributed and persisted."""
+def _assign_with_angle(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
+    """(cell, nid, nvec, ang) assignment frame for a vector frame against
+    a FIXED centroid matrix — Arrow-batched executor-side; the shared
+    kernel of :func:`ivf_build_index` and :func:`ivf_index_add`."""
     import numpy as np
     import pandas as pd
 
-    spark = hist_df.sparkSession
-    sample = _quantizer_sample(hist_df, id_col, vec_col, sample_mod)
-    cent = _lloyd_centroids(
-        [list(r[1]) for r in sample], min(n_centroids, len(sample))
-    )
-    bc_cent = spark.sparkContext.broadcast(cent)
+    bc_cent = df.sparkSession.sparkContext.broadcast(centroids)
 
-    def assign_with_angle(batches):
+    def assign(batches):
         c = bc_cent.value
         cn = np.sqrt((c * c).sum(axis=1))
         for pdf in batches:
@@ -532,15 +517,35 @@ def ivf_build_index(
                 }
             )
 
-    assigned = _spread(
-        hist_df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
-    ).mapInPandas(
-        assign_with_angle, "cell int, nid long, nvec array<float>, ang double"
+    return _spread(
+        df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    ).mapInPandas(assign, "cell int, nid long, nvec array<float>, ang double")
+
+
+def ivf_build_index(
+    hist_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample_mod: int = 1,
+) -> IvfIndex:
+    """Build the persisted IVF index over the HISTORY corpus: deterministic
+    Lloyd centroids from a sorted, BOUNDED id-mod sample (sim3's
+    quantizer via _quantizer_sample — capped at 65536 driver rows no
+    matter the corpus size), Arrow-batched cell assignment executor-side,
+    one ≤ n_centroids-row aggregate for the per-cell angular radii. Only
+    the sample and the radii rows touch the driver; the assignments stay
+    distributed and persisted."""
+    import numpy as np
+
+    sample = _quantizer_sample(hist_df, id_col, vec_col, sample_mod)
+    cent = _lloyd_centroids(
+        [list(r[1]) for r in sample], min(n_centroids, len(sample))
     )
     # persist the ASSIGNED frame itself (not a projection of it) so the
     # radii aggregate and every later probe join read the same cached
     # blocks instead of re-running the assignment mapInPandas
-    assigned = assigned.persist()
+    assigned = _assign_with_angle(hist_df, id_col, vec_col, cent).persist()
     radii_rows = assigned.groupBy("cell").agg(F.max("ang").alias("r")).collect()
     # keep the persisted frame itself as `cells` (the ang column rides
     # along unused) so unpersist() targets the cached plan directly
@@ -549,6 +554,38 @@ def ivf_build_index(
     for row in radii_rows:
         radii[row["cell"]] = row["r"]
     return IvfIndex(cells, cent, radii, owned=True)
+
+
+def ivf_index_add(index: IvfIndex, new_df: DataFrame, id_col: str, vec_col: str) -> IvfIndex:
+    """Incremental index maintenance WITHOUT rebuild: assign the ingested
+    batch to the EXISTING centroids, union it into the cells frame, and
+    recompute per-cell radii (one ≤ n_centroids-row aggregate that also
+    MATERIALIZES the new persisted frame, so the caller may
+    ``old.unpersist()`` immediately after this returns).
+
+    Correctness: centroids stay fixed and radii only GROW (max over old
+    and new members), so the angular triangle-inequality pruning bound
+    in :func:`_probe_candidate_cells` remains unconditionally lossless
+    after ANY number of adds. The trade is operational, not correctness:
+    inflating radii gradually weaken pruning, which
+    :func:`ivf_pruning_report` measures per batch — a maintenance loop
+    rebuilds (fresh Lloyd centroids) when pruned_fraction decays below
+    its routing floor, exactly the policy tools/run_ann_maintenance.py's
+    epoch mode records. Per-add cost: one Arrow-batched assignment pass
+    over the batch + the radii aggregate — never touches old members."""
+    import numpy as np
+
+    assigned = _assign_with_angle(new_df, id_col, vec_col, index.centroids)
+    cells = (
+        index.cells.select("cell", "nid", "nvec", "ang")
+        .unionByName(assigned)
+        .persist()
+    )
+    radii_rows = cells.groupBy("cell").agg(F.max("ang").alias("r")).collect()
+    radii = np.zeros(len(index.centroids))
+    for row in radii_rows:
+        radii[row["cell"]] = row["r"]
+    return IvfIndex(cells, index.centroids, radii, owned=True)
 
 
 def _probe_candidate_cells(

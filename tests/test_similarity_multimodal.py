@@ -610,3 +610,92 @@ def test_ann_maintenance_runner_e2e(spark):
         assert all(r["cosine_sim"] >= 0.4 for r in rows)
     finally:
         index.unpersist()
+
+
+class TestIvfIndexAdd:
+    def test_probe_then_add_loop_exact_across_epochs(self, spark):
+        """ivf_index_add (round-10): the probe-then-add maintenance loop
+        on planted-cluster geometry. Each epoch's EXACT-mode probe must
+        return precisely the brute-force pairs of (epoch batch) x
+        (history + every EARLIER batch) — proving added vectors are
+        genuinely probed by later epochs — and per-cell radii must be
+        monotonically non-decreasing across adds (the lossless-pruning
+        invariant)."""
+        import numpy as np
+
+        from end_to_end_ml_spark.operators import similarity
+
+        df = _planted_clusters(spark, n_clusters=4, per_cluster=16)
+        rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in df.collect()}
+        hist_ids = [i for i in rows if i % 4 != 0]
+        batch_ids = lambda e: [  # noqa: E731
+            i for i in rows if i % 4 == 0 and (i // 4) % 2 == e
+        ]
+
+        def brute(qids, nids, thr=0.5):
+            out = set()
+            for q in qids:
+                for n in nids:
+                    x, y = rows[q], rows[n]
+                    c = round(float(
+                        (x @ y) / (np.sqrt(x @ x) * np.sqrt(y @ y))
+                    ), 6)
+                    if c >= thr:
+                        out.add((q, n, c))
+            return out
+
+        index = similarity.ivf_build_index(
+            df.filter("vec_id % 4 != 0"), "vec_id", "embedding", n_centroids=8
+        )
+        seen = list(hist_ids)
+        try:
+            for e in range(2):
+                batch = df.filter(
+                    f"vec_id % 4 == 0 AND (vec_id div 4) % 2 == {e}"
+                )
+                pairs, mode = similarity.ivf_probe_pairs_adaptive(
+                    batch, "vec_id", "embedding", index, threshold=0.5
+                )
+                assert mode == "exact"
+                got = {
+                    (r["new_id"], r["hist_id"], r["cosine_sim"])
+                    for r in pairs.collect()
+                }
+                assert got == brute(batch_ids(e), seen)
+                old_radii = index.radii.copy()
+                new_index = similarity.ivf_index_add(
+                    index, batch, "vec_id", "embedding"
+                )
+                index.unpersist()
+                index = new_index
+                assert (index.radii >= old_radii - 1e-12).all()
+                seen += batch_ids(e)
+            # the grown index holds every vector exactly once
+            assert index.cells.count() == len(rows)
+        finally:
+            index.unpersist()
+
+
+def test_ann_maintenance_epochs_runner(spark, tmp_path):
+    """tools/run_ann_maintenance.maintain_epochs on the real (degenerate)
+    embeddings: 3 probe-then-add nights, approx mode recorded per epoch,
+    pairs written per epoch, final index holds history + all batches."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_ann_maintenance import maintain_epochs
+
+    from end_to_end_ml_spark.sources import load_table
+
+    out = str(tmp_path / "epochs")
+    paths, stats = maintain_epochs(
+        spark, "/root/testdata/sf0.001", threshold=0.4, n_epochs=3, out_dir=out
+    )
+    assert len(paths) == 3 and len(stats["epochs"]) == 3
+    for e, s in enumerate(stats["epochs"]):
+        assert s["mode"] == "approx"  # degenerate regime on raw embeddings
+        assert s["n_pairs"] == spark.read.parquet(paths[e]).count()
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assert stats["index_rows"] == emb.count()
