@@ -699,3 +699,63 @@ def test_ann_maintenance_epochs_runner(spark, tmp_path):
         assert s["n_pairs"] == spark.read.parquet(paths[e]).count()
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     assert stats["index_rows"] == emb.count()
+
+
+def test_rebuild_policy_signal_decays_and_recovers(spark):
+    """The operational story ivf_index_add's docstring promises, made
+    executable: ingesting a DRIFTED batch (four brand-new cluster
+    directions) through probe-then-add inflates some cell radius
+    (monotone max — pruning stays lossless but weakens), so
+    pruned_fraction DECAYS versus the pre-add index; a REBUILD over the
+    union (fresh Lloyd centroids) recovers pruning strictly above the
+    degraded post-add level. This is the measurable signal a
+    maintenance loop's rebuild policy watches (recorded per epoch by
+    tools/run_ann_maintenance.maintain_epochs)."""
+    from end_to_end_ml_spark.operators import similarity
+
+    dim = 8
+    rows = []
+    vid = 0
+    for c in range(4):
+        for i in range(16):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 1) % dim] = 0.01 * ((i % 5) + 1)
+            rows.append((vid, v))
+            vid += 1
+    hist = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    drift = []
+    for j in range(16):
+        v = [0.0] * dim
+        v[4 + (j % 4)] = 1.0
+        v[(5 + j) % dim] = 0.01 * ((j % 5) + 1)
+        drift.append((1000 + j, v))
+    batch = spark.createDataFrame(drift, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    idx = similarity.ivf_build_index(hist, "vec_id", "embedding", n_centroids=8)
+    idx2 = None
+    idx3 = None
+    try:
+        before = similarity.ivf_pruning_report(
+            queries, "vec_id", "embedding", idx, 0.9
+        ).collect()[0]["pruned_fraction"]
+        idx2 = similarity.ivf_index_add(idx, batch, "vec_id", "embedding")
+        assert idx2.radii.max() > idx.radii.max()  # drift inflated a radius
+        after_add = similarity.ivf_pruning_report(
+            queries, "vec_id", "embedding", idx2, 0.9
+        ).collect()[0]["pruned_fraction"]
+        idx3 = similarity.ivf_build_index(
+            hist.unionByName(batch), "vec_id", "embedding", n_centroids=8
+        )
+        after_rebuild = similarity.ivf_pruning_report(
+            queries, "vec_id", "embedding", idx3, 0.9
+        ).collect()[0]["pruned_fraction"]
+        assert after_add < before          # the decay the policy watches
+        assert after_rebuild > after_add   # the rebuild recovers pruning
+    finally:
+        idx.unpersist()
+        if idx2 is not None:
+            idx2.unpersist()
+        if idx3 is not None:
+            idx3.unpersist()
