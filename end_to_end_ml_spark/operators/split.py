@@ -619,7 +619,7 @@ def token_budget_allocation(
     )
 
 
-def waterfill_integer_loop(groups, budget_left: int):
+def waterfill_integer_loop(groups, budget_left: int, trace: list | None = None):
     """The exact-integer freeze loop at the heart of
     :func:`token_budget_waterfill`, factored out so the mix4 recursive-CTE
     oracle template can be property-tested against the PRODUCTION loop on
@@ -632,7 +632,10 @@ def waterfill_integer_loop(groups, budget_left: int):
     REMAINDER (R·w_g mod W desc, str(g) asc — deterministic); any group
     pushed past its cap is frozen AT the cap and the loop repeats with
     the residual budget. Terminates in ≤ |groups| rounds (each round
-    freezes ≥ 1 group or finishes)."""
+    freezes ≥ 1 group or finishes). Pass ``trace=[]`` to receive the
+    per-round frozen-key lists (test/observability hook — mix4's
+    docstring claims about WHICH round a bucket freezes in are pinned
+    through it)."""
     alloc = {g["g"]: 0 for g in groups}
     frozen: set = set()
     active = [g for g in groups]
@@ -650,6 +653,8 @@ def waterfill_integer_loop(groups, budget_left: int):
         for g in order[: int(rem)]:
             shares[g["g"]] += 1
         over = [g for g in active if shares[g["g"]] > g["cap"]]
+        if trace is not None:
+            trace.append(sorted(g["g"] for g in over))
         if not over:
             for g in active:
                 alloc[g["g"]] = shares[g["g"]]

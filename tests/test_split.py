@@ -386,6 +386,35 @@ class TestTokenBudgetWaterfill:
         total = sum(r["n_tokens"] for r in out)
         assert sum(r["alloc_tokens"] for r in out) == total // 2
 
+    def test_mix4_sf001_refreeze_round_is_as_documented(self, spark):
+        """mix4's docstring claims the sf0.01 corpus refreezes bucket 4
+        only in ROUND 2 (the iterative cascade) while sf0.001 freezes
+        both small buckets in round 1 — pin both trajectories via the
+        loop's trace hook on the REAL group tables."""
+        import duckdb
+
+        from end_to_end_ml_spark.operators.split import waterfill_integer_loop
+
+        def trace_for(sf):
+            g_rows = duckdb.connect().execute(rf"""
+              WITH t AS (SELECT length(bin(nw)) - 1 AS b, nw FROM
+                (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS nw
+                 FROM read_parquet('/root/testdata/sf{sf}/documents.parquet'))
+                WHERE nw IS NOT NULL AND nw > 0)
+              SELECT b, CAST(sum(nw) AS BIGINT) FROM t GROUP BY b ORDER BY b
+            """).fetchall()
+            groups = [
+                {"g": b, "w": int(1024 * (t ** 0.5)), "cap": (1024 * t) // 1024}
+                for b, t in g_rows
+            ]
+            budget = sum(t for _, t in g_rows) // 2
+            trace: list = []
+            waterfill_integer_loop(groups, budget, trace=trace)
+            return trace
+
+        assert trace_for("0.001") == [[3, 4], []]
+        assert trace_for("0.01") == [[3], [4], []]  # round-2 refreeze
+
 
 def test_carve_assignment_matches_chain(spark):
     """The fused single-pass 4-way carve must be ROW-IDENTICAL to the
