@@ -468,21 +468,34 @@ class IvfIndex:
     """Persisted history-side IVF index for :func:`ivf_probe_pairs` — the
     embedding twin of dedup.MinHashIndex (round-7 verdict #6): build once
     per corpus epoch, probe every ingest batch against it, ``unpersist()``
-    on epoch roll. Holds the persisted (cell, nid, nvec) assignments plus
-    the tiny driver-side centroid matrix and per-cell angular radii
-    (max angle between a member and its centroid — the exact-pruning
-    bound)."""
+    on epoch roll. Holds the (cell, nid, nvec) assignments plus the tiny
+    driver-side centroid matrix and per-cell angular radii (max angle
+    between a member and its centroid — the exact-pruning bound).
 
-    def __init__(self, cells: DataFrame, centroids, radii, owned: bool) -> None:
+    ``cells`` may be a LAYERED frame: :func:`ivf_index_add` unions each
+    ingest batch's persisted assignment frame under the previous layers
+    rather than re-persisting the whole corpus (per-add cost stays
+    O(batch)). The index therefore OWNS a list of persisted frames; an
+    index returned by ivf_index_add SUPERSEDES its input (they share
+    cached layers), so callers unpersist only the final index of a
+    chain, never the intermediates."""
+
+    def __init__(
+        self, cells: DataFrame, centroids, radii, owned: bool,
+        owned_frames=None,
+    ) -> None:
         self.cells = cells
         self.centroids = centroids
         self.radii = radii
-        self._owned = owned
+        if owned_frames is not None:
+            self._owned_frames = list(owned_frames)
+        else:
+            self._owned_frames = [cells] if owned else []
 
     def unpersist(self) -> None:
-        if self._owned:
-            self.cells.unpersist()
-        self._owned = False
+        for f in self._owned_frames:
+            f.unpersist()
+        self._owned_frames = []
 
 
 def _assign_with_angle(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
@@ -558,10 +571,19 @@ def ivf_build_index(
 
 def ivf_index_add(index: IvfIndex, new_df: DataFrame, id_col: str, vec_col: str) -> IvfIndex:
     """Incremental index maintenance WITHOUT rebuild: assign the ingested
-    batch to the EXISTING centroids, union it into the cells frame, and
-    recompute per-cell radii (one ≤ n_centroids-row aggregate that also
-    MATERIALIZES the new persisted frame, so the caller may
-    ``old.unpersist()`` immediately after this returns).
+    batch to the EXISTING centroids, persist it as a new LAYER under the
+    previous cells frame (a union view over cached children — the old
+    members are never re-assigned, re-scanned, or re-persisted), and
+    grow the per-cell radii by elementwise max with the batch's radii
+    (max is associative, so this equals a full recomputation exactly).
+    Per-add cost is genuinely O(batch): one Arrow-batched assignment
+    pass + a ≤ n_centroids-row aggregate over the batch layer only.
+
+    The returned index SUPERSEDES ``index`` — they share cached layers,
+    so do NOT unpersist the input; unpersist only the final index of an
+    add chain (or roll the epoch with a rebuild). The union view's plan
+    depth grows by one per add; a maintenance loop's periodic rebuild
+    (fresh Lloyd centroids) bounds the chain.
 
     Correctness: centroids stay fixed and radii only GROW (max over old
     and new members), so the angular triangle-inequality pruning bound
@@ -569,23 +591,22 @@ def ivf_index_add(index: IvfIndex, new_df: DataFrame, id_col: str, vec_col: str)
     after ANY number of adds. The trade is operational, not correctness:
     inflating radii gradually weaken pruning, which
     :func:`ivf_pruning_report` measures per batch — a maintenance loop
-    rebuilds (fresh Lloyd centroids) when pruned_fraction decays below
-    its routing floor, exactly the policy tools/run_ann_maintenance.py's
-    epoch mode records. Per-add cost: one Arrow-batched assignment pass
-    over the batch + the radii aggregate — never touches old members."""
+    rebuilds when pruned_fraction decays below its routing floor,
+    exactly the policy tools/run_ann_maintenance.py's epoch mode
+    records."""
     import numpy as np
 
-    assigned = _assign_with_angle(new_df, id_col, vec_col, index.centroids)
-    cells = (
-        index.cells.select("cell", "nid", "nvec", "ang")
-        .unionByName(assigned)
-        .persist()
-    )
-    radii_rows = cells.groupBy("cell").agg(F.max("ang").alias("r")).collect()
-    radii = np.zeros(len(index.centroids))
+    assigned = _assign_with_angle(new_df, id_col, vec_col, index.centroids).persist()
+    # O(batch) radii aggregate — also materializes the new layer's cache
+    radii_rows = assigned.groupBy("cell").agg(F.max("ang").alias("r")).collect()
+    radii = index.radii.copy()
     for row in radii_rows:
-        radii[row["cell"]] = row["r"]
-    return IvfIndex(cells, index.centroids, radii, owned=True)
+        radii[row["cell"]] = max(radii[row["cell"]], row["r"])
+    cells = index.cells.select("cell", "nid", "nvec", "ang").unionByName(assigned)
+    return IvfIndex(
+        cells, index.centroids, radii, owned=True,
+        owned_frames=index._owned_frames + [assigned],
+    )
 
 
 def _probe_candidate_cells(
@@ -748,7 +769,7 @@ def ivf_pruning_report(
     """One-row pruning-effectiveness report for the ivf_probe_pairs path
     (round-8 verdict #4): `(n_queries, cells_total, candidate_cell_rows,
     pruned_fraction)` where pruned_fraction = 1 − candidates/(queries ×
-    populated cells). A maintenance loop reads this to DETECT the
+    centroids). A maintenance loop reads this to DETECT the
     degenerate regime — on a near-uniform-direction corpus (the synthetic
     test embeddings: radii ≈ 1.3–1.45 rad at τ=0.4) no cell is prunable,
     pruned_fraction ≈ 0, and the loop should deliberately fall back to

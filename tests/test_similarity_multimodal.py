@@ -664,11 +664,11 @@ class TestIvfIndexAdd:
                 }
                 assert got == brute(batch_ids(e), seen)
                 old_radii = index.radii.copy()
-                new_index = similarity.ivf_index_add(
+                # supersede contract: the add shares cached layers with its
+                # input — only the final index of the chain is unpersisted
+                index = similarity.ivf_index_add(
                     index, batch, "vec_id", "embedding"
                 )
-                index.unpersist()
-                index = new_index
                 assert (index.radii >= old_radii - 1e-12).all()
                 seen += batch_ids(e)
             # the grown index holds every vector exactly once
@@ -754,8 +754,11 @@ def test_rebuild_policy_signal_decays_and_recovers(spark):
         assert after_add < before          # the decay the policy watches
         assert after_rebuild > after_add   # the rebuild recovers pruning
     finally:
-        idx.unpersist()
+        # idx2 supersedes idx (shared layers) — unpersisting idx too is a
+        # harmless no-op on already-freed frames, kept for the error path
+        # where idx2 was never created
+        (idx2 or idx).unpersist()
         if idx2 is not None:
-            idx2.unpersist()
+            idx.unpersist()
         if idx3 is not None:
             idx3.unpersist()

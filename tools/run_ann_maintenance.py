@@ -15,7 +15,7 @@ Stages (each a library operator):
   4. write        — pairs parquet + ann_stats.json sidecar
 
 Usage: python tools/run_ann_maintenance.py [sf_dir] [out_dir] [threshold]
-       python tools/run_ann_maintenance.py [sf_dir] [out_dir] [threshold] --epochs=3
+       python tools/run_ann_maintenance.py [sf_dir] [out_dir] [threshold] --epochs 3
 
 --epochs runs the PROBE-THEN-ADD loop instead (maintain_epochs): one
 index build, then each ingest night probes the current index and is
@@ -59,15 +59,21 @@ def maintain(
     index = similarity.ivf_build_index(
         hist, "vec_id", "embedding", n_centroids=n_centroids
     )
-    rep = similarity.ivf_pruning_report(
-        batch, "vec_id", "embedding", index, threshold
-    ).collect()[0]
-    # the report is handed to the router so the candidate-cell probe is
-    # computed ONCE (round-9 ADVICE — the router used to re-run it)
-    pairs, mode = similarity.ivf_probe_pairs_adaptive(
-        batch, "vec_id", "embedding", index,
-        threshold=threshold, n_probe=n_probe, report=rep,
-    )
+    try:
+        rep = similarity.ivf_pruning_report(
+            batch, "vec_id", "embedding", index, threshold
+        ).collect()[0]
+        # the report is handed to the router so the candidate-cell probe
+        # is computed ONCE (round-9 ADVICE — the router used to re-run it)
+        pairs, mode = similarity.ivf_probe_pairs_adaptive(
+            batch, "vec_id", "embedding", index,
+            threshold=threshold, n_probe=n_probe, report=rep,
+        )
+    except BaseException:
+        # failure before the index handle reaches the caller would leak
+        # the persisted cells frame for the session lifetime
+        index.unpersist()
+        raise
     stats = {
         "mode": mode,
         "threshold": threshold,
@@ -103,18 +109,17 @@ def maintain_epochs(
     the history split, then for each ingest night e (vec_id%4==0 and
     (vec_id div 4)%n_epochs == e) route the batch through the adaptive
     probe against the CURRENT index — which by then contains history
-    PLUS every earlier night — and ivf_index_add the batch in, freeing
-    the previous index. Records per-epoch (mode, pruned_fraction,
-    n_pairs) so the rebuild policy (pruned_fraction decaying below the
-    routing floor as radii inflate) is observable.
+    PLUS every earlier night — and ivf_index_add the batch in (O(batch)
+    layered add; the chain of shared cached layers is freed once at the
+    end). Records per-epoch (mode, pruned_fraction, n_pairs) so the
+    rebuild policy (pruned_fraction decaying below the routing floor as
+    radii inflate) is observable.
 
     With ``out_dir`` the per-epoch pairs are WRITTEN distributed
     (out_dir/pairs/epoch=e, counted off the written files) — the
     production path; without it they are collected and returned (the
-    bounded test/demo path). Either way each epoch's pairs materialize
-    BEFORE the add, because the lazy plan reads the index the add
-    supersedes. Returns (per_epoch_pairs, stats) — row-lists, or written
-    paths when out_dir is given."""
+    bounded test/demo path). Returns (per_epoch_pairs, stats) —
+    row-lists, or written paths when out_dir is given."""
     emb = load_table(spark, sf_dir, "embeddings")
     hist = emb.filter(F.col("vec_id") % 4 != 0)
     index = similarity.ivf_build_index(
@@ -122,61 +127,70 @@ def maintain_epochs(
     )
     epochs = []
     pairs_per_epoch = []
-    for e in range(n_epochs):
-        batch = emb.filter(
-            (F.col("vec_id") % 4 == 0)
-            & (F.expr("(vec_id div 4)") % n_epochs == e)
-        )
-        rep = similarity.ivf_pruning_report(
-            batch, "vec_id", "embedding", index, threshold
-        ).collect()[0]
-        pairs, mode = similarity.ivf_probe_pairs_adaptive(
-            batch, "vec_id", "embedding", index,
-            threshold=threshold, n_probe=n_probe,
-            min_pruned_fraction=min_pruned_fraction, report=rep,
-        )
-        if out_dir is not None:
-            target = os.path.join(out_dir, "pairs", f"epoch={e}")
-            pairs.write.mode("overwrite").parquet(target)
-            n_pairs = spark.read.parquet(target).count()
-            pairs_per_epoch.append(target)
-        else:
-            rows = pairs.collect()
-            n_pairs = len(rows)
-            pairs_per_epoch.append(rows)
-        new_index = similarity.ivf_index_add(index, batch, "vec_id", "embedding")
+    try:
+        for e in range(n_epochs):
+            batch = emb.filter(
+                (F.col("vec_id") % 4 == 0)
+                & (F.expr("(vec_id div 4)") % n_epochs == e)
+            )
+            rep = similarity.ivf_pruning_report(
+                batch, "vec_id", "embedding", index, threshold
+            ).collect()[0]
+            pairs, mode = similarity.ivf_probe_pairs_adaptive(
+                batch, "vec_id", "embedding", index,
+                threshold=threshold, n_probe=n_probe,
+                min_pruned_fraction=min_pruned_fraction, report=rep,
+            )
+            if out_dir is not None:
+                target = os.path.join(out_dir, "pairs", f"epoch={e}")
+                pairs.write.mode("overwrite").parquet(target)
+                n_pairs = spark.read.parquet(target).count()
+                pairs_per_epoch.append(target)
+            else:
+                rows = pairs.collect()
+                n_pairs = len(rows)
+                pairs_per_epoch.append(rows)
+            # the add SUPERSEDES index (shared cached layers, O(batch)
+            # cost) — no unpersist of the input; the CURRENT index owns
+            # every layer, so the finally below frees the whole chain
+            index = similarity.ivf_index_add(index, batch, "vec_id", "embedding")
+            epochs.append(
+                {
+                    "epoch": e,
+                    "mode": mode,
+                    "pruned_fraction": rep["pruned_fraction"],
+                    "n_queries": rep["n_queries"],
+                    "n_pairs": n_pairs,
+                }
+            )
+        stats = {
+            "threshold": threshold,
+            "n_epochs": n_epochs,
+            "epochs": epochs,
+            "index_rows": index.cells.count(),
+        }
+    finally:
         index.unpersist()
-        index = new_index
-        epochs.append(
-            {
-                "epoch": e,
-                "mode": mode,
-                "pruned_fraction": rep["pruned_fraction"],
-                "n_queries": rep["n_queries"],
-                "n_pairs": n_pairs,
-            }
-        )
-    stats = {
-        "threshold": threshold,
-        "n_epochs": n_epochs,
-        "epochs": epochs,
-        "index_rows": index.cells.count(),
-    }
-    index.unpersist()
     return pairs_per_epoch, stats
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    epoch_flags = [a for a in sys.argv[1:] if a.startswith("--epochs")]
-    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
-    out_dir = args[1] if len(args) > 1 else "/tmp/spark_ann_maintenance"
-    threshold = float(args[2]) if len(args) > 2 else 0.4
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    ap.add_argument("out_dir", nargs="?", default="/tmp/spark_ann_maintenance")
+    ap.add_argument("threshold", nargs="?", type=float, default=0.4)
+    ap.add_argument(
+        "--epochs", type=int, default=None,
+        help="run the probe-then-add loop for N ingest nights",
+    )
+    ns = ap.parse_args()
+    sf_dir, out_dir, threshold = ns.sf_dir, ns.out_dir, ns.threshold
     spark = get_spark("run-ann-maintenance")
-    if epoch_flags:
-        n_epochs = int(epoch_flags[0].split("=")[1]) if "=" in epoch_flags[0] else 3
+    if ns.epochs is not None:
         _, stats = maintain_epochs(
-            spark, sf_dir, threshold, n_epochs=n_epochs, out_dir=out_dir
+            spark, sf_dir, threshold, n_epochs=ns.epochs, out_dir=out_dir
         )
         stats["sf_dir"] = sf_dir
         os.makedirs(out_dir, exist_ok=True)

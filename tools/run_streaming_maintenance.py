@@ -23,9 +23,17 @@ Stages:
   4. write      — maintenance_stats.json sidecar; exit nonzero on any
                   parity failure
 
-The parity collects are bounded by construction: each store holds sketch
-rows (days × groups × registers / d·w counters / bins), never raw keys —
-the whole point of the sketch family at 100 TB.
+The three sketch-parity collects are bounded by construction: each store
+holds sketch rows (days × groups × registers / d·w counters / bins),
+never raw keys. The dedup store IS key-sized (one fingerprint per
+ever-accepted doc), so its parity check stays distributed — two anti-join
+counts, no driver funnel.
+
+The run OWNS out_dir with overwrite semantics (same as the sibling
+runners): any existing out_dir is removed first, because the sinks'
+checkpoint/store lifecycle contract means a re-run against stale
+checkpoints would replay the staged files as NEW epochs and double-count
+the addition-merged sketches.
 
 Usage: python tools/run_streaming_maintenance.py [sf_dir] [out_dir] [n_batches]
 """
@@ -37,6 +45,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # sibling tools
 
 from pyspark.sql import functions as F
 
@@ -69,7 +78,14 @@ def _mkstream(spark, path: str):
 def maintain_streams(spark, sf_dir: str, out_dir: str, n_batches: int = 3):
     """Run the four ingest sinks end-to-end and return the stats dict.
     Kept as a function so tests can run it on sf0.001 without the CLI
-    path (the run_curation_pipeline pattern)."""
+    path (the run_curation_pipeline pattern). Removes any pre-existing
+    out_dir first — overwrite semantics; a re-run against the previous
+    run's checkpoints would replay the re-staged files as NEW epochs and
+    double-count the sum-merged Count-Min/histogram stores."""
+    import shutil
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
     events = load_table(spark, sf_dir, "events")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     ev_src = os.path.join(out_dir, "src", "events")
@@ -100,26 +116,27 @@ def maintain_streams(spark, sf_dir: str, out_dir: str, n_batches: int = 3):
         "text",
         os.path.join(dd, "ck"),
     )
-    fp = F.md5(
-        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
-    )
-    truth_fps = [
-        (r["fp"],) for r in docs.select(fp.alias("fp")).distinct().collect()
-    ]
-    store_fps = [
-        (r["fp"],)
-        for r in SE.read_latest_snapshot(spark, os.path.join(dd, "store")).collect()
-    ]
+    # the SAME fingerprint convention as the sinks/pipe6/pipe11 — imported,
+    # not re-inlined, so a convention change cannot silently stale this check
+    from run_curation_pipeline import fingerprint_expr
+
+    truth = docs.select(fingerprint_expr().alias("fp")).distinct()
+    store = SE.read_latest_snapshot(spark, os.path.join(dd, "store"))
+    # dedup state is KEY-sized (one fp per ever-accepted doc), so parity
+    # stays distributed: symmetric-difference via two anti-join counts
+    missing = truth.join(store, "fp", "left_anti").count()
+    extra = store.join(truth, "fp", "left_anti").count()
+    n_truth = truth.count()
     n_accepted = spark.read.parquet(
         os.path.join(dd, "accepted"), recursiveFileLookup=True
     ).count()
-    record(
-        "dedup",
-        os.path.join(dd, "store"),
-        store_fps,
-        truth_fps,
-        {"accepted_docs": n_accepted, "accepted_equals_distinct_fps": n_accepted == len(truth_fps)},
-    )
+    stats["sinks"]["dedup"] = {
+        "versions": len(SE._snapshot_versions(os.path.join(dd, "store"))),
+        "final_rows": store.count(),
+        "parity": missing == 0 and extra == 0,
+        "accepted_docs": n_accepted,
+        "accepted_equals_distinct_fps": n_accepted == n_truth,
+    }
 
     # 2. HLL distinct-count registers (max-merge, idempotent)
     hll_store = os.path.join(out_dir, "hll")
