@@ -185,6 +185,7 @@ R9 = [
 # triangle-inequality probe where pruning provably engages).
 R10 = [
     "mix4_waterfill",
+    "mix5_dsir_selection",
     "pipe12_adaptive_ann_exact",
 ]
 

@@ -1091,3 +1091,147 @@ def bpe_encode_batched(
             yield res
 
     return df.mapInPandas(_encode, schema=out_schema)
+
+# --- DSIR-style data selection (hashed n-gram importance resampling) ----
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# fit bag-of-hashed-ngrams models on a TARGET corpus (the distribution you
+# want, e.g. curated sources) and on the RAW pool, then score every raw
+# document by its importance weight under the two models and keep the
+# top-scoring docs. The reference repo has no counterpart; this is part of
+# the LLM-extension surface (training-data curation at 100 TB).
+#
+# Engine-exact determinism (house discipline, see plans/entry_queries.py
+# header): per-bucket weights are INTEGER surrogates of the likelihood
+# ratio — w_b = ((t_b + 1) * scale_x) div (r_b + 1), add-one smoothed and
+# scaled, monotone in the true ratio — and a document's score is the
+# BIGINT sum of its bigrams' bucket weights. No log, no float anywhere,
+# so Spark and any ANSI engine agree bit-for-bit.
+
+
+def lower_alnum_tokens(text_col):
+    """Lower-cased alphanumeric word tokens: split on runs of anything
+    outside [a-z0-9], drop empties. Cross-engine reproducible (same regex
+    class semantics in Java regex and RE2)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+
+
+def hashed_bigram_buckets(text_col, n_buckets: int = 256):
+    """Word-bigram hash buckets as an array<bigint> column expression.
+
+    Bucket = first 8 hex chars of md5("tok1 tok2") mod n_buckets — md5 so
+    the DuckDB oracle reproduces the exact bucket ids (xxhash64 is
+    Spark-only). Row-local (transform over the token array, no explode
+    until the caller chooses to), so it fuses with the parquet scan."""
+    toks = lower_alnum_tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        bigrams,
+        lambda bg: F.conv(F.substring(F.md5(bg), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+
+
+def dsir_bucket_weights(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_col: str,
+    n_buckets: int = 256,
+    scale_x: int = 65536,
+) -> DataFrame:
+    """Integer importance-weight table over hashed bigram buckets:
+    one row per bucket observed in the RAW pool, with
+    w = ((target_count + 1) * scale_x) div (raw_count + 1).
+
+    Buckets unseen in raw are irrelevant (no raw bigram can land there);
+    buckets unseen in target get the smoothed floor scale_x div (r + 1).
+    Scale shape: two map-side-combined counts shuffling ≤ n_buckets rows
+    per map partition, one ≤ n_buckets-row join — the output is a tiny
+    broadcastable dim no matter the corpus size."""
+    def bucket_counts(df, name):
+        return (
+            df.select(
+                F.explode(hashed_bigram_buckets(text_col, n_buckets)).alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    t = bucket_counts(target_df, "t_count")
+    r = bucket_counts(raw_df, "r_count")
+    return r.join(t, "bucket", "left").select(
+        "bucket",
+        F.expr(
+            f"(coalesce(t_count, 0L) + 1L) * {scale_x} div (r_count + 1L)"
+        ).alias("weight"),
+    )
+
+
+def dsir_scores(
+    raw_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    carry_cols: tuple = (),
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR importance scores over the raw pool.
+
+    dsir_score   = Σ_bigrams weight(bucket(bigram))          (BIGINT)
+    dsir_score_q = dsir_score div n_bigrams                  (length-
+    normalized integer rank key — total-sum ranking would be length-
+    biased; the div-truncated average keeps everything integer).
+
+    Documents with zero bigrams (<2 alnum tokens) are unscorable and
+    excluded — documented, matches the oracle. Scale shape: explode is
+    narrow, the weights join is a broadcast against a ≤ n_buckets-row
+    dim, and the per-doc agg partially aggregates map-side."""
+    exploded = raw_df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(hashed_bigram_buckets(text_col, n_buckets)).alias("bucket"),
+    )
+    return (
+        exploded.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, *carry_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("weight").cast("long").alias("dsir_score"),
+        )
+        .withColumn("dsir_score_q", F.expr("dsir_score div n_bigrams"))
+    )
+
+
+def dsir_select(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    carry_cols: tuple = (),
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Top-k raw documents by length-normalized DSIR importance weight
+    (ties broken by id). orderBy().limit(k) compiles to
+    TakeOrderedAndProject — per-partition top-k then a k-row driver merge,
+    never a global sort materialization."""
+    w = dsir_bucket_weights(target_df, raw_df, text_col, n_buckets)
+    scored = dsir_scores(
+        raw_df, id_col, text_col, w, carry_cols=carry_cols, n_buckets=n_buckets
+    )
+    return scored.orderBy(
+        F.col("dsir_score_q").desc(), F.col(id_col)
+    ).limit(k)

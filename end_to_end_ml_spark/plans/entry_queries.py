@@ -8054,6 +8054,98 @@ ORDER BY g.len_bucket
 REGISTRY["mix4_waterfill"] = (mix4_waterfill, MIX4_SQL)
 
 
+# Curated "target" sources for DSIR selection — the distribution we want
+# more of (DSIR's canonical use: select web data resembling Wikipedia +
+# books; here the first four synthetic sources stand in for the curated
+# set, chosen before looking at any content).
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def mix5_dsir_selection(spark, sf_dir):
+    """DSIR data selection (Xie et al., NeurIPS 2023) — the mixture
+    family's importance-resampling member: score every document in the
+    raw pool (source NOT IN the curated set) by how much its hashed
+    word-bigram distribution resembles the curated target sources, and
+    keep the top 100 by length-normalized importance weight.
+
+    Engine-exact by construction (no reference counterpart — LLM
+    -extension surface): bucket = md5-hash of the bigram mod 256 (md5 so
+    DuckDB reproduces the ids); per-bucket weight is the INTEGER
+    surrogate ((t+1)*65536) div (r+1) of the add-one-smoothed likelihood
+    ratio — monotone in the true ratio, no log/float anywhere; a doc's
+    score is the BIGINT sum of its bigram weights, ranked by the
+    div-truncated per-bigram average (total-sum ranking would be
+    length-biased), ties broken by doc_id.
+
+    Scale shape: bucket counting is two map-side-combined aggregates
+    shuffling ≤256 rows per map partition; the weight table is a ≤256-row
+    broadcast dim; the per-doc agg combines map-side; the final top-k is
+    TakeOrderedAndProject (per-partition top-k + k-row driver merge),
+    never a global sort. Zero-bigram docs (<2 alnum tokens — e.g. pure
+    CJK text under the [a-z0-9] tokenizer) are unscorable and excluded,
+    mirrored in the oracle."""
+    from ..operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    return text.dsir_select(
+        docs.filter(is_target),
+        docs.filter(~is_target),
+        "doc_id",
+        "text",
+        k=100,
+        carry_cols=("source", "lang"),
+        n_buckets=256,
+    )
+
+
+_DSIR_TGT_SQL = "('src0', 'src1', 'src2', 'src3')"
+
+MIX5_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, source, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bgs
+  FROM tk
+), ex AS (
+  SELECT doc_id, source, lang,
+         ('0x' || substr(md5(unnest(bgs)), 1, 8))::BIGINT % 256 AS bucket
+  FROM bg
+), t AS (
+  SELECT bucket, count(*) AS t_count FROM ex
+  WHERE source IN {_DSIR_TGT_SQL} GROUP BY bucket
+), r AS (
+  SELECT bucket, count(*) AS r_count FROM ex
+  WHERE source NOT IN {_DSIR_TGT_SQL} GROUP BY bucket
+), w AS (
+  SELECT r.bucket,
+         (COALESCE(t.t_count, 0) + 1) * 65536 // (r.r_count + 1) AS weight
+  FROM r LEFT JOIN t USING (bucket)
+), s AS (
+  SELECT e.doc_id, e.source, e.lang,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(w.weight) AS BIGINT) AS dsir_score
+  FROM ex e JOIN w USING (bucket)
+  WHERE e.source NOT IN {_DSIR_TGT_SQL}
+  GROUP BY e.doc_id, e.source, e.lang
+)
+SELECT doc_id, source, lang, n_bigrams, dsir_score,
+       dsir_score // n_bigrams AS dsir_score_q
+FROM s
+ORDER BY dsir_score_q DESC, doc_id
+LIMIT 100
+"""
+
+REGISTRY["mix5_dsir_selection"] = (mix5_dsir_selection, MIX5_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver window (first 50 registry entries) — POLICY-PICKED since round 8.
 #
@@ -8071,9 +8163,9 @@ REGISTRY["mix4_waterfill"] = (mix4_waterfill, MIX4_SQL)
 # a round later; (3) previously-exposed fill by (exposure count, last
 # exposed round) with a best-effort family-coverage guard — ties broken
 # by md5(f"r{N}:{name}") so no name starves behind a fixed order.
-# Round-10 pick: 2 first exposures / 50 (the round-10 registrations
-# mix4_waterfill / pipe12_adaptive_ann_exact, forced in by policy #2)
-# — otherwise the RE-CHECK ROTATION ERA.
+# Round-10 pick: 3 first exposures / 50 (the round-10 registrations
+# mix5_dsir_selection / mix4_waterfill / pipe12_adaptive_ann_exact,
+# forced in by policy #2) — otherwise the RE-CHECK ROTATION ERA.
 # As of CORRECTNESS_r09 every oracled registry query has at least one
 # green driver row, so windows are now pure least-exposed-first
 # re-checks: fill order (exposure count, last exposed round), ties
@@ -8086,6 +8178,7 @@ REGISTRY["mix4_waterfill"] = (mix4_waterfill, MIX4_SQL)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
+    "mix5_dsir_selection",
     "mix4_waterfill",
     "pipe12_adaptive_ann_exact",
     "agg_percentiles",
@@ -8121,7 +8214,6 @@ DRIVER_WINDOW = [
     "pipe7_curated_shards",
     "f11_quantile_uniform",
     "x12_dup_ngram_fraction",
-    "s16_csv_roundtrip",
     "pack2_bin_summary",
     "mm2_frame_sample",
     "w7_pivot_matrix",

@@ -957,3 +957,96 @@ class TestTileDedupRewrite:
         df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="tile_words"):
             dedup.tile_dedup_rewrite(df, "doc_id", "text", 0)
+
+
+# --- DSIR selection (hashed-bigram importance resampling) ----------------
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """Planted-vocabulary geometry: target docs use vocab A, the raw pool
+    mixes vocab-A docs and vocab-B docs. The vocab-A pool docs must rank
+    strictly above every vocab-B doc (their bigram buckets carry large
+    target counts; B-bigram buckets have t=0 and get the smoothed floor)."""
+    from end_to_end_ml_spark.operators import text
+
+    a_text = "alpha beta gamma delta alpha beta gamma delta"
+    b_text = "omicron sigma tau upsilon omicron sigma tau upsilon"
+    target = spark.createDataFrame(
+        [(100 + i, a_text) for i in range(4)], ["doc_id", "text"]
+    )
+    pool = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, a_text), (4, b_text)],
+        ["doc_id", "text"],
+    )
+    top2 = text.dsir_select(target, pool, "doc_id", "text", k=2).collect()
+    assert sorted(r["doc_id"] for r in top2) == [1, 3]
+    ranked = text.dsir_select(target, pool, "doc_id", "text", k=4).collect()
+    scores = {r["doc_id"]: r["dsir_score_q"] for r in ranked}
+    assert min(scores[1], scores[3]) > max(scores[2], scores[4])
+
+
+def test_dsir_weights_bounded_and_integer(spark):
+    """Weight table invariants: ≤ n_buckets rows, every weight a positive
+    BIGINT, and every bucket id in [0, n_buckets)."""
+    from end_to_end_ml_spark.operators import text
+
+    target = spark.createDataFrame(
+        [(1, "one two three four five")], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [(2, "six seven eight nine ten"), (3, "one two eleven twelve")],
+        ["doc_id", "text"],
+    )
+    w = text.dsir_bucket_weights(target, raw, "text", n_buckets=16)
+    rows = w.collect()
+    assert 0 < len(rows) <= 16
+    assert all(r["weight"] >= 1 for r in rows)
+    assert all(0 <= r["bucket"] < 16 for r in rows)
+    assert dict(w.dtypes)["weight"] == "bigint"
+
+
+def test_dsir_zero_bigram_docs_excluded(spark):
+    """<2 alphanumeric tokens ⇒ no bigrams ⇒ unscorable, excluded (the
+    documented contract, mirrored in the mix5 oracle)."""
+    from end_to_end_ml_spark.operators import text
+
+    target = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    pool = spark.createDataFrame(
+        [(2, "alpha beta gamma"), (3, "word"), (4, "!!! ???")],
+        ["doc_id", "text"],
+    )
+    out = text.dsir_select(target, pool, "doc_id", "text", k=10).collect()
+    assert sorted(r["doc_id"] for r in out) == [2]
+
+
+def test_dsir_score_is_sum_of_bucket_weights(spark):
+    """Cross-check the composed score against a hand-computed replay:
+    join the exploded buckets to the weight table in Python and compare
+    exact integer sums."""
+    from end_to_end_ml_spark.operators import text
+    from pyspark.sql import functions as F2
+
+    target = spark.createDataFrame(
+        [(10, "alpha beta gamma alpha beta")], ["doc_id", "text"]
+    )
+    pool = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "gamma delta alpha beta")],
+        ["doc_id", "text"],
+    )
+    w = {
+        r["bucket"]: r["weight"]
+        for r in text.dsir_bucket_weights(target, pool, "text").collect()
+    }
+    exploded = pool.select(
+        "doc_id",
+        F2.explode(text.hashed_bigram_buckets("text")).alias("bucket"),
+    ).collect()
+    expect = {}
+    for r in exploded:
+        expect[r["doc_id"]] = expect.get(r["doc_id"], 0) + w[r["bucket"]]
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in text.dsir_scores(pool, "doc_id", "text",
+                                  text.dsir_bucket_weights(target, pool, "text")).collect()
+    }
+    assert got == expect

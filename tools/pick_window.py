@@ -158,14 +158,17 @@ def pick(round_n: int, update_ledger: bool = False) -> list[str]:
     return window
 
 
-def cohort2(round_n: int) -> list[str]:
-    """The SECOND 50-query sf0.1 sweep cohort (round-9 verdict #7): the
-    next 50 names in the same priority order, excluding (a) everything
-    pick(round_n) already covers and (b) queries whose DuckDB oracle is
-    quadratic at scale — operationalized as duck_s > 5 s at sf0.01 in
-    the latest committed CHECK_ORACLE_LOCAL artifact (those oracles are
-    brute-force cross joins that cost ~100x at sf0.1; the Spark side is
-    sublinear and already covered by the sf0.01 full-registry run)."""
+def cohort2(round_n: int, cohort_n: int = 2) -> list[str]:
+    """The Nth 50-query sf0.1 sweep cohort (round-9 verdict #7 introduced
+    cohort 2; round 10 generalized the slice): names 50*(N-2)..50*(N-1)
+    of the same priority order after the driver window, excluding (a)
+    everything pick(round_n) already covers and (b) queries whose DuckDB
+    oracle is quadratic at scale — operationalized as duck_s > 5 s at
+    sf0.01 in the latest committed CHECK_ORACLE_LOCAL artifact (those
+    oracles are brute-force cross joins that cost ~100x at sf0.1; the
+    Spark side is sublinear and already covered by the sf0.01
+    full-registry run). The final cohort may be shorter than 50 (the
+    priority list is finite); callers report the actual length."""
     window = set(pick(round_n))
     sys.path.insert(0, ROOT)
     import __spark_entry__ as entry  # noqa: E402
@@ -188,7 +191,8 @@ def cohort2(round_n: int) -> list[str]:
     t2 = [n for n in rest if n in exposures]
     t1.sort(key=lambda n: (-ledger.get(n, {}).get("first_seen_round", 0), tiebreak(n)))
     t2.sort(key=lambda n: (len(exposures[n]), exposures[n][-1], tiebreak(n)))
-    return (t1 + t2)[:WINDOW_SIZE]
+    lo = WINDOW_SIZE * (cohort_n - 2)
+    return (t1 + t2)[lo : lo + WINDOW_SIZE]
 
 
 def main() -> None:
@@ -197,12 +201,14 @@ def main() -> None:
     ap.add_argument("--update-ledger", action="store_true")
     ap.add_argument(
         "--cohort", type=int, default=1,
-        help="1 = the driver window; 2 = the next-50 sf0.1 sweep cohort",
+        help="1 = the driver window; N>=2 = the Nth next-50 sf0.1 sweep cohort",
     )
     args = ap.parse_args()
-    if args.cohort == 2:
-        names = cohort2(args.round)
-        print(f"# round {args.round} cohort-2 sweep: {len(names)} names")
+    if args.cohort >= 2:
+        names = cohort2(args.round, args.cohort)
+        print(
+            f"# round {args.round} cohort-{args.cohort} sweep: {len(names)} names"
+        )
         for n in names:
             print(f'    "{n}",')
         return
