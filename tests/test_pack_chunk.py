@@ -727,3 +727,53 @@ def test_ann_maintenance_cli_writes_pairs_and_stats(spark, tmp_path, monkeypatch
     assert stats["mode"] == "approx" and stats["n_pairs"] > 0
     pairs = spark.read.parquet(os.path.join(out, "pairs"))
     assert pairs.count() == stats["n_pairs"]
+
+
+def test_curation_dsir_stage(spark):
+    """--dsir-frac: the DSIR selection stage between dedup and budget
+    allocation. At budget 50k on sf0.001 every survivor is admitted
+    (corpus tokens < budget ⇒ admit_ppm = 1e6), so curate()'s output IS
+    the survivor set — which lets the test cross-check the stage against
+    an independent text.dsir_select over the baseline output:
+    frac=1.0 must be the identity (every pool doc here has ≥2 alnum
+    tokens), and frac=0.5 must keep target-source docs untouched while
+    the pool shrinks to exactly the library's top-ceil(0.5·|pool|)."""
+    import math
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_curation_pipeline import DSIR_TARGET_SOURCES, curate
+
+    from end_to_end_ml_spark.operators import text
+
+    sf = "/root/testdata/sf0.001"
+    base_c, _ = curate(spark, sf, budget_tokens=50_000)
+    base = base_c.collect()
+    tgt = set(DSIR_TARGET_SOURCES)
+    base_pool = [r for r in base if r["source"] not in tgt]
+    base_tgt_ids = sorted(r["doc_id"] for r in base if r["source"] in tgt)
+    assert base_pool and base_tgt_ids  # non-vacuous split
+
+    full_c, _ = curate(spark, sf, budget_tokens=50_000, dsir_frac=1.0)
+    assert sorted(map(tuple, base)) == sorted(map(tuple, full_c.collect()))
+
+    half_c, _ = curate(spark, sf, budget_tokens=50_000, dsir_frac=0.5)
+    half = half_c.collect()
+    assert sorted(
+        r["doc_id"] for r in half if r["source"] in tgt
+    ) == base_tgt_ids
+    k = int(math.ceil(0.5 * len(base_pool)))
+    # independent replay: select top-k from the baseline output frames
+    tgt_df = base_c.filter(F.col("source").isin(*tgt)).select("doc_id", "text")
+    pool_df = base_c.filter(~F.col("source").isin(*tgt)).select(
+        "doc_id", "text"
+    )
+    expect = sorted(
+        r["doc_id"]
+        for r in text.dsir_select(tgt_df, pool_df, "doc_id", "text", k=k)
+        .select("doc_id")
+        .collect()
+    )
+    got = sorted(r["doc_id"] for r in half if r["source"] not in tgt)
+    assert got == expect

@@ -14,6 +14,7 @@ Stages (each a library operator, composed into few jobs):
 
 Usage: python tools/run_curation_pipeline.py [sf_dir] [out_dir] [budget]
        python tools/run_curation_pipeline.py [sf_dir] [out_dir] [budget] --incremental
+       python tools/run_curation_pipeline.py [sf_dir] [out_dir] [budget] --dsir-frac 0.5
 
 --incremental runs the pipe11 shape instead: only the NEW batch
 (doc_id % 4 == 0) is curated, deduplicated against the HISTORY
@@ -39,10 +40,32 @@ from end_to_end_ml_spark.session import get_spark  # noqa: E402
 from end_to_end_ml_spark.sources import load_table  # noqa: E402
 
 
-def curate(spark, sf_dir: str, budget_tokens: int, n_shards: int = 8):
+#: Curated "target" sources for the optional DSIR stage — must match
+#: plans/entry_queries._DSIR_TARGET_SOURCES (the oracled mix5 row).
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def curate(
+    spark,
+    sf_dir: str,
+    budget_tokens: int,
+    n_shards: int = 8,
+    dsir_frac: float | None = None,
+):
     """The pipe10 chain + shard assignment, returned as (curated_df,
     per_source_stats_df). Kept as a function so tests can run it on
-    sf0.001 without touching the CLI path."""
+    sf0.001 without touching the CLI path.
+
+    ``dsir_frac`` switches on the DSIR selection stage between dedup and
+    budget allocation (the published curation order: quality gate →
+    dedup → target-similarity selection → mixture): survivors from the
+    curated target sources pass unconditionally; pool survivors are
+    scored by hashed-bigram importance weight vs the target distribution
+    (operators/text.dsir_*) and only the top ceil(dsir_frac * |pool|)
+    proceed to allocation. Zero-bigram pool docs are unscorable and
+    dropped by the stage (the documented mix5 contract). The one extra
+    job is the pool count; selection itself is a TakeOrderedAndProject
+    + a semi join back on doc_id."""
     docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
         "doc_id",
@@ -65,6 +88,17 @@ def curate(spark, sf_dir: str, budget_tokens: int, n_shards: int = 8):
         .filter((F.col("doc_id") == F.col("keeper")) & F.col("source").isNotNull())
         .select("doc_id", "source", "text", "n_words")
     )
+    if dsir_frac is not None:
+        import math
+
+        is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+        tgt = surv.filter(is_target)
+        pool = surv.filter(~is_target)
+        k = int(math.ceil(dsir_frac * pool.count()))
+        top = text.dsir_select(tgt, pool, "doc_id", "text", k=k).select(
+            "doc_id"
+        )
+        surv = tgt.unionByName(pool.join(top, "doc_id", "semi"))
     rates = split.token_budget_allocation(
         surv, "source", "n_words", budget_tokens=budget_tokens,
         max_epochs_x1024=1024,
@@ -246,14 +280,22 @@ def run_epochs(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--incremental"]
-    incremental = "--incremental" in sys.argv[1:]
+    argv = sys.argv[1:]
+    dsir_frac = None
+    if "--dsir-frac" in argv:
+        i = argv.index("--dsir-frac")
+        dsir_frac = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--incremental"]
+    incremental = "--incremental" in argv
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/spark_curation_run"
     budget = int(args[2]) if len(args) > 2 else 50_000
     spark = get_spark("run-curation")
-    fn = curate_incremental if incremental else curate
-    curated, stats = fn(spark, sf_dir, budget)
+    if incremental:
+        curated, stats = curate_incremental(spark, sf_dir, budget)
+    else:
+        curated, stats = curate(spark, sf_dir, budget, dsir_frac=dsir_frac)
     target = os.path.join(out_dir, "curated")
     # partitionBy shard: each pretraining reader takes one directory;
     # within a shard, pos is the reproducible md5 training order
@@ -262,6 +304,7 @@ def main() -> None:
     summary = {
         "sf_dir": sf_dir,
         "mode": "incremental" if incremental else "full",
+        "dsir_frac": dsir_frac,
         "budget_tokens": budget,
         "sources": rows,
         "total_docs_kept": int(sum(r["n_docs_kept"] for r in rows)),
