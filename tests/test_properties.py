@@ -595,3 +595,66 @@ def test_recode_values_matches_python_replace(spark, vals, mapping):
     out = {r["i"]: r["g"] for r in prep.recode_values(df, "g", mapping).collect()}
     for i, v in enumerate(vals):
         assert out[i] == (mapping.get(v, v) if v is not None else None)
+
+
+_dsir_word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "omie", "tau", "x9", "q"]
+)
+_dsir_doc = st.lists(_dsir_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(
+    target=st.lists(_dsir_doc, min_size=1, max_size=6),
+    pool=st.lists(_dsir_doc, min_size=1, max_size=10),
+)
+@settings(**SETTINGS)
+def test_dsir_scores_match_python_replay(spark, target, pool):
+    """DSIR integer law on arbitrary corpora: for every scorable pool doc,
+    dsir_score == Σ_bigrams ((t_b+1)*65536) // (r_b+1) computed by a pure
+    python replay (md5 buckets, add-one smoothing, integer div), and
+    dsir_score_q == dsir_score // n_bigrams; zero-bigram docs are absent."""
+    import hashlib
+
+    from end_to_end_ml_spark.operators import text
+
+    def buckets(doc):
+        toks = [t for t in "".join(
+            c if c.isalnum() else " " for c in doc.lower()
+        ).split() if t]
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) % 256
+            for bg in bgs
+        ]
+
+    t_counts: dict[int, int] = {}
+    for d in target:
+        for b in buckets(d):
+            t_counts[b] = t_counts.get(b, 0) + 1
+    r_counts: dict[int, int] = {}
+    for d in pool:
+        for b in buckets(d):
+            r_counts[b] = r_counts.get(b, 0) + 1
+    weights = {
+        b: ((t_counts.get(b, 0) + 1) * 65536) // (rc + 1)
+        for b, rc in r_counts.items()
+    }
+    expect = {}
+    for i, d in enumerate(pool):
+        bs = buckets(d)
+        if bs:
+            score = sum(weights[b] for b in bs)
+            expect[i] = (len(bs), score, score // len(bs))
+
+    tgt_df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(target)], "doc_id long, text string"
+    )
+    pool_df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(pool)], "doc_id long, text string"
+    )
+    w = text.dsir_bucket_weights(tgt_df, pool_df, "text")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["dsir_score"], r["dsir_score_q"])
+        for r in text.dsir_scores(pool_df, "doc_id", "text", w).collect()
+    }
+    assert got == expect
