@@ -1235,3 +1235,42 @@ def dsir_select(
     return scored.orderBy(
         F.col("dsir_score_q").desc(), F.col(id_col)
     ).limit(k)
+
+
+def dsir_bucket_weights_from_flag(
+    docs_df: DataFrame,
+    is_target_col,
+    text_col: str,
+    n_buckets: int = 256,
+    scale_x: int = 65536,
+) -> DataFrame:
+    """:func:`dsir_bucket_weights` when target and raw live in ONE frame
+    split by a boolean column/expression — the common corpus-curation
+    case (target = curated sources flag). ONE scan + ONE shuffle build
+    both distributions as a conditional aggregate, instead of two scans
+    + two shuffles + a join; rows with a NULL flag count toward neither.
+    Result is identical (weight rows exist exactly for buckets with
+    raw_count > 0)."""
+    flag = (
+        F.col(is_target_col) if isinstance(is_target_col, str) else is_target_col
+    )
+    return (
+        docs_df.select(
+            flag.alias("__is_tgt"),
+            F.explode(hashed_bigram_buckets(text_col, n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("t_count"),
+            F.sum(F.when(~F.col("__is_tgt"), 1).otherwise(0)).alias("r_count"),
+        )
+        .filter(F.col("r_count") > 0)
+        .select(
+            "bucket",
+            F.expr(
+                f"(t_count + 1L) * {scale_x} div (r_count + 1L)"
+            ).alias("weight"),
+        )
+    )

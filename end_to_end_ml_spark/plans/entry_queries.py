@@ -8077,8 +8077,10 @@ def mix5_dsir_selection(spark, sf_dir):
     div-truncated per-bigram average (total-sum ranking would be
     length-biased), ties broken by doc_id.
 
-    Scale shape: bucket counting is two map-side-combined aggregates
-    shuffling ≤256 rows per map partition; the weight table is a ≤256-row
+    Scale shape: BOTH bucket distributions come from ONE scan + ONE
+    map-side-combined aggregate (dsir_bucket_weights_from_flag — target
+    and raw are a boolean split of the same table, so a conditional agg
+    replaces two scans + a join); the weight table is a ≤256-row
     broadcast dim; the per-doc agg combines map-side; the final top-k is
     TakeOrderedAndProject (per-partition top-k + k-row driver merge),
     never a global sort. Zero-bigram docs (<2 alnum tokens — e.g. pure
@@ -8088,14 +8090,17 @@ def mix5_dsir_selection(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
-    return text.dsir_select(
-        docs.filter(is_target),
-        docs.filter(~is_target),
-        "doc_id",
-        "text",
-        k=100,
-        carry_cols=("source", "lang"),
-        n_buckets=256,
+    weights = text.dsir_bucket_weights_from_flag(docs, is_target, "text")
+    return (
+        text.dsir_scores(
+            docs.filter(~is_target),
+            "doc_id",
+            "text",
+            weights,
+            carry_cols=("source", "lang"),
+        )
+        .orderBy(F.col("dsir_score_q").desc(), "doc_id")
+        .limit(100)
     )
 
 

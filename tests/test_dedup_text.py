@@ -1050,3 +1050,33 @@ def test_dsir_score_is_sum_of_bucket_weights(spark):
                                   text.dsir_bucket_weights(target, pool, "text")).collect()
     }
     assert got == expect
+
+
+def test_dsir_weights_from_flag_matches_two_frame_form(spark):
+    """The single-scan conditional-agg weight builder must equal the
+    two-frame form exactly on the same boolean split."""
+    from end_to_end_ml_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, True, "alpha beta gamma delta"),
+            (2, True, "beta gamma delta alpha"),
+            (3, False, "alpha beta omicron sigma"),
+            (4, False, "sigma tau upsilon phi"),
+            (5, None, "alpha beta gamma"),  # NULL flag: counted by neither
+        ],
+        "doc_id long, is_tgt boolean, text string",
+    )
+    two = {
+        (r["bucket"], r["weight"])
+        for r in text.dsir_bucket_weights(
+            docs.filter("is_tgt"), docs.filter("NOT is_tgt"), "text"
+        ).collect()
+    }
+    one = {
+        (r["bucket"], r["weight"])
+        for r in text.dsir_bucket_weights_from_flag(
+            docs, "is_tgt", "text"
+        ).collect()
+    }
+    assert one == two
