@@ -1223,12 +1223,19 @@ def dsir_select(
     k: int,
     carry_cols: tuple = (),
     n_buckets: int = 256,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k raw documents by length-normalized DSIR importance weight
     (ties broken by id). orderBy().limit(k) compiles to
     TakeOrderedAndProject — per-partition top-k then a k-row driver merge,
-    never a global sort materialization."""
-    w = dsir_bucket_weights(target_df, raw_df, text_col, n_buckets)
+    never a global sort materialization. Pass a precomputed ``weights``
+    frame (e.g. from :func:`dsir_bucket_weights_from_flag`, one scan when
+    target/raw split one table) to skip building it here."""
+    w = (
+        weights
+        if weights is not None
+        else dsir_bucket_weights(target_df, raw_df, text_col, n_buckets)
+    )
     scored = dsir_scores(
         raw_df, id_col, text_col, w, carry_cols=carry_cols, n_buckets=n_buckets
     )

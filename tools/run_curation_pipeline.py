@@ -95,9 +95,13 @@ def curate(
         tgt = surv.filter(is_target)
         pool = surv.filter(~is_target)
         k = int(math.ceil(dsir_frac * pool.count()))
-        top = text.dsir_select(tgt, pool, "doc_id", "text", k=k).select(
-            "doc_id"
-        )
+        # single-scan weight building: surv's lineage is the gate + dedup
+        # window, so every extra pass re-runs it — the flag variant costs
+        # one survivor pass instead of two
+        weights = text.dsir_bucket_weights_from_flag(surv, is_target, "text")
+        top = text.dsir_select(
+            tgt, pool, "doc_id", "text", k=k, weights=weights
+        ).select("doc_id")
         surv = tgt.unionByName(pool.join(top, "doc_id", "semi"))
     rates = split.token_budget_allocation(
         surv, "source", "n_words", budget_tokens=budget_tokens,
