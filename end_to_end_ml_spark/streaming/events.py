@@ -826,3 +826,94 @@ def stream_histogram_ingest(
             .agg(F.sum("n").cast("long").alias("n"))
         ),
     )
+
+
+def stream_dsir_counts_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    is_target_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    n_buckets: int = 256,
+    query_name: str = "dsir_ingest",
+):
+    """Streaming DSIR distribution maintenance: each micro-batch's hashed
+    word-bigram bucket counts — (bucket, t_count, r_count), split by the
+    boolean target flag — SUM-merge into a versioned store, from which
+    :func:`dsir_weights_from_store` derives the current integer
+    importance-weight table at any time. Fifth member of the
+    streaming-sketch family (HLL = distinct, Count-Min = frequency,
+    dedup = membership, histogram = quantiles, DSIR = importance
+    distributions); state is ≤ n_buckets rows at ANY corpus size, and a
+    nightly selection job never rescans the historical corpus to rebuild
+    its target/raw models.
+
+    Replay safety is the Count-Min argument: bucket-count union is
+    counter ADDITION (associative, commutative, NOT idempotent), so a
+    replayed epoch is absorbed by the versioned store — epoch N's output
+    is a pure function of (version < N, batch N), both deterministic, so
+    a crash replay rewrites ``v=N`` byte-identically instead of
+    double-counting. NULL-flag rows count toward neither distribution
+    (filtered before the explode), matching
+    operators/text.dsir_bucket_weights_from_flag. Same store layout and
+    fresh-checkpoint guard as the other ingest sinks; synchronous drain.
+    Scaffolding shared via _versioned_sketch_sink."""
+    from ..operators.text import hashed_bigram_buckets
+
+    def build(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.filter(F.col(is_target_col).isNotNull())
+            .select(
+                F.col(is_target_col).alias("__is_tgt"),
+                F.explode(hashed_bigram_buckets(text_col, n_buckets)).alias(
+                    "bucket"
+                ),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0))
+                .cast("long")
+                .alias("t_count"),
+                F.sum(F.when(~F.col("__is_tgt"), 1).otherwise(0))
+                .cast("long")
+                .alias("r_count"),
+            )
+        )
+
+    return _versioned_sketch_sink(
+        stream_df,
+        store_path,
+        checkpoint_dir,
+        query_name,
+        "DSIR bucket-count",
+        build_batch=build,
+        merge=lambda base, daily: (
+            base.unionByName(daily)
+            .groupBy("bucket")
+            .agg(
+                F.sum("t_count").cast("long").alias("t_count"),
+                F.sum("r_count").cast("long").alias("r_count"),
+            )
+        ),
+    )
+
+
+def dsir_weights_from_store(
+    spark: SparkSession, store_path: str, scale_x: int = 65536
+) -> DataFrame:
+    """Derive the current DSIR integer importance-weight table from the
+    newest version of a :func:`stream_dsir_counts_ingest` store — the
+    same ((t+1)·scale_x) div (r+1) surrogate as
+    operators/text.dsir_bucket_weights, restricted to buckets the raw
+    pool has actually populated. ≤ n_buckets rows; broadcast it into
+    dsir_scores/dsir_select."""
+    return (
+        read_latest_snapshot(spark, store_path)
+        .filter(F.col("r_count") > 0)
+        .select(
+            "bucket",
+            F.expr(f"(t_count + 1L) * {scale_x} div (r_count + 1L)").alias(
+                "weight"
+            ),
+        )
+    )

@@ -701,9 +701,9 @@ def test_stream_histogram_ingest_fresh_checkpoint_guard(spark, batch, tmp_path):
         )
 
 
-def test_streaming_maintenance_runner_all_four_sinks(spark, tmp_path):
+def test_streaming_maintenance_runner_all_sinks(spark, tmp_path):
     """tools/run_streaming_maintenance.maintain_streams (round-9 verdict
-    #7): one operational loop drives ALL FOUR versioned ingest sinks over
+    #7): one operational loop drives ALL FIVE versioned ingest sinks over
     a 3-micro-batch replay of the real tables; every final store must
     match the one-shot batch sketch (parity true per sink), every sink
     must have merged incrementally (>= 2 versions), and the dedup sink's
@@ -717,7 +717,7 @@ def test_streaming_maintenance_runner_all_four_sinks(spark, tmp_path):
     out = str(tmp_path / "maint")
     stats = maintain_streams(spark, "/root/testdata/sf0.001", out, n_batches=3)
     assert stats["all_parity"]
-    assert set(stats["sinks"]) == {"dedup", "hll", "countmin", "histogram"}
+    assert set(stats["sinks"]) == {"dedup", "hll", "countmin", "histogram", "dsir"}
     for name, s in stats["sinks"].items():
         assert s["parity"], name
         assert s["versions"] >= 2, name
@@ -742,3 +742,76 @@ def test_streaming_maintenance_cli_writes_sidecar(spark, tmp_path, monkeypatch):
     rsm.main()
     stats = json.load(open(os.path.join(out, "maintenance_stats.json")))
     assert stats["all_parity"] and stats["n_batches"] == 2
+
+
+def test_stream_dsir_ingest_matches_batch_weights(spark, tmp_path):
+    """Streaming DSIR maintenance: 3 micro-batches SUM-merge bucket
+    counts into the versioned store; the derived weight table must equal
+    operators/text.dsir_bucket_weights_from_flag over ALL docs (addition
+    over a partition of the corpus = the total — the Count-Min replay
+    argument). NULL-flag docs count toward neither distribution."""
+    from end_to_end_ml_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, True, "alpha beta gamma delta epsilon"),
+            (2, True, "beta gamma delta epsilon zeta"),
+            (3, False, "alpha beta omicron sigma tau"),
+            (4, False, "sigma tau upsilon phi chi"),
+            (5, False, "gamma delta alpha beta"),
+            (6, None, "alpha beta gamma"),
+        ],
+        "doc_id long, is_tgt boolean, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "dsir")
+    SE.stream_dsir_counts_ingest(
+        stream, store, "is_tgt", "text", str(tmp_path / "ck")
+    )
+    assert len(SE._snapshot_versions(store)) >= 2
+    got = {
+        (r["bucket"], r["weight"])
+        for r in SE.dsir_weights_from_store(spark, store).collect()
+    }
+    want = {
+        (r["bucket"], r["weight"])
+        for r in text.dsir_bucket_weights_from_flag(
+            docs, "is_tgt", "text"
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_stream_dsir_ingest_fresh_checkpoint_guard(spark, tmp_path):
+    """A reset checkpoint against a store with future versions must refuse
+    (the lifecycle contract shared by every ingest sink here)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, True, "alpha beta gamma"), (2, False, "alpha beta tau")],
+        "doc_id long, is_tgt boolean, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+
+    def mkstream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    store = str(tmp_path / "dsir")
+    SE.stream_dsir_counts_ingest(
+        mkstream(), store, "is_tgt", "text", str(tmp_path / "ck1")
+    )
+    with _pytest.raises(Exception, match="ahead of epoch"):
+        SE.stream_dsir_counts_ingest(
+            mkstream(), store, "is_tgt", "text", str(tmp_path / "ck2")
+        )

@@ -1,7 +1,8 @@
 """Streaming-sketch maintenance driver — the streaming sibling of
 tools/run_curation_pipeline.py / run_ann_maintenance.py (round-9 verdict
-#7): drive ALL FOUR versioned ingest sinks (exact-membership dedup, HLL
-distinct, Count-Min frequency, fixed-width histogram quantiles) over a
+#7): drive ALL FIVE versioned ingest sinks (exact-membership dedup, HLL
+distinct, Count-Min frequency, fixed-width histogram quantiles, DSIR
+bucket-count distributions) over a
 synthetic multi-micro-batch stream of the REAL tables, then check every
 final store against the one-shot batch truth and MATERIALIZE what an
 operations loop consumes: the versioned stores + a stats JSON recording
@@ -11,9 +12,9 @@ Stages:
   1. stage      — re-write events/documents as n_batches parquet files
                   (load_table handles the TIMESTAMP(NANOS) gotcha; the
                   staged copies stream cleanly via maxFilesPerTrigger=1)
-  2. ingest ×4  — streaming/events.stream_{dedup,hll,countmin,histogram}
-                  _ingest, each draining synchronously into its own
-                  versioned store under out_dir
+  2. ingest ×5  — streaming/events.stream_{dedup,hll,countmin,histogram,
+                  dsir_counts}_ingest, each draining synchronously into
+                  its own versioned store under out_dir
   3. verify     — each final store vs the batch-built sketch over ALL
                   rows: HLL max-merge is idempotent so equality is exact
                   by algebra; Count-Min/histogram are addition-merged and
@@ -76,7 +77,7 @@ def _mkstream(spark, path: str):
 
 
 def maintain_streams(spark, sf_dir: str, out_dir: str, n_batches: int = 3):
-    """Run the four ingest sinks end-to-end and return the stats dict.
+    """Run the five ingest sinks end-to-end and return the stats dict.
     Kept as a function so tests can run it on sf0.001 without the CLI
     path (the run_curation_pipeline pattern). Removes any pre-existing
     out_dir first — overwrite semantics; a re-run against the previous
@@ -182,6 +183,29 @@ def maintain_streams(spark, sf_dir: str, out_dir: str, n_batches: int = 3):
         .collect()
     ]
     record("histogram", hist_store, got, want)
+
+    # 5. DSIR bucket-count distributions (sum-merge; weight table derived
+    #    from the store so a nightly selection job never rescans history)
+    from end_to_end_ml_spark.operators import text as TX
+
+    is_target = F.col("source").isin("src0", "src1", "src2", "src3")
+    dsir_store = os.path.join(out_dir, "dsir")
+    dsir_stream = _mkstream(spark, doc_src).withColumn("is_tgt", is_target)
+    SE.stream_dsir_counts_ingest(
+        dsir_stream, dsir_store, "is_tgt", "text",
+        os.path.join(out_dir, "ck_dsir"),
+    )
+    got = [
+        tuple(r)
+        for r in SE.dsir_weights_from_store(spark, dsir_store).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in TX.dsir_bucket_weights_from_flag(
+            docs.withColumn("is_tgt", is_target), "is_tgt", "text"
+        ).collect()
+    ]
+    record("dsir", dsir_store, got, want)
 
     stats["all_parity"] = all(s["parity"] for s in stats["sinks"].values())
     return stats
