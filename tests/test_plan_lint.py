@@ -257,6 +257,36 @@ def test_cohort2_is_disjoint_deterministic_and_skips_slow_oracles():
     assert not set(c2) & slow
 
 
+def test_cohorts_partition_the_oracled_tail():
+    """The generalized --cohort N slices (round-10): consecutive cohorts
+    are pairwise disjoint, preserve the N=2 behavior verbatim, and their
+    union with the driver window covers every oracled query except the
+    slow-oracle exclusions — the basis for the 'full sf0.1 evidence'
+    claim in the round close."""
+    import glob
+    import json
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    sys.path.insert(0, root)
+    import pick_window
+
+    import __spark_entry__ as entry
+
+    assert pick_window.cohort2(10) == pick_window.cohort2(10, 2)
+    cohorts = [pick_window.cohort2(10, n) for n in (2, 3, 4, 5)]
+    seen: set = set(pick_window.pick(10))
+    for c in cohorts:
+        assert not set(c) & seen  # disjoint from window and prior cohorts
+        seen |= set(c)
+    locals_ = sorted(glob.glob(os.path.join(root, "CHECK_ORACLE_LOCAL_r*.json")))
+    res = json.load(open(locals_[-1])).get("results", {})
+    slow = {n for n, r in res.items() if (r.get("duck_s") or 0) > 5}
+    assert seen | slow >= set(entry.oracle_sql())
+
+
 def test_bench_and_plandump_lists_reference_live_queries():
     """Round-9 retired two registry names (ts4, ml1) — a stale name left
     in bench.py or tools/dump_plans.py would only surface as a runtime
