@@ -1125,17 +1125,23 @@ def hashed_bigram_buckets(text_col, n_buckets: int = 256):
     Bucket = first 8 hex chars of md5("tok1 tok2") mod n_buckets — md5 so
     the DuckDB oracle reproduces the exact bucket ids (xxhash64 is
     Spark-only). Row-local (transform over the token array, no explode
-    until the caller chooses to), so it fuses with the parquet scan."""
+    until the caller chooses to), so it fuses with the parquet scan.
+
+    Built with zip_with(toks, toks[2:]) rather than indexing a sequence:
+    lambda arguments are materialized arrays evaluated once per ROW,
+    whereas element_at(<tokenizer expr>, i) inside a lambda re-runs the
+    whole split per ELEMENT — O(w²) per doc, measured 10× slower on the
+    sf0.1 corpus. The one-short shifted copy pads with NULL, which maps
+    to a NULL pair and is filtered; NULL text yields NULL straight
+    through (explode drops it), and <2-token docs yield []."""
     toks = lower_alnum_tokens(text_col)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        toks,
+        shifted,
+        lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+    )
+    bigrams = F.filter(pairs, lambda x: x.isNotNull())
     return F.transform(
         bigrams,
         lambda bg: F.conv(F.substring(F.md5(bg), 1, 8), 16, 10).cast("long")
@@ -1159,9 +1165,12 @@ def dsir_bucket_weights(
     Scale shape: two map-side-combined counts shuffling ≤ n_buckets rows
     per map partition, one ≤ n_buckets-row join — the output is a tiny
     broadcastable dim no matter the corpus size."""
+    from .dedup import _spread
+
     def bucket_counts(df, name):
         return (
-            df.select(
+            _spread(df)
+            .select(
                 F.explode(hashed_bigram_buckets(text_col, n_buckets)).alias(
                     "bucket"
                 )
@@ -1199,7 +1208,9 @@ def dsir_scores(
     excluded — documented, matches the oracle. Scale shape: explode is
     narrow, the weights join is a broadcast against a ≤ n_buckets-row
     dim, and the per-doc agg partially aggregates map-side."""
-    exploded = raw_df.select(
+    from .dedup import _spread
+
+    exploded = _spread(raw_df).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         F.explode(hashed_bigram_buckets(text_col, n_buckets)).alias("bucket"),
@@ -1258,11 +1269,13 @@ def dsir_bucket_weights_from_flag(
     + two shuffles + a join; rows with a NULL flag count toward neither.
     Result is identical (weight rows exist exactly for buckets with
     raw_count > 0)."""
+    from .dedup import _spread
+
     flag = (
         F.col(is_target_col) if isinstance(is_target_col, str) else is_target_col
     )
     return (
-        docs_df.select(
+        _spread(docs_df).select(
             flag.alias("__is_tgt"),
             F.explode(hashed_bigram_buckets(text_col, n_buckets)).alias(
                 "bucket"
