@@ -268,3 +268,47 @@ class TestPartitionInvariance:
             )
 
         self._invariant(spark, run)
+
+
+class TestDsirPartitionInvariance:
+    """DSIR selection claims engine-exact integer determinism — so its
+    weight table, scores, and top-k must be identical under any physical
+    partitioning of target and pool (md5 buckets, integer div, doc_id
+    tie-breaks)."""
+
+    def test_dsir_select(self, spark):
+        from end_to_end_ml_spark.operators.text import dsir_select
+
+        base = _docs(spark)
+        tgt = base.filter(F.col("doc_id") % 3 == 0)
+        pool = base.filter(F.col("doc_id") % 3 != 0)
+        results = [
+            sorted(
+                tuple(r)
+                for r in dsir_select(
+                    tgt.repartition(p), pool.repartition(p),
+                    "doc_id", "text", k=40,
+                ).collect()
+            )
+            for p in PARTITIONINGS
+        ]
+        assert results[0] == results[1] == results[2]
+        assert len(results[0]) == 40
+
+    def test_dsir_weights_from_flag(self, spark):
+        from end_to_end_ml_spark.operators.text import (
+            dsir_bucket_weights_from_flag,
+        )
+
+        base = _docs(spark).withColumn("is_tgt", F.col("doc_id") % 3 == 0)
+        results = [
+            sorted(
+                tuple(r)
+                for r in dsir_bucket_weights_from_flag(
+                    base.repartition(p), "is_tgt", "text"
+                ).collect()
+            )
+            for p in PARTITIONINGS
+        ]
+        assert results[0] == results[1] == results[2]
+        assert len(results[0]) > 0
