@@ -777,3 +777,23 @@ def test_curation_dsir_stage(spark):
     )
     got = sorted(r["doc_id"] for r in half if r["source"] not in tgt)
     assert got == expect
+
+
+def test_curation_cli_rejects_dsir_with_incremental(spark, tmp_path, monkeypatch):
+    """--dsir-frac + --incremental must refuse loudly (the stage is
+    full-mode; silently ignoring the flag would misreport the run)."""
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_curation_pipeline as rcp
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_curation_pipeline.py", "/root/testdata/sf0.001",
+         str(tmp_path / "x"), "3000", "--incremental", "--dsir-frac", "0.5"],
+    )
+    with _pytest.raises(SystemExit, match="dsir-frac"):
+        rcp.main()

@@ -295,6 +295,13 @@ def main() -> None:
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/spark_curation_run"
     budget = int(args[2]) if len(args) > 2 else 50_000
+    if incremental and dsir_frac is not None:
+        raise SystemExit(
+            "--dsir-frac is a full-mode stage (selection vs the whole "
+            "survivor pool); combining it with --incremental would "
+            "silently score only the nightly batch against itself. "
+            "Run full-mode selection, or extend curate_epoch explicitly."
+        )
     spark = get_spark("run-curation")
     if incremental:
         curated, stats = curate_incremental(spark, sf_dir, budget)
