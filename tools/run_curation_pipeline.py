@@ -91,6 +91,12 @@ def curate(
     if dsir_frac is not None:
         import math
 
+        # the DSIR stage reads the survivor frame several times (pool
+        # count, weight build, scoring, the semi join) — persist it once
+        # so those passes read cached blocks instead of re-running the
+        # gate + dedup window lineage (the curate_epoch materialization
+        # pattern; without it full-mode --dsir-frac is a five-pass trade)
+        surv = surv.persist()
         is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
         tgt = surv.filter(is_target)
         pool = surv.filter(~is_target)
