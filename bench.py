@@ -186,6 +186,7 @@ R9 = [
 R10 = [
     "mix4_waterfill",
     "mix5_dsir_selection",
+    "pipe13_dsir_curation",
     "pipe12_adaptive_ann_exact",
 ]
 

@@ -8151,6 +8151,188 @@ LIMIT 100
 REGISTRY["mix5_dsir_selection"] = (mix5_dsir_selection, MIX5_SQL)
 
 
+def pipe13_dsir_curation(spark, sf_dir):
+    """DSIR-curated corpus composition — the declarative, ORACLED twin of
+    `tools/run_curation_pipeline.py --dsir-frac 0.5` (the runner path is
+    pinned by a pytest cross-check; this row gives the composed stage
+    driver-grade evidence, the pipe10 ↔ runner pattern): Gopher gate →
+    exact dedup (keep-min-id, NULL-source filter AFTER the keeper window,
+    runner parity) → DSIR selection of the top HALF of the raw pool by
+    integer importance weight vs the curated sources → token-budget
+    allocation at a 1.0-epoch cap → integer md5 admit draws (the
+    runner's 'bud1' salt, so stats match curate(dsir_frac=0.5) exactly) → per-source kept counts + admit rate.
+
+    The half-pool cut is decided by integer cross-multiplication over a
+    rank window: keep rank r where 2·r ≤ n_pool + 1 (= ceil(n/2), no
+    float, no driver count — this is the declarative form; the runner
+    uses TakeOrderedAndProject with a driver-computed k). The global
+    rank window runs over the per-DOC aggregate (|pool docs| rows, the
+    ord1-class trade the lint accepts over aggregates), never over raw
+    bigrams. Weight building is the single-scan conditional aggregate
+    (dsir_bucket_weights_from_flag) over the survivor frame."""
+    from ..operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        text.fingerprint_column("text").alias("fp"),
+        *text.gopher_evidence_columns("text"),
+    ).select("*", *text.gopher_rule_columns())
+    w_fp = Window.partitionBy("fp")
+    surv = (
+        feat.filter(F.col("keep"))
+        .withColumn("keeper", F.min("doc_id").over(w_fp))
+        .filter((F.col("doc_id") == F.col("keeper")) & F.col("source").isNotNull())
+        .select("doc_id", "source", "text", "n_words")
+    )
+    is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    weights = TX.dsir_bucket_weights_from_flag(surv, is_target, "text")
+    scored = TX.dsir_scores(
+        surv.filter(~is_target),
+        "doc_id",
+        "text",
+        weights,
+        carry_cols=("source", "n_words"),
+    )
+    w_rank = Window.orderBy(F.col("dsir_score_q").desc(), "doc_id")
+    sel = (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_words",
+            F.rank().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+        )
+        .filter(F.col("rk") * 2 <= F.col("np") + 1)
+        .select("doc_id", "source", "n_words")
+    )
+    admitted_pop = (
+        surv.filter(is_target).select("doc_id", "source", "n_words")
+        .unionByName(sel)
+    )
+    rates = split.token_budget_allocation(
+        admitted_pop, "source", "n_words", budget_tokens=5_000,
+        max_epochs_x1024=1024,
+    ).select("source", F.col("epochs_ppm").alias("admit_ppm"))
+    draw = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', 'bud1',"
+        " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DECIMAL(38,0))"
+        " * 1000000 < CAST(admit_ppm AS DECIMAL(38,0)) * 281474976710656"
+    )
+    return (
+        admitted_pop.join(F.broadcast(rates), "source")
+        .filter(draw)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_words").cast("long").alias("n_tokens_kept"),
+            F.min("admit_ppm").cast("long").alias("admit_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPE13_SQL = rf"""
+WITH feat AS (
+  SELECT doc_id, source, text,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS swc,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS naw,
+         CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+              ['the','a','of','to','and','in','is','that','for','it'])) AS BIGINT) AS nsh
+  FROM (SELECT doc_id, source, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+),
+kept AS (
+  SELECT * FROM feat
+  WHERE n_words BETWEEN 50 AND 100000
+    AND swc >= 3 * n_words AND swc <= 10 * n_words
+    AND naw * 100 >= 80 * n_words AND nsh >= 2
+),
+surv AS (
+  SELECT doc_id, source, text, n_words FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM kept
+  ) WHERE doc_id = keeper AND source IS NOT NULL
+),
+tk AS (
+  SELECT doc_id, source, n_words,
+         source IN {_DSIR_TGT_SQL} AS is_tgt,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM surv
+),
+bg AS (
+  SELECT doc_id, source, n_words, is_tgt,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bgs
+  FROM tk
+),
+ex AS (
+  SELECT doc_id, source, n_words, is_tgt,
+         ('0x' || substr(md5(unnest(bgs)), 1, 8))::BIGINT % 256 AS bucket
+  FROM bg
+),
+wtbl AS (
+  SELECT bucket,
+         (sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) + 1) * 65536
+           // (sum(CASE WHEN NOT is_tgt THEN 1 ELSE 0 END) + 1) AS weight
+  FROM ex GROUP BY bucket
+  HAVING sum(CASE WHEN NOT is_tgt THEN 1 ELSE 0 END) > 0
+),
+scored AS (
+  SELECT e.doc_id, e.source, e.n_words,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(w.weight) AS BIGINT) AS sc
+  FROM ex e JOIN wtbl w USING (bucket)
+  WHERE NOT e.is_tgt
+  GROUP BY e.doc_id, e.source, e.n_words
+),
+ranked AS (
+  SELECT doc_id, source, n_words,
+         rank() OVER (ORDER BY sc // nb DESC, doc_id) AS rk,
+         count(*) OVER () AS np
+  FROM scored
+),
+admitted_pop AS (
+  SELECT doc_id, source, n_words FROM tk WHERE is_tgt
+  UNION ALL
+  SELECT doc_id, source, n_words FROM ranked WHERE 2 * rk <= np + 1
+),
+g AS (
+  SELECT source, CAST(sum(n_words) AS BIGINT) AS t_tokens
+  FROM admitted_pop GROUP BY source
+),
+w2 AS (
+  SELECT *, CAST(floor(1024 * sqrt(CAST(t_tokens AS DOUBLE))) AS BIGINT) AS wq
+  FROM g
+),
+tw AS (SELECT CAST(sum(wq) AS BIGINT) AS total_w FROM w2),
+rates AS (
+  SELECT source,
+         CAST((CAST(1000000 AS HUGEINT) *
+               least(CAST((CAST(5000 AS HUGEINT) * wq) // total_w AS BIGINT),
+                     CAST((CAST(1024 AS HUGEINT) * t_tokens) // 1024 AS BIGINT)))
+              // t_tokens AS BIGINT) AS admit_ppm
+  FROM w2 CROSS JOIN tw
+)
+SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(s.n_words) AS BIGINT) AS n_tokens_kept,
+       CAST(min(r.admit_ppm) AS BIGINT) AS admit_ppm
+FROM admitted_pop s JOIN rates r ON s.source = r.source
+WHERE CAST(('0x' || substr(md5('bud1|' || CAST(s.doc_id AS VARCHAR)), 1, 12))::BIGINT
+           AS HUGEINT) * 1000000
+      < CAST(r.admit_ppm AS HUGEINT) * 281474976710656
+GROUP BY s.source ORDER BY s.source
+"""
+
+REGISTRY["pipe13_dsir_curation"] = (pipe13_dsir_curation, PIPE13_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver window (first 50 registry entries) — POLICY-PICKED since round 8.
 #
@@ -8168,9 +8350,10 @@ REGISTRY["mix5_dsir_selection"] = (mix5_dsir_selection, MIX5_SQL)
 # a round later; (3) previously-exposed fill by (exposure count, last
 # exposed round) with a best-effort family-coverage guard — ties broken
 # by md5(f"r{N}:{name}") so no name starves behind a fixed order.
-# Round-10 pick: 3 first exposures / 50 (the round-10 registrations
-# mix5_dsir_selection / mix4_waterfill / pipe12_adaptive_ann_exact,
-# forced in by policy #2) — otherwise the RE-CHECK ROTATION ERA.
+# Round-10 pick: 4 first exposures / 50 (the round-10 registrations
+# mix5_dsir_selection / mix4_waterfill / pipe13_dsir_curation /
+# pipe12_adaptive_ann_exact, forced in by policy #2) — otherwise the
+# RE-CHECK ROTATION ERA.
 # As of CORRECTNESS_r09 every oracled registry query has at least one
 # green driver row, so windows are now pure least-exposed-first
 # re-checks: fill order (exposure count, last exposed round), ties
@@ -8185,6 +8368,7 @@ REGISTRY["mix5_dsir_selection"] = (mix5_dsir_selection, MIX5_SQL)
 DRIVER_WINDOW = [
     "mix5_dsir_selection",
     "mix4_waterfill",
+    "pipe13_dsir_curation",
     "pipe12_adaptive_ann_exact",
     "agg_percentiles",
     "f8_label_index",
@@ -8218,7 +8402,6 @@ DRIVER_WINDOW = [
     "p14_winsorize",
     "pipe7_curated_shards",
     "f11_quantile_uniform",
-    "x12_dup_ngram_fraction",
     "pack2_bin_summary",
     "mm2_frame_sample",
     "w7_pivot_matrix",

@@ -102,6 +102,16 @@ def _window_input_bounded(node) -> bool:
             return True
         short = name.split(" (")[0]
         cc = n.children()
+        if short.startswith("ReusedExchange"):
+            # exchange reuse makes the node a LEAF whose real input is the
+            # referenced exchange (ReusedExchangeExec.child) — resolve it,
+            # or a window over a reused aggregate exchange would be
+            # misread as unbounded (first hit: pipe13's rank/count windows
+            # over the twice-consumed scored aggregate)
+            try:
+                return bounded(n.child())
+            except Exception:
+                return False
         if short.startswith(_ROW_PRESERVING_PREFIXES):
             # single-input relays; reuse wrappers with several children
             # require every input bounded

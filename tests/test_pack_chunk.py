@@ -797,3 +797,31 @@ def test_curation_cli_rejects_dsir_with_incremental(spark, tmp_path, monkeypatch
     )
     with _pytest.raises(SystemExit, match="dsir-frac"):
         rcp.main()
+
+
+def test_pipe13_matches_runner_dsir_mode(spark):
+    """pipe13_dsir_curation is the DECLARATIVE twin of
+    run_curation_pipeline.curate(dsir_frac=0.5): same gate, same keeper
+    order, same half-pool integer cut (2·rank ≤ n+1 == ceil(n/2) == the
+    runner's math.ceil(0.5·n) top-k), same 'bud1' draws — per-source
+    (n_docs_kept, n_tokens_kept, admit_ppm) must match exactly at the
+    same budget."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_curation_pipeline import curate
+
+    from end_to_end_ml_spark.plans.entry_queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    _, stats = curate(spark, sf, budget_tokens=5_000, dsir_frac=0.5)
+    runner = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"], int(r["admit_ppm"]))
+        for r in stats.collect()
+    }
+    declarative = {
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"], int(r["admit_ppm"]))
+        for r in REGISTRY["pipe13_dsir_curation"][0](spark, sf).collect()
+    }
+    assert declarative == runner
