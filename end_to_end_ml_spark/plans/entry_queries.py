@@ -8340,7 +8340,7 @@ REGISTRY["pipe13_dsir_curation"] = (pipe13_dsir_curation, PIPE13_SQL)
 # round-8 verdict asked for a deterministic rotation policy that bounds
 # every oracled query's driver-exposure latency; it lives in
 # tools/pick_window.py and this list is its verbatim output for
-# `--round 10` (re-run the tool to audit). Policy: (1) queries red in the
+# `--round 11` (re-run the tool to audit). Policy: (1) queries red in the
 # latest committed CORRECTNESS artifact are forced in until proven green
 # (none this round); (2) never-driver-exposed queries UNCONDITIONALLY,
 # newest registration round first (DRIVER_LEDGER.json) — round-9
@@ -8350,72 +8350,71 @@ REGISTRY["pipe13_dsir_curation"] = (pipe13_dsir_curation, PIPE13_SQL)
 # a round later; (3) previously-exposed fill by (exposure count, last
 # exposed round) with a best-effort family-coverage guard — ties broken
 # by md5(f"r{N}:{name}") so no name starves behind a fixed order.
-# Round-10 pick: 4 first exposures / 50 (the round-10 registrations
-# mix5_dsir_selection / mix4_waterfill / pipe13_dsir_curation /
-# pipe12_adaptive_ann_exact, forced in by policy #2) — otherwise the
-# RE-CHECK ROTATION ERA.
+# Round-11 pick: 0 first exposures / 50 — pure RE-CHECK ROTATION
+# (no new registrations carried in; r10's four first exposures all went
+# driver-green, so policy #2 has an empty queue).
 # As of CORRECTNESS_r09 every oracled registry query has at least one
 # green driver row, so windows are now pure least-exposed-first
 # re-checks: fill order (exposure count, last exposed round), ties
-# broken by md5(f"r10:{name}"), with the best-effort family guard.
+# broken by md5(f"r11:{name}"), with the best-effort family guard.
 # All registry entries remain locally verified via tools/check_oracle.py
 # (full-registry + full-window-at-sf0.1 results committed as
-# CHECK_ORACLE_LOCAL_r10.json / CHECK_ORACLE_SF01_WINDOW_r10.json);
+# CHECK_ORACLE_LOCAL_r11.json / CHECK_ORACLE_SF01_WINDOW_r11.json);
 # counts are asserted below and in tests
 # (tests/test_plan_lint.py::test_registry_count_claims).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    "mix5_dsir_selection",
-    "mix4_waterfill",
-    "pipe13_dsir_curation",
-    "pipe12_adaptive_ann_exact",
-    "agg_percentiles",
-    "f8_label_index",
-    "s9_online_export",
-    "q7_volume_shipping",
-    "ts2_gap_fill",
-    "x5_repetition_scores",
-    "ev1_funnel_conversion",
-    "a15_drift_bins",
-    "ev2_retention_cohorts",
-    "ev4_top_session_paths",
-    "pipe5_eval_set",
-    "t9_weighted_sample",
-    "dq1_expectations",
-    "emb4_negative_pairs",
-    "ev6_linear_attribution",
-    "ts7_countmin_heavy_hitters",
-    "mix1_temperature_sample",
-    "t10_fixed_count_sample",
-    "p15_profile_columns",
-    "d12_source_overlap_matrix",
-    "a18_spearman_components",
-    "dq3_referential_integrity",
-    "ts8_weekly_profile",
-    "fn_array_suite",
-    "f13_robust_scale",
-    "x17_bm25_components",
-    "ev8_time_to_conversion",
-    "a11_champion_leaderboard",
-    "t13_four_way_carve",
-    "p14_winsorize",
-    "pipe7_curated_shards",
-    "f11_quantile_uniform",
-    "pack2_bin_summary",
-    "mm2_frame_sample",
-    "w7_pivot_matrix",
+    "x22_gopher_filters",
+    "q12_late_shipments",
+    "x6_pii_scrub",
+    "q11_important_parts",
+    "emb5_cosine_histogram",
+    "t12_replicated_sample",
+    "a3_imbalance_ratio",
+    "fn_grouped_agg_wmean",
+    "f14_target_encode",
+    "agg_grouping_sets",
+    "ev10_stickiness",
+    "dq5_id_gap_audit",
+    "pipe10_budget_curation",
+    "x20_length_quantiles",
+    "d16_prefix_filter_jaccard",
+    "s10_merge_upsert",
+    "q16_supplier_counts",
+    "pipe8_incremental_near_dup",
+    "q24_association_rules",
+    "ev9_attribution_models",
+    "s17_schema_evolution",
+    "pipe9_incremental_ann",
+    "mix2_token_budget",
+    "ts10_rolling_zscore",
+    "ts4b_hll_registers",
+    "f3_cat_impute",
+    "d13_url_canonical_dupes",
+    "t14_rolling_origin",
+    "ev7_event_transitions",
+    "ts11_quantile_sketch",
+    "d11_edit_distance_pairs",
+    "d4b_simhash_md5_pairs",
+    "x12_dup_ngram_fraction",
+    "s16_csv_roundtrip",
+    "q15_top_supplier",
+    "set1_repeat_customers",
+    "mm3_resize_payloads",
+    "skew4_join_cardinality",
+    "p7_enforce_types",
+    "pack3_shard_shuffle",
     "prof1_column_profile",
-    "set4_multiset_ops",
+    "w7_pivot_matrix",
     "ml1b_validation_leaderboard",
-    "skew1_salted_join_agg",
+    "j2_split_overlap",
+    "ord1_global_ordinal",
     "h7_asha_schedule",
     "sim1b_topk_sharded",
-    "ord1_global_ordinal",
-    "j5_customers_without_orders",
     "m8q_threshold_sweep_quantized",
     "rj1_event_pairs",
-    "st_sessionize",
+    "st_hourly_window",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
