@@ -1196,6 +1196,7 @@ def dsir_scores(
     weights: DataFrame,
     carry_cols: tuple = (),
     n_buckets: int = 256,
+    unseen_bucket_weight: int | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance scores over the raw pool.
 
@@ -1207,7 +1208,31 @@ def dsir_scores(
     Documents with zero bigrams (<2 alnum tokens) are unscorable and
     excluded — documented, matches the oracle. Scale shape: explode is
     narrow, the weights join is a broadcast against a ≤ n_buckets-row
-    dim, and the per-doc agg partially aggregates map-side."""
+    dim, and the per-doc agg partially aggregates map-side.
+
+    Unseen buckets (round-10 ADVICE): with the default
+    ``unseen_bucket_weight=None`` the weights join is INNER, so the
+    scored frame MUST be a subset of the raw pool the weights were
+    counted from — every bigram of such a doc lands in a bucket with
+    r_count > 0 by construction, and the join drops nothing. Scoring
+    documents the store has NOT counted (e.g. a fresh batch against a
+    historical :func:`~end_to_end_ml_spark.streaming.events.\
+dsir_weights_from_store` table) would silently drop unseen-bucket
+    bigrams from both the sum and the n_bigrams denominator; pass
+    ``unseen_bucket_weight=scale_x`` (the add-one floor
+    ((0+1)·scale_x) div (0+1) an unseen bucket would have received) to
+    left-join and coalesce instead.
+
+    Overflow (round-10 ADVICE): the per-doc sum runs as decimal(38,0)
+    — exact, matching the oracle's HUGEINT sum — and only the final
+    projection narrows to BIGINT, so an extreme-skew sum beyond 2^63
+    RAISES CAST_OVERFLOW (Spark 4 ANSI default; DuckDB's HUGEINT →
+    BIGINT cast errors identically) instead of the old long-typed sum
+    silently wrapping into a plausible-but-wrong rank. The cast is
+    exact while max_bucket_weight · doc_bigrams < 2^63, i.e. while the
+    target/raw skew satisfies (t_b+1)/(r_b+1) < 2^63 / (scale_x · max
+    doc bigrams) ≈ 1.4e12 per bucket at the default scale and
+    10^5-bigram docs."""
     from .dedup import _spread
 
     exploded = _spread(raw_df).select(
@@ -1215,12 +1240,23 @@ def dsir_scores(
         *[F.col(c) for c in carry_cols],
         F.explode(hashed_bigram_buckets(text_col, n_buckets)).alias("bucket"),
     )
+    if unseen_bucket_weight is None:
+        joined = exploded.join(F.broadcast(weights), "bucket")
+    else:
+        joined = exploded.join(F.broadcast(weights), "bucket", "left").withColumn(
+            "weight",
+            F.coalesce(
+                F.col("weight"),
+                F.lit(int(unseen_bucket_weight)).cast("long"),
+            ),
+        )
     return (
-        exploded.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col, *carry_cols)
+        joined.groupBy(id_col, *carry_cols)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("weight").cast("long").alias("dsir_score"),
+            F.sum(F.col("weight").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("dsir_score"),
         )
         .withColumn("dsir_score_q", F.expr("dsir_score div n_bigrams"))
     )
@@ -1255,20 +1291,24 @@ def dsir_select(
     ).limit(k)
 
 
-def dsir_bucket_weights_from_flag(
+def dsir_bucket_counts_from_flag(
     docs_df: DataFrame,
     is_target_col,
     text_col: str,
     n_buckets: int = 256,
-    scale_x: int = 65536,
 ) -> DataFrame:
-    """:func:`dsir_bucket_weights` when target and raw live in ONE frame
-    split by a boolean column/expression — the common corpus-curation
-    case (target = curated sources flag). ONE scan + ONE shuffle build
-    both distributions as a conditional aggregate, instead of two scans
-    + two shuffles + a join; rows with a NULL flag count toward neither.
-    Result is identical (weight rows exist exactly for buckets with
-    raw_count > 0)."""
+    """Raw DSIR distribution COUNTS — (bucket, t_count, r_count) — from
+    ONE frame split by a boolean target flag, via a single scan + one
+    map-side-combined conditional aggregate. Rows with a NULL flag count
+    toward neither distribution (``when`` routes NULL to the 0 branch on
+    both sides).
+
+    This is the MERGEABLE form: counts are plain sums, so two count
+    frames (e.g. a historical store and tonight's batch) union+SUM into
+    the counts of the combined corpus — the property the versioned
+    streaming store (streaming/events.stream_dsir_counts_ingest) and the
+    incremental curation epochs build on. ≤ n_buckets rows at any corpus
+    size. Derive weights with :func:`dsir_weights_from_counts`."""
     from .dedup import _spread
 
     flag = (
@@ -1283,14 +1323,68 @@ def dsir_bucket_weights_from_flag(
         )
         .groupBy("bucket")
         .agg(
-            F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("t_count"),
-            F.sum(F.when(~F.col("__is_tgt"), 1).otherwise(0)).alias("r_count"),
+            F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0))
+            .cast("long")
+            .alias("t_count"),
+            F.sum(F.when(~F.col("__is_tgt"), 1).otherwise(0))
+            .cast("long")
+            .alias("r_count"),
         )
-        .filter(F.col("r_count") > 0)
-        .select(
-            "bucket",
-            F.expr(
-                f"(t_count + 1L) * {scale_x} div (r_count + 1L)"
-            ).alias("weight"),
-        )
+    )
+
+
+def dsir_merge_counts(*count_frames: DataFrame) -> DataFrame:
+    """SUM-merge any number of (bucket, t_count, r_count) frames into the
+    counts of the combined corpus — counter addition is associative and
+    commutative, so merge order never matters. ≤ n_buckets rows in and
+    out; the shuffle is over the tiny bucket domain."""
+    frames = [f for f in count_frames if f is not None]
+    if not frames:
+        raise ValueError("dsir_merge_counts needs at least one frame")
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    return merged.groupBy("bucket").agg(
+        F.sum("t_count").cast("long").alias("t_count"),
+        F.sum("r_count").cast("long").alias("r_count"),
+    )
+
+
+def dsir_weights_from_counts(
+    counts_df: DataFrame, scale_x: int = 65536
+) -> DataFrame:
+    """The integer importance-weight table from a (bucket, t_count,
+    r_count) counts frame: w = ((t+1)·scale_x) div (r+1), restricted to
+    buckets the raw pool has actually populated (r_count > 0 — a bucket
+    no raw bigram hashes to can never be joined by an in-pool doc;
+    callers scoring docs OUTSIDE the counted pool pass the scale_x floor
+    via dsir_scores(unseen_bucket_weight=...))."""
+    return counts_df.filter(F.col("r_count") > 0).select(
+        "bucket",
+        F.expr(f"(t_count + 1L) * {scale_x} div (r_count + 1L)").alias(
+            "weight"
+        ),
+    )
+
+
+def dsir_bucket_weights_from_flag(
+    docs_df: DataFrame,
+    is_target_col,
+    text_col: str,
+    n_buckets: int = 256,
+    scale_x: int = 65536,
+) -> DataFrame:
+    """:func:`dsir_bucket_weights` when target and raw live in ONE frame
+    split by a boolean column/expression — the common corpus-curation
+    case (target = curated sources flag). ONE scan + ONE shuffle build
+    both distributions as a conditional aggregate, instead of two scans
+    + two shuffles + a join; rows with a NULL flag count toward neither.
+    Result is identical (weight rows exist exactly for buckets with
+    raw_count > 0). Composed as counts → weights so the count form stays
+    reusable by the incremental/streaming paths."""
+    return dsir_weights_from_counts(
+        dsir_bucket_counts_from_flag(
+            docs_df, is_target_col, text_col, n_buckets
+        ),
+        scale_x=scale_x,
     )

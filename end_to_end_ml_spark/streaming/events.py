@@ -906,14 +906,14 @@ def dsir_weights_from_store(
     same ((t+1)·scale_x) div (r+1) surrogate as
     operators/text.dsir_bucket_weights, restricted to buckets the raw
     pool has actually populated. ≤ n_buckets rows; broadcast it into
-    dsir_scores/dsir_select."""
-    return (
-        read_latest_snapshot(spark, store_path)
-        .filter(F.col("r_count") > 0)
-        .select(
-            "bucket",
-            F.expr(f"(t_count + 1L) * {scale_x} div (r_count + 1L)").alias(
-                "weight"
-            ),
-        )
+    dsir_scores/dsir_select — and when the scored docs are NOT already
+    counted into the store, pass
+    ``dsir_scores(unseen_bucket_weight=scale_x)`` so unseen-bucket
+    bigrams receive the add-one floor instead of vanishing (round-10
+    ADVICE). Delegates to operators/text.dsir_weights_from_counts (one
+    formula, batch + streaming)."""
+    from ..operators.text import dsir_weights_from_counts
+
+    return dsir_weights_from_counts(
+        read_latest_snapshot(spark, store_path), scale_x=scale_x
     )

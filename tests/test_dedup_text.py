@@ -1080,3 +1080,113 @@ def test_dsir_weights_from_flag_matches_two_frame_form(spark):
         ).collect()
     }
     assert one == two
+
+def test_dsir_merge_counts_equals_union_counts(spark):
+    """Counter addition: SUM-merging per-slice count frames must equal
+    counting the unioned corpus directly (the property the versioned
+    epoch/streaming stores build on), in any merge order."""
+    from end_to_end_ml_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, True, "alpha beta gamma delta"),
+            (2, False, "beta gamma delta alpha"),
+            (3, True, "alpha beta omicron sigma"),
+            (4, False, "sigma tau upsilon phi"),
+            (5, False, "alpha beta gamma"),
+        ],
+        "doc_id long, is_tgt boolean, text string",
+    )
+    whole = sorted(
+        map(tuple, text.dsir_bucket_counts_from_flag(docs, "is_tgt", "text").collect())
+    )
+    a = text.dsir_bucket_counts_from_flag(docs.filter("doc_id <= 2"), "is_tgt", "text")
+    b = text.dsir_bucket_counts_from_flag(docs.filter("doc_id = 3"), "is_tgt", "text")
+    c = text.dsir_bucket_counts_from_flag(docs.filter("doc_id >= 4"), "is_tgt", "text")
+    merged = sorted(map(tuple, text.dsir_merge_counts(a, b, c).collect()))
+    assert merged == whole
+    # order/None invariance
+    merged2 = sorted(map(tuple, text.dsir_merge_counts(None, c, a, b).collect()))
+    assert merged2 == whole
+    # weights derived from merged counts == the single-frame flag weights
+    w_merged = sorted(
+        map(tuple, text.dsir_weights_from_counts(text.dsir_merge_counts(a, b, c)).collect())
+    )
+    w_flag = sorted(
+        map(tuple, text.dsir_bucket_weights_from_flag(docs, "is_tgt", "text").collect())
+    )
+    assert w_merged == w_flag
+
+
+def test_dsir_scores_unseen_bucket_floor(spark):
+    """round-10 ADVICE: scoring docs OUTSIDE the counted pool. With the
+    default (inner join) a bigram hashing to a bucket absent from the
+    weight table vanishes from both the sum and the n_bigrams
+    denominator; with unseen_bucket_weight=scale_x it is counted at the
+    add-one floor an unseen bucket would have received. Pinned against
+    a Python replay on a planted split."""
+    from end_to_end_ml_spark.operators import text
+    from pyspark.sql import functions as F2
+
+    target = spark.createDataFrame([(10, "alpha beta gamma")], ["doc_id", "text"])
+    counted_pool = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    weights = text.dsir_bucket_weights(target, counted_pool, "text")
+    w = {r["bucket"]: r["weight"] for r in weights.collect()}
+    # a NEW doc mixing counted bigrams with never-counted vocabulary
+    new_docs = spark.createDataFrame(
+        [(7, "alpha beta zzyzx qwrty zzyzx")], ["doc_id", "text"]
+    )
+    buckets = new_docs.select(
+        F2.explode(text.hashed_bigram_buckets("text")).alias("b")
+    ).collect()
+    seen = [r["b"] for r in buckets if r["b"] in w]
+    unseen = [r["b"] for r in buckets if r["b"] not in w]
+    assert seen and unseen  # the planted split is non-vacuous
+
+    inner = text.dsir_scores(new_docs, "doc_id", "text", weights).collect()
+    assert len(inner) == 1
+    assert inner[0]["n_bigrams"] == len(seen)
+    assert inner[0]["dsir_score"] == sum(w[b] for b in seen)
+
+    floored = text.dsir_scores(
+        new_docs, "doc_id", "text", weights, unseen_bucket_weight=65536
+    ).collect()
+    assert len(floored) == 1
+    assert floored[0]["n_bigrams"] == len(seen) + len(unseen)
+    assert floored[0]["dsir_score"] == sum(w[b] for b in seen) + 65536 * len(unseen)
+
+
+def test_dsir_score_overflow_raises_not_wraps(spark):
+    """round-10 ADVICE: the per-doc sum runs as decimal(38,0) — exact —
+    so a sum beyond 2^63 RAISES CAST_OVERFLOW at the final BIGINT
+    narrowing (Spark 4 ANSI default), exactly as DuckDB's HUGEINT →
+    BIGINT cast errors on the oracle side, instead of the old
+    long-typed sum silently WRAPPING into a plausible-but-wrong rank.
+    Craft a weight table whose per-bucket weights force the overflow."""
+    import pytest as _pytest
+
+    from end_to_end_ml_spark.operators import text
+    from pyspark.sql import functions as F2
+
+    doc = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    buckets = doc.select(
+        F2.explode(text.hashed_bigram_buckets("text")).alias("b")
+    ).collect()
+    n = len(buckets)
+    assert n == 4
+    weights = spark.createDataFrame(
+        [(r["b"], (1 << 62)) for r in buckets], "bucket long, weight long"
+    ).distinct()
+    with _pytest.raises(Exception, match="CAST_OVERFLOW"):
+        # 4·2^62 = 2^64 > BIGINT max — loud, never a wrapped rank
+        text.dsir_scores(doc, "doc_id", "text", weights).collect()
+    # in-range sums are unaffected (exact decimal == exact long path)
+    ok_weights = spark.createDataFrame(
+        [(r["b"], (1 << 60)) for r in buckets], "bucket long, weight long"
+    ).distinct()
+    out = text.dsir_scores(doc, "doc_id", "text", ok_weights).collect()
+    assert out[0]["dsir_score"] == n * (1 << 60)

@@ -779,9 +779,13 @@ def test_curation_dsir_stage(spark):
     assert got == expect
 
 
-def test_curation_cli_rejects_dsir_with_incremental(spark, tmp_path, monkeypatch):
-    """--dsir-frac + --incremental must refuse loudly (the stage is
-    full-mode; silently ignoring the flag would misreport the run)."""
+def test_curation_cli_dsir_frac_validation(spark, tmp_path, monkeypatch):
+    """--dsir-frac argv validation (round-10 ADVICE): a trailing flag
+    with no value, a non-numeric value, and out-of-range values (0
+    empties the pool; >1 is a no-op that still pays the DSIR jobs) must
+    all refuse with a SystemExit message, matching the loudness of the
+    old --incremental guard — never an unhandled IndexError/ValueError
+    or a silent degenerate run."""
     import os
     import sys
 
@@ -790,13 +794,134 @@ def test_curation_cli_rejects_dsir_with_incremental(spark, tmp_path, monkeypatch
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import run_curation_pipeline as rcp
 
+    base = ["run_curation_pipeline.py", "/root/testdata/sf0.001",
+            str(tmp_path / "x"), "3000"]
+    for extra, pat in [
+        (["--dsir-frac"], "requires a value"),
+        (["--dsir-frac", "pi"], "must be a number"),
+        (["--dsir-frac", "0"], r"in \(0, 1\]"),
+        (["--dsir-frac", "1.5"], r"in \(0, 1\]"),
+        (["--dsir-frac", "-0.5"], r"in \(0, 1\]"),
+    ]:
+        monkeypatch.setattr(sys, "argv", base + extra)
+        with _pytest.raises(SystemExit, match=pat):
+            rcp.main()
+
+
+def test_curation_cli_incremental_dsir_runs(spark, tmp_path, monkeypatch):
+    """--dsir-frac WITH --incremental is now a supported composition
+    (round-10 verdict #4 — it was a loud refusal while the epoch path
+    had no DSIR stage): the nightly batch is scored against bucket
+    counts reflecting history. The sidecar must record both, and the
+    kept set must be a strict subset of the non-DSIR incremental run
+    (frac=0.5 can only shrink the pool; target sources untouched)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_curation_pipeline as rcp
+
+    out = str(tmp_path / "run_dsir")
     monkeypatch.setattr(
         sys, "argv",
-        ["run_curation_pipeline.py", "/root/testdata/sf0.001",
-         str(tmp_path / "x"), "3000", "--incremental", "--dsir-frac", "0.5"],
+        ["run_curation_pipeline.py", "/root/testdata/sf0.001", out, "50000",
+         "--incremental", "--dsir-frac", "0.5"],
     )
-    with _pytest.raises(SystemExit, match="dsir-frac"):
-        rcp.main()
+    rcp.main()
+    stats = json.load(open(os.path.join(out, "curation_stats.json")))
+    assert stats["mode"] == "incremental"
+    assert stats["dsir_frac"] == 0.5
+    assert stats["total_docs_kept"] > 0
+
+    # reference: same run without DSIR — at budget 50k every survivor is
+    # admitted (admit_ppm = 1e6), so kept sets compare the DSIR stage
+    base_c, base_stats = rcp.curate_incremental(
+        spark, "/root/testdata/sf0.001", budget_tokens=50_000
+    )
+    dsir_c, _ = rcp.curate_incremental(
+        spark, "/root/testdata/sf0.001", budget_tokens=50_000, dsir_frac=0.5
+    )
+    base_rows = {r["doc_id"]: r["source"] for r in base_c.collect()}
+    dsir_rows = {r["doc_id"]: r["source"] for r in dsir_c.collect()}
+    tgt = set(rcp.DSIR_TARGET_SOURCES)
+    assert set(dsir_rows) < set(base_rows)  # strict subset
+    # target-source docs pass the DSIR stage unconditionally
+    assert {d for d, s in base_rows.items() if s in tgt} == {
+        d for d, s in dsir_rows.items() if s in tgt
+    }
+    base_pool = [d for d, s in base_rows.items() if s not in tgt]
+    dsir_pool = [d for d, s in dsir_rows.items() if s not in tgt]
+    import math
+
+    # every pool survivor here has >= 2 alnum tokens (Gopher gate), so
+    # the scored frame is the whole pool and the cut is exactly ceil(n/2)
+    assert len(dsir_pool) == math.ceil(0.5 * len(base_pool))
+
+
+def test_curation_epoch_dsir_parity_with_full_mode(spark):
+    """round-10 verdict #4 'done' criterion — stats parity vs full mode
+    on a single epoch: curate_epoch over the WHOLE corpus as one batch,
+    with the full-text fingerprint and the full-mode draw salt, must
+    reproduce curate(dsir_frac=0.5)'s per-source stats EXACTLY (same
+    gate, same keeper, merged counts over an empty store == the
+    single-scan flag weights, same k over the scored frame, same
+    draws). The fingerprint/draw_salt knobs exist precisely so this
+    parity is by construction, not gate-dependent."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_curation_pipeline import curate, curate_epoch
+
+    from end_to_end_ml_spark.operators import text
+    from end_to_end_ml_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    _, full_stats = curate(spark, sf, budget_tokens=5_000, dsir_frac=0.5)
+    docs = load_table(spark, sf, "documents")
+    _, epoch_stats, _, counts = curate_epoch(
+        spark,
+        docs,
+        None,
+        budget_tokens=5_000,
+        draw_salt="bud1",
+        fingerprint=text.fingerprint_column("text"),
+        dsir_frac=0.5,
+    )
+    key = lambda rows: {  # noqa: E731
+        r["source"]: (r["n_docs_kept"], r["n_tokens_kept"], int(r["admit_ppm"]))
+        for r in rows
+    }
+    assert key(epoch_stats.collect()) == key(full_stats.collect())
+    # the returned counts ARE the survivor flag counts (merging into an
+    # empty store is the identity) — replayed with curate_epoch's own
+    # survivor semantics (keep + non-NULL source BEFORE the keeper
+    # window, row_number keep-first)
+    from run_curation_pipeline import DSIR_TARGET_SOURCES
+
+    from pyspark.sql import Window, functions as F
+
+    surv_replay = (
+        docs.select(
+            "doc_id", "source", "text",
+            text.fingerprint_column("text").alias("fp"),
+            *text.gopher_evidence_columns("text"),
+        )
+        .select("*", *text.gopher_rule_columns())
+        .filter(F.col("keep") & F.col("source").isNotNull())
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    flag_counts = text.dsir_bucket_counts_from_flag(
+        surv_replay, F.col("source").isin(*DSIR_TARGET_SOURCES), "text"
+    )
+    got = sorted(map(tuple, counts.collect()))
+    want = sorted(map(tuple, flag_counts.collect()))
+    assert got == want
 
 
 def test_pipe13_matches_runner_dsir_mode(spark):
@@ -825,3 +950,121 @@ def test_pipe13_matches_runner_dsir_mode(spark):
         for r in REGISTRY["pipe13_dsir_curation"][0](spark, sf).collect()
     }
     assert declarative == runner
+
+
+def test_curation_multi_epoch_dsir_invariants(spark, tmp_path):
+    """round-10 verdict #4 — the multi-epoch DSIR composition: run_epochs
+    with dsir_frac carries a VERSIONED bucket-count store alongside the
+    fingerprint store (same (bucket, t_count, r_count) shape the
+    streaming ingest sink maintains). Invariants, each replayed with
+    library pieces against the on-disk stores:
+    (1) dsir_store/v{e} equals the SUM-merge of survivor counts through
+        night e (merge-FIRST semantics: tonight's docs are part of the
+        distribution they are scored against, so the inner weights join
+        drops nothing by construction);
+    (2) counts are monotone across versions (counters only ever add);
+    (3) every admitted NON-target doc of night e is inside the top
+        ceil(frac·|scored|) of the replayed night-e pool scored against
+        the v{e} weights — selection is honest per epoch, against
+        weights reflecting all history, with NO historical rescans;
+    (4) the base cross-epoch invariants still hold under DSIR (no
+        fingerprint admitted twice; every doc in its own night's
+        slice)."""
+    import math
+    import os
+    import sys
+    from collections import Counter
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_curation_pipeline import (
+        DSIR_TARGET_SOURCES,
+        fingerprint_expr,
+        run_epochs,
+    )
+
+    from end_to_end_ml_spark.operators import text
+    from end_to_end_ml_spark.sources import load_table
+    from pyspark.sql import Window, functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "nights_dsir")
+    per_epoch, _ = run_epochs(
+        spark, sf, budget_tokens=2000, n_epochs=3, out_dir=out, dsir_frac=0.5
+    )
+    epoch_rows = [c.collect() for c, _ in per_epoch]
+    assert any(len(rows) > 0 for rows in epoch_rows)
+
+    docs = load_table(spark, sf, "documents")
+    tgt = set(DSIR_TARGET_SOURCES)
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    prev_counts = None
+    prev_version = None
+    for e in range(3):
+        # replay night e's survivors with library pieces
+        surv = (
+            docs.filter(F.col("doc_id") % 3 == e)
+            .select(
+                "doc_id", "source", "text",
+                fingerprint_expr().alias("fp"),
+                *text.gopher_evidence_columns("text"),
+            )
+            .select("*", *text.gopher_rule_columns())
+            .filter(F.col("keep") & F.col("source").isNotNull())
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("fp").orderBy("doc_id")
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+        )
+        if e > 0:
+            hist = spark.read.parquet(
+                os.path.join(out, "fp_store", f"v{e - 1}")
+            )
+            surv = surv.join(hist, "fp", "left_anti")
+        surv = surv.select("doc_id", "source", "text", "n_words").persist()
+        counts_replay = text.dsir_merge_counts(
+            prev_counts, text.dsir_bucket_counts_from_flag(surv, is_target, "text")
+        ).persist()
+        on_disk = spark.read.parquet(os.path.join(out, "dsir_store", f"v{e}"))
+        # (1) on-disk version e == replayed merge through night e
+        assert sorted(map(tuple, on_disk.collect())) == sorted(
+            map(tuple, counts_replay.collect())
+        )
+        # (2) monotone vs the previous version
+        if prev_version is not None:
+            cur = {r["bucket"]: (r["t_count"], r["r_count"]) for r in on_disk.collect()}
+            for b, (t0, r0) in prev_version.items():
+                t1, r1 = cur.get(b, (0, 0))
+                assert t1 >= t0 and r1 >= r0
+        prev_version = {
+            r["bucket"]: (r["t_count"], r["r_count"]) for r in on_disk.collect()
+        }
+        # (3) admitted pool docs ⊆ top-ceil(frac·|scored|) vs v{e} weights
+        weights = text.dsir_weights_from_counts(on_disk)
+        scored = text.dsir_scores(
+            surv.filter(~is_target), "doc_id", "text", weights
+        )
+        n_scored = scored.count()
+        k = int(math.ceil(0.5 * n_scored))
+        top_ids = {
+            r["doc_id"]
+            for r in scored.orderBy(
+                F.col("dsir_score_q").desc(), "doc_id"
+            ).limit(k).collect()
+        }
+        admitted_pool = {
+            r["doc_id"] for r in epoch_rows[e] if r["source"] not in tgt
+        }
+        assert admitted_pool <= top_ids
+        prev_counts = counts_replay
+    # (4) base cross-epoch invariants under DSIR
+    fp_by_id = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", fingerprint_expr().alias("fp")).collect()
+    }
+    all_fps = [fp_by_id[r["doc_id"]] for rows in epoch_rows for r in rows]
+    assert [f for f, n in Counter(all_fps).items() if n > 1] == []
+    for e, rows in enumerate(epoch_rows):
+        assert all(r["doc_id"] % 3 == e for r in rows)

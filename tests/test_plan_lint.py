@@ -144,9 +144,11 @@ def test_accepts_final_sort_and_topk(spark):
         "d1_exact_dup_groups",
         "pipe1_clean_corpus",
         "pipe3_pretrain_corpus",
-        # pins the ReusedExchange resolution in _window_input_bounded:
-        # its rank/count windows sit over a twice-consumed aggregate
-        # exchange, which the linter must resolve to the aggregate
+        # r11: half-pool cut is now the a13 two-level distributed rank —
+        # the only unpartitioned window runs over the distinct-score
+        # aggregate (bounded), never the per-doc scored frame; also still
+        # exercises ReusedExchange resolution (the scored aggregate
+        # exchange is consumed by both the ranked side and the counts)
         "pipe13_dsir_curation",
         "ts5_rolling_distinct_users",
         "x8_winnow_fingerprints",

@@ -15,6 +15,7 @@ Stages (each a library operator, composed into few jobs):
 Usage: python tools/run_curation_pipeline.py [sf_dir] [out_dir] [budget]
        python tools/run_curation_pipeline.py [sf_dir] [out_dir] [budget] --incremental
        python tools/run_curation_pipeline.py [sf_dir] [out_dir] [budget] --dsir-frac 0.5
+       python tools/run_curation_pipeline.py [sf_dir] [out_dir] [budget] --incremental --dsir-frac 0.5
 
 --incremental runs the pipe11 shape instead: only the NEW batch
 (doc_id % 4 == 0) is curated, deduplicated against the HISTORY
@@ -22,6 +23,10 @@ fingerprint store (16-byte prefix-8 fps, anti join) as well as within
 itself — and the survivor frame is MATERIALIZED ONCE (persist) before
 the allocation and draw passes, fixing operationally the two-pass
 survivor-scan trade the declarative pipe10/pipe11 query forms document.
+--dsir-frac composes with both modes: full-mode scores the pool against
+the whole survivor frame; incremental/epoch mode scores the nightly
+batch against bucket counts that already reflect history via the
+mergeable (bucket, t_count, r_count) store (round-10 verdict #4).
 """
 
 from __future__ import annotations
@@ -91,23 +96,36 @@ def curate(
     if dsir_frac is not None:
         import math
 
-        # the DSIR stage reads the survivor frame several times (pool
-        # count, weight build, scoring, the semi join) — persist it once
-        # so those passes read cached blocks instead of re-running the
-        # gate + dedup window lineage (the curate_epoch materialization
+        # the DSIR stage reads the survivor frame several times (weight
+        # build, scoring, the semi join) — persist it once so those
+        # passes read cached blocks instead of re-running the gate +
+        # dedup window lineage (the curate_epoch materialization
         # pattern; without it full-mode --dsir-frac is a five-pass trade)
         surv = surv.persist()
         is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
         tgt = surv.filter(is_target)
         pool = surv.filter(~is_target)
-        k = int(math.ceil(dsir_frac * pool.count()))
         # single-scan weight building: surv's lineage is the gate + dedup
         # window, so every extra pass re-runs it — the flag variant costs
         # one survivor pass instead of two
         weights = text.dsir_bucket_weights_from_flag(surv, is_target, "text")
-        top = text.dsir_select(
-            tgt, pool, "doc_id", "text", k=k, weights=weights
-        ).select("doc_id")
+        # score ONCE and size k over the SCORED frame (round-10 ADVICE):
+        # zero-bigram pool docs are unscorable and never selectable, so
+        # ceil(frac·|pool|) and ceil(frac·|scored|) agree only while the
+        # quality gate guarantees ≥ 2 alnum tokens per survivor —
+        # counting over the scored frame makes the pipe13 parity
+        # contract (2·rank ≤ n_scored + 1) structural instead of
+        # gate-dependent. The top-k is still TakeOrderedAndProject
+        # (per-partition top-k + k-row driver merge), never a global
+        # sort; scored is one row per pool doc, persisted for the
+        # count + top-k + semi-join passes.
+        scored = text.dsir_scores(pool, "doc_id", "text", weights).persist()
+        k = int(math.ceil(dsir_frac * scored.count()))
+        top = (
+            scored.orderBy(F.col("dsir_score_q").desc(), "doc_id")
+            .limit(k)
+            .select("doc_id")
+        )
         surv = tgt.unionByName(pool.join(top, "doc_id", "semi"))
     rates = split.token_budget_allocation(
         surv, "source", "n_words", budget_tokens=budget_tokens,
@@ -157,23 +175,52 @@ def curate_epoch(
     budget_tokens: int,
     n_shards: int = 8,
     salt: str = "cur2",
+    draw_salt: str = "bud2",
+    fingerprint=None,
+    dsir_frac: float | None = None,
+    dsir_counts=None,
 ):
     """ONE nightly epoch of the pipe11 chain over an arbitrary batch
-    frame: Gopher gate → within-batch keep-first dedup on the prefix-8
-    fingerprint → LEFT ANTI against ``hist_fps`` (a 1-column `fp` frame,
-    or None for the first epoch) → per-source budget admission →
-    integer md5 draws → shard assignment. The survivor frame is
-    persisted ONCE (the materialization trade pipe11's declarative form
-    documents). Returns (curated_df, stats_df, admitted_fps_df) — the
-    caller unions admitted_fps into its store so the NEXT epoch dedups
-    against everything the corpus already contains (a draw-rejected doc
-    keeps its chance in later epochs; an admitted fingerprint never
-    re-enters)."""
+    frame: Gopher gate → within-batch keep-first dedup on the
+    fingerprint (default: pipe11's prefix-8; pass ``fingerprint`` to
+    override, e.g. the full-text normalized fp for full-mode parity
+    tests) → LEFT ANTI against ``hist_fps`` (a 1-column `fp` frame, or
+    None for the first epoch) → optional DSIR selection → per-source
+    budget admission → integer md5 draws (``draw_salt``) → shard
+    assignment. The survivor frame is persisted ONCE (the
+    materialization trade pipe11's declarative form documents).
+
+    DSIR (round-10 verdict #4 — the last composition gap in the
+    curation story): with ``dsir_frac`` set, the batch survivors' bucket
+    counts are SUM-merged into ``dsir_counts`` (the versioned store a
+    production loop carries — streaming/events.stream_dsir_counts_ingest
+    maintains the same (bucket, t_count, r_count) shape), and the batch
+    pool is scored against weights derived from the MERGED counts — so
+    tonight's docs are ranked against a distribution that already
+    reflects all history, without ever rescanning the historical corpus
+    (the merge is a ≤256-row union+SUM; the only batch-sized work is
+    the one bucket-count scan over tonight's survivors). Because the
+    batch's own counts are merged in before scoring, every pool bigram
+    lands in a bucket with r_count > 0 and the inner weights join drops
+    nothing by construction. Curated target-source survivors pass
+    unconditionally; pool survivors keep the top ceil(dsir_frac ·
+    |scored|) by length-normalized integer importance weight (ties by
+    doc_id), exactly the full-mode stage.
+
+    Returns (curated_df, stats_df, admitted_fps_df, dsir_counts_df) —
+    the caller unions admitted_fps into its store so the NEXT epoch
+    dedups against everything the corpus already contains (a
+    draw-rejected doc keeps its chance in later epochs; an admitted
+    fingerprint never re-enters), and carries dsir_counts_df (the
+    merged counts, or None when DSIR is off) as the next epoch's
+    ``dsir_counts``."""
     feat = batch_docs.select(
         "doc_id",
         "source",
         "text",
-        fingerprint_expr().alias("fp"),
+        (fingerprint if fingerprint is not None else fingerprint_expr()).alias(
+            "fp"
+        ),
         *text.gopher_evidence_columns("text"),
     ).select("*", *text.gopher_rule_columns())
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
@@ -185,6 +232,26 @@ def curate_epoch(
     if hist_fps is not None:
         surv = surv.join(hist_fps, "fp", "left_anti")
     surv = surv.select("doc_id", "source", "text", "n_words", "fp").persist()
+    new_counts = None
+    if dsir_frac is not None:
+        import math
+
+        is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+        batch_counts = text.dsir_bucket_counts_from_flag(
+            surv, is_target, "text"
+        )
+        new_counts = text.dsir_merge_counts(dsir_counts, batch_counts)
+        weights = text.dsir_weights_from_counts(new_counts)
+        tgt = surv.filter(is_target)
+        pool = surv.filter(~is_target)
+        scored = text.dsir_scores(pool, "doc_id", "text", weights).persist()
+        k = int(math.ceil(dsir_frac * scored.count()))
+        top = (
+            scored.orderBy(F.col("dsir_score_q").desc(), "doc_id")
+            .limit(k)
+            .select("doc_id")
+        )
+        surv = tgt.unionByName(pool.join(top, "doc_id", "semi"))
     rates = split.token_budget_allocation(
         surv, "source", "n_words", budget_tokens=budget_tokens,
         max_epochs_x1024=1024,
@@ -196,7 +263,7 @@ def curate_epoch(
         "clipped",
     )
     draw = F.expr(
-        "CAST(conv(substring(md5(concat_ws('|', 'bud2',"
+        f"CAST(conv(substring(md5(concat_ws('|', '{draw_salt}',"
         " CAST(doc_id AS STRING))), 1, 12), 16, 10) AS DECIMAL(38,0))"
         " * 1000000 < CAST(admit_ppm AS DECIMAL(38,0)) * 281474976710656"
     )
@@ -215,11 +282,16 @@ def curate_epoch(
         .join(rates, "source")
         .orderBy("source")
     )
-    return curated, stats, admitted.select("fp").distinct()
+    return curated, stats, admitted.select("fp").distinct(), new_counts
 
 
 def curate_incremental(
-    spark, sf_dir: str, budget_tokens: int, n_shards: int = 8, batch_mod: int = 4
+    spark,
+    sf_dir: str,
+    budget_tokens: int,
+    n_shards: int = 8,
+    batch_mod: int = 4,
+    dsir_frac: float | None = None,
 ):
     """The pipe11 chain, operationally: curate only the NEW batch
     (doc_id % batch_mod == 0) against the history fingerprint store,
@@ -230,25 +302,43 @@ def curate_incremental(
     production run does). History ships fingerprints only — 16 bytes
     per historical doc at any corpus size. Delegates to
     :func:`curate_epoch`; pipe11 parity is pinned by
-    tests/test_pack_chunk.py."""
+    tests/test_pack_chunk.py.
+
+    With ``dsir_frac`` set, the batch is additionally DSIR-selected
+    against bucket counts that reflect the historical docs — in this
+    synthetic-history demo the historical counts come from one pass
+    over the history slice (they are the demo stand-in for the
+    versioned store a production loop carries: run_epochs threads the
+    store between epochs, and stream_dsir_counts_ingest maintains the
+    same shape online, so a real nightly job reads ≤256 rows instead
+    of running this pass)."""
     docs = load_table(spark, sf_dir, "documents")
-    hist = (
-        docs.filter(F.col("doc_id") % batch_mod != 0)
-        .select(fingerprint_expr().alias("fp"))
-        .distinct()
-    )
-    curated, stats, _ = curate_epoch(
+    hist_docs = docs.filter(F.col("doc_id") % batch_mod != 0)
+    hist = hist_docs.select(fingerprint_expr().alias("fp")).distinct()
+    hist_counts = None
+    if dsir_frac is not None:
+        hist_counts = text.dsir_bucket_counts_from_flag(
+            hist_docs, F.col("source").isin(*DSIR_TARGET_SOURCES), "text"
+        )
+    curated, stats, _, _ = curate_epoch(
         spark,
         docs.filter(F.col("doc_id") % batch_mod == 0),
         hist,
         budget_tokens,
         n_shards=n_shards,
+        dsir_frac=dsir_frac,
+        dsir_counts=hist_counts,
     )
     return curated, stats
 
 
 def run_epochs(
-    spark, sf_dir: str, budget_tokens: int, n_epochs: int = 3, out_dir: str | None = None
+    spark,
+    sf_dir: str,
+    budget_tokens: int,
+    n_epochs: int = 3,
+    out_dir: str | None = None,
+    dsir_frac: float | None = None,
 ):
     """Chain :func:`curate_epoch` across ``n_epochs`` synthetic 'nights'
     (night e = doc_id % n_epochs == e) carrying the VERSIONED fingerprint
@@ -256,23 +346,38 @@ def run_epochs(
     for (round-9 verdict #5). The store after night e is exactly the
     union of all admitted fingerprints through night e (store version e
     written to fp_store/v{e} when out_dir is given), so no fingerprint
-    is ever admitted twice across epochs. Returns
+    is ever admitted twice across epochs.
+
+    With ``dsir_frac`` set (round-10 verdict #4), a SECOND versioned
+    store rides along: the DSIR bucket counts (bucket, t_count,
+    r_count — written to dsir_store/v{e}, the exact shape
+    streaming/events.stream_dsir_counts_ingest maintains online), so
+    night e's pool is scored against weights reflecting every survivor
+    through night e without rescanning history — both stores are ≤256
+    rows / 16-bytes-per-doc no matter the corpus size. Returns
     (per_epoch, fp_store_df) where per_epoch is a list of
     (curated_df, stats_df) per night — frames, never driver collects
     (their lineage reads the per-epoch persisted survivor frame, so they
     stay cheap to evaluate after the loop)."""
     docs = load_table(spark, sf_dir, "documents")
     store = None
+    counts = None
     per_epoch = []
     for e in range(n_epochs):
         batch = docs.filter(F.col("doc_id") % n_epochs == e)
-        curated, stats, admitted_fps = curate_epoch(
-            spark, batch, store, budget_tokens, salt=f"cur2e{e}"
+        curated, stats, admitted_fps, new_counts = curate_epoch(
+            spark,
+            batch,
+            store,
+            budget_tokens,
+            salt=f"cur2e{e}",
+            dsir_frac=dsir_frac,
+            dsir_counts=counts,
         )
         # materialize the store ONCE per night: checkpoint through parquet
         # when out_dir is given (the versioned store a production loop
         # keeps), else persist — either way the next epoch reads stored
-        # fps, not a growing lineage over every prior night
+        # fps/counts, not a growing lineage over every prior night
         new_store = (
             admitted_fps if store is None else store.unionByName(admitted_fps)
         ).distinct()
@@ -283,8 +388,14 @@ def run_epochs(
             curated.write.mode("overwrite").partitionBy("shard").parquet(
                 os.path.join(out_dir, "curated", f"epoch={e}")
             )
+            if new_counts is not None:
+                counts_dir = os.path.join(out_dir, "dsir_store", f"v{e}")
+                new_counts.write.mode("overwrite").parquet(counts_dir)
+                counts = spark.read.parquet(counts_dir)
         else:
             store = new_store.persist()
+            if new_counts is not None:
+                counts = new_counts.persist()
         per_epoch.append((curated, stats))
     return per_epoch, store
 
@@ -294,23 +405,35 @@ def main() -> None:
     dsir_frac = None
     if "--dsir-frac" in argv:
         i = argv.index("--dsir-frac")
-        dsir_frac = float(argv[i + 1])
+        if i + 1 >= len(argv):
+            raise SystemExit("--dsir-frac requires a value in (0, 1]")
+        try:
+            dsir_frac = float(argv[i + 1])
+        except ValueError:
+            raise SystemExit(
+                f"--dsir-frac must be a number in (0, 1], got "
+                f"{argv[i + 1]!r}"
+            ) from None
+        if not 0.0 < dsir_frac <= 1.0:
+            raise SystemExit(
+                f"--dsir-frac must be in (0, 1] (got {dsir_frac}): 0 "
+                "empties the pool; > 1 is a no-op that still pays the "
+                "DSIR jobs"
+            )
         argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if a != "--incremental"]
     incremental = "--incremental" in argv
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/spark_curation_run"
     budget = int(args[2]) if len(args) > 2 else 50_000
-    if incremental and dsir_frac is not None:
-        raise SystemExit(
-            "--dsir-frac is a full-mode stage (selection vs the whole "
-            "survivor pool); combining it with --incremental would "
-            "silently score only the nightly batch against itself. "
-            "Run full-mode selection, or extend curate_epoch explicitly."
-        )
     spark = get_spark("run-curation")
     if incremental:
-        curated, stats = curate_incremental(spark, sf_dir, budget)
+        # nightly batch scored against counts reflecting history (the
+        # curate_epoch DSIR stage via the mergeable count store) — the
+        # round-10 composition gap, no longer a refusal
+        curated, stats = curate_incremental(
+            spark, sf_dir, budget, dsir_frac=dsir_frac
+        )
     else:
         curated, stats = curate(spark, sf_dir, budget, dsir_frac=dsir_frac)
     target = os.path.join(out_dir, "curated")
