@@ -815,3 +815,73 @@ def test_stream_dsir_ingest_fresh_checkpoint_guard(spark, tmp_path):
         SE.stream_dsir_counts_ingest(
             mkstream(), store, "is_tgt", "text", str(tmp_path / "ck2")
         )
+
+def test_stream_dsir_store_scores_new_batch_with_floor(spark, tmp_path):
+    """The ADVICE-#1 scenario done RIGHT, end to end: a store built by
+    the streaming sink over a HISTORICAL corpus scores a brand-new
+    nightly batch (docs never counted into the store) via
+    dsir_scores(unseen_bucket_weight=scale_x). Pinned against a Python
+    replay: known buckets at their store weight, unseen buckets at the
+    add-one floor — and the default inner join is confirmed to UNDERcount
+    exactly the unseen-bucket bigrams (the quiet skew the floor fixes)."""
+    from end_to_end_ml_spark.operators import text
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [
+            (1, True, "alpha beta gamma delta"),
+            (2, True, "beta gamma delta epsilon"),
+            (3, False, "alpha beta omicron sigma"),
+            (4, False, "sigma tau upsilon phi"),
+        ],
+        "doc_id long, is_tgt boolean, text string",
+    )
+    src = str(tmp_path / "src")
+    hist.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "dsir")
+    SE.stream_dsir_counts_ingest(
+        stream, store, "is_tgt", "text", str(tmp_path / "ck")
+    )
+    weights = SE.dsir_weights_from_store(spark, store)
+    w = {r["bucket"]: r["weight"] for r in weights.collect()}
+
+    # nightly batch: mixes historical vocabulary with NEW tokens
+    batch = spark.createDataFrame(
+        [(10, "alpha beta zzyzx qwrty"), (11, "sigma tau nyarl hpl")],
+        "doc_id long, text string",
+    )
+    exploded = batch.select(
+        "doc_id", F.explode(text.hashed_bigram_buckets("text")).alias("b")
+    ).collect()
+    per_doc = {}
+    for r in exploded:
+        seen, unseen, nb = per_doc.setdefault(r["doc_id"], [0, 0, 0])
+        if r["b"] in w:
+            per_doc[r["doc_id"]][0] += w[r["b"]]
+        else:
+            per_doc[r["doc_id"]][1] += 65536
+        per_doc[r["doc_id"]][2] += 1
+    assert any(v[1] > 0 for v in per_doc.values())  # unseen buckets exist
+
+    floored = {
+        r["doc_id"]: (r["dsir_score"], r["n_bigrams"])
+        for r in text.dsir_scores(
+            batch, "doc_id", "text", weights, unseen_bucket_weight=65536
+        ).collect()
+    }
+    assert floored == {
+        d: (seen + unseen, nb) for d, (seen, unseen, nb) in per_doc.items()
+    }
+    inner = {
+        r["doc_id"]: (r["dsir_score"], r["n_bigrams"])
+        for r in text.dsir_scores(batch, "doc_id", "text", weights).collect()
+    }
+    for d, (seen, unseen, nb) in per_doc.items():
+        if d in inner:
+            assert inner[d][0] <= floored[d][0]
+            assert inner[d][1] < nb or unseen == 0
