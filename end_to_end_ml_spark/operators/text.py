@@ -1223,16 +1223,19 @@ dsir_weights_from_store` table) would silently drop unseen-bucket
     ((0+1)·scale_x) div (0+1) an unseen bucket would have received) to
     left-join and coalesce instead.
 
-    Overflow (round-10 ADVICE): the per-doc sum runs as decimal(38,0)
-    — exact, matching the oracle's HUGEINT sum — and only the final
-    projection narrows to BIGINT, so an extreme-skew sum beyond 2^63
-    RAISES CAST_OVERFLOW (Spark 4 ANSI default; DuckDB's HUGEINT →
-    BIGINT cast errors identically) instead of the old long-typed sum
-    silently wrapping into a plausible-but-wrong rank. The cast is
-    exact while max_bucket_weight · doc_bigrams < 2^63, i.e. while the
-    target/raw skew satisfies (t_b+1)/(r_b+1) < 2^63 / (scale_x · max
-    doc bigrams) ≈ 1.4e12 per bucket at the default scale and
-    10^5-bigram docs."""
+    Overflow (round-10 ADVICE): the sum stays BIGINT, and under ANSI —
+    Spark 4's default, PINNED in session.py precisely for this
+    contract — an extreme-skew sum beyond 2^63 RAISES
+    ARITHMETIC_OVERFLOW loudly (DuckDB's HUGEINT → BIGINT cast errors
+    identically on the oracle side), never a silent wrap into a
+    plausible-but-wrong rank. A decimal(38,0) sum was A/B'd as the
+    alternative and REJECTED: +20% on pipe13's warm pass (6.1 s vs
+    5.0 s at sf0.1) for protection ANSI already provides. Non-ANSI
+    deployments must heed the skew bound: the sum is safe while
+    max_bucket_weight · doc_bigrams < 2^63, i.e. while the target/raw
+    skew satisfies (t_b+1)/(r_b+1) < 2^63 / (scale_x · max doc
+    bigrams) ≈ 1.4e12 per bucket at the default scale and 10^5-bigram
+    docs."""
     from .dedup import _spread
 
     exploded = _spread(raw_df).select(
@@ -1254,9 +1257,7 @@ dsir_weights_from_store` table) would silently drop unseen-bucket
         joined.groupBy(id_col, *carry_cols)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("weight").cast("decimal(38,0)"))
-            .cast("long")
-            .alias("dsir_score"),
+            F.sum("weight").cast("long").alias("dsir_score"),
         )
         .withColumn("dsir_score_q", F.expr("dsir_score div n_bigrams"))
     )

@@ -41,6 +41,13 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # Pinned (not just Spark 4's default): several integer operators
+        # (e.g. the DSIR score sum) rely on ANSI's loud ARITHMETIC_OVERFLOW
+        # instead of a silent wrap for their correctness contract — a
+        # deployment that disabled ANSI would trade those raises for
+        # wrapped values, diverging from the DuckDB oracle's exact/erroring
+        # arithmetic.
+        "spark.sql.ansi.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
         # FAIR scheduling so concurrent tuner trials (train/tuner.py sets

@@ -1159,11 +1159,12 @@ def test_dsir_scores_unseen_bucket_floor(spark):
 
 
 def test_dsir_score_overflow_raises_not_wraps(spark):
-    """round-10 ADVICE: the per-doc sum runs as decimal(38,0) — exact —
-    so a sum beyond 2^63 RAISES CAST_OVERFLOW at the final BIGINT
-    narrowing (Spark 4 ANSI default), exactly as DuckDB's HUGEINT →
-    BIGINT cast errors on the oracle side, instead of the old
-    long-typed sum silently WRAPPING into a plausible-but-wrong rank.
+    """round-10 ADVICE: under ANSI (Spark 4 default, PINNED in
+    session.py for exactly this contract) a BIGINT score sum beyond
+    2^63 RAISES ARITHMETIC_OVERFLOW, exactly as DuckDB's HUGEINT →
+    BIGINT cast errors on the oracle side — never a silent WRAP into a
+    plausible-but-wrong rank. (A decimal(38,0) sum was A/B'd and
+    rejected: +20% on pipe13 for protection ANSI already provides.)
     Craft a weight table whose per-bucket weights force the overflow."""
     import pytest as _pytest
 
@@ -1181,7 +1182,7 @@ def test_dsir_score_overflow_raises_not_wraps(spark):
     weights = spark.createDataFrame(
         [(r["b"], (1 << 62)) for r in buckets], "bucket long, weight long"
     ).distinct()
-    with _pytest.raises(Exception, match="CAST_OVERFLOW"):
+    with _pytest.raises(Exception, match="OVERFLOW"):
         # 4·2^62 = 2^64 > BIGINT max — loud, never a wrapped rank
         text.dsir_scores(doc, "doc_id", "text", weights).collect()
     # in-range sums are unaffected (exact decimal == exact long path)
