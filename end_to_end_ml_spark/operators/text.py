@@ -1229,13 +1229,14 @@ dsir_weights_from_store` table) would silently drop unseen-bucket
     ARITHMETIC_OVERFLOW loudly (DuckDB's HUGEINT → BIGINT cast errors
     identically on the oracle side), never a silent wrap into a
     plausible-but-wrong rank. A decimal(38,0) sum was A/B'd as the
-    alternative and REJECTED: +20% on pipe13's warm pass (6.1 s vs
-    5.0 s at sf0.1) for protection ANSI already provides. Non-ANSI
-    deployments must heed the skew bound: the sum is safe while
-    max_bucket_weight · doc_bigrams < 2^63, i.e. while the target/raw
-    skew satisfies (t_b+1)/(r_b+1) < 2^63 / (scale_x · max doc
-    bigrams) ≈ 1.4e12 per bucket at the default scale and 10^5-bigram
-    docs."""
+    alternative and REJECTED as redundant: an alternating warmed A/B
+    on pipe13 showed the cost difference is session noise (ratios
+    0.86–1.00), so the deciding factor is that ANSI already provides
+    the loudness with the simpler type. Non-ANSI deployments must heed
+    the skew bound: the sum is safe while max_bucket_weight ·
+    doc_bigrams < 2^63, i.e. while the target/raw skew satisfies
+    (t_b+1)/(r_b+1) < 2^63 / (scale_x · max doc bigrams) ≈ 1.4e12 per
+    bucket at the default scale and 10^5-bigram docs."""
     from .dedup import _spread
 
     exploded = _spread(raw_df).select(

@@ -1164,7 +1164,8 @@ def test_dsir_score_overflow_raises_not_wraps(spark):
     2^63 RAISES ARITHMETIC_OVERFLOW, exactly as DuckDB's HUGEINT →
     BIGINT cast errors on the oracle side — never a silent WRAP into a
     plausible-but-wrong rank. (A decimal(38,0) sum was A/B'd and
-    rejected: +20% on pipe13 for protection ANSI already provides.)
+    rejected as redundant — ANSI already provides the loudness, and an
+    alternating warmed A/B showed the perf difference is noise.)
     Craft a weight table whose per-bucket weights force the overflow."""
     import pytest as _pytest
 
