@@ -658,3 +658,68 @@ def test_dsir_scores_match_python_replay(spark, target, pool):
         for r in text.dsir_scores(pool_df, "doc_id", "text", w).collect()
     }
     assert got == expect
+
+
+# --- pipe13's two-level distributed rank (r11 rewrite) --------------------
+
+half_cut_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, 12)),
+    min_size=1,
+    max_size=80,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=half_cut_rows)
+@settings(**SETTINGS)
+def test_two_level_half_cut_equals_rank_window(spark, rows):
+    """pipe13's half-pool cut was rewritten (r11) from a single global
+    rank window to the a13 two-level distributed rank. Metamorphic pin:
+    on ARBITRARY (id, score) frames — including heavy score ties, the
+    case where rank() vs row_number() could diverge if the tie-break
+    were wrong — the two-level selection must equal BOTH (a) the old
+    global-window formulation and (b) a pure-python replay of
+    'keep rank r where 2r <= n+1 under (score desc, id asc)'."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    # (a) the old global-window form
+    w_rank = Window.orderBy(F.col("s").desc(), "doc_id")
+    old = {
+        r["doc_id"]
+        for r in df.select(
+            "doc_id",
+            F.rank().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("np"),
+        )
+        .filter(F.col("rk") * 2 <= F.col("np") + 1)
+        .collect()
+    }
+    # (b) pure-python replay
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    n = len(ordered)
+    expect = {doc for i, (doc, _) in enumerate(ordered) if 2 * (i + 1) <= n + 1}
+    assert old == expect
+    # the two-level distributed form (pipe13's exact shape)
+    ranked = df.withColumn(
+        "r_in", F.row_number().over(Window.partitionBy("s").orderBy("doc_id"))
+    )
+    counts = ranked.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        counts.withColumn(
+            "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+        )
+        .crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("np"))))
+        .select("s", "offset", "np")
+    )
+    got = {
+        r["doc_id"]
+        for r in ranked.join(offsets, "s")
+        .filter((F.col("offset") + F.col("r_in")) * 2 <= F.col("np") + 1)
+        .collect()
+    }
+    assert got == expect
