@@ -8384,56 +8384,56 @@ REGISTRY["pipe13_dsir_curation"] = (pipe13_dsir_curation, PIPE13_SQL)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    "x22_gopher_filters",
-    "q12_late_shipments",
-    "x6_pii_scrub",
-    "q11_important_parts",
-    "emb5_cosine_histogram",
-    "t12_replicated_sample",
-    "a3_imbalance_ratio",
-    "fn_grouped_agg_wmean",
-    "f14_target_encode",
-    "agg_grouping_sets",
-    "ev10_stickiness",
-    "dq5_id_gap_audit",
-    "pipe10_budget_curation",
-    "x20_length_quantiles",
-    "d16_prefix_filter_jaccard",
-    "s10_merge_upsert",
-    "q16_supplier_counts",
-    "pipe8_incremental_near_dup",
-    "q24_association_rules",
-    "ev9_attribution_models",
-    "s17_schema_evolution",
-    "pipe9_incremental_ann",
-    "mix2_token_budget",
-    "ts10_rolling_zscore",
-    "ts4b_hll_registers",
-    "f3_cat_impute",
-    "d13_url_canonical_dupes",
-    "t14_rolling_origin",
-    "ev7_event_transitions",
-    "ts11_quantile_sketch",
-    "d11_edit_distance_pairs",
-    "d4b_simhash_md5_pairs",
-    "x12_dup_ngram_fraction",
-    "s16_csv_roundtrip",
-    "q15_top_supplier",
-    "set1_repeat_customers",
-    "mm3_resize_payloads",
-    "skew4_join_cardinality",
-    "p7_enforce_types",
-    "pack3_shard_shuffle",
+    "x7_domain_counts",
+    "dq2_corpus_expectations",
+    "q13_order_distribution",
+    "agg_pivot_event_matrix",
+    "q8_market_share",
+    "x21_lang_mismatch_audit",
+    "x11_token_rarity",
+    "fn_string_suite",
+    "ev5_daily_state_snapshot",
+    "t9b_replicated_sample",
+    "fn_window_suite",
+    "q22_idle_balances",
+    "ts1_hourly_downsample",
+    "pipe11_incremental_curation",
+    "mm4_payload_dup_groups",
+    "t8_kfold_audit",
+    "x14_data_card",
+    "emb2_label_centroids",
+    "x15_charset_audit",
+    "fn_date_suite",
+    "set2_lapsed_customers",
+    "ts9_arrival_completeness",
+    "set3_union_targets",
+    "emb3_int8_quantization",
+    "q2_min_cost_supplier",
+    "fn_higher_order_text_suite",
+    "q19_disjunctive_revenue",
+    "pipe2_corpus_mix",
+    "pipe4_shard_stats",
+    "d9_decontaminate",
+    "fn_range_frame_rolling_sum",
+    "a17_corr_components",
+    "q14_promo_revenue",
+    "fn_unpivot_order_metrics",
+    "s15_orc_roundtrip",
+    "mix3_epoch_expansion",
+    "f12_feature_hash_audit",
+    "skew3_key_skew_report",
+    "p14_winsorize",
+    "pack2_bin_summary",
+    "j5_customers_without_orders",
     "prof1_column_profile",
-    "w7_pivot_matrix",
     "ml1b_validation_leaderboard",
-    "j2_split_overlap",
-    "ord1_global_ordinal",
+    "w7_pivot_matrix",
     "h7_asha_schedule",
     "sim1b_topk_sharded",
+    "ord1_global_ordinal",
     "m8q_threshold_sweep_quantized",
     "rj1_event_pairs",
-    "st_hourly_window",
+    "st_sessionize",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"
