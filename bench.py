@@ -195,7 +195,42 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Below this much MemAvailable at bench start, the OS is still reclaiming a
+# previous heavy JVM's heap (the r10/r11 driver signature: the driver starts
+# bench the instant its ~90 GB sweep JVM exits, which inflated slot-1
+# uniformly ~30-45%) — take ONE extra untimed headline lap so the timed
+# pass measures the engine, not the page-cache churn.
+SETTLE_MEM_MB = int(os.environ.get("SPARK_GRAFT_SETTLE_MEM_MB", str(48 * 1024)))
+
+
+def machine_state() -> dict:
+    """Machine-state markers stamped into the bench JSON (round-11 verdict
+    #3: the r10 slot-1 drift took a round of forensics to attribute to
+    back-to-back JVM starts; these markers let any reader classify a drift
+    from the artifact alone)."""
+    state: dict = {}
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    state["mem_available_mb"] = int(line.split()[1]) // 1024
+                    break
+    except OSError:
+        pass
+    try:
+        with open("/proc/loadavg") as fh:
+            parts = fh.read().split()
+            state["load_1m"], state["load_5m"], state["load_15m"] = (
+                float(parts[0]), float(parts[1]), float(parts[2])
+            )
+    except (OSError, ValueError, IndexError):
+        pass
+    return state
+
+
 def main() -> None:
+    t_proc0 = time.perf_counter()
+    state_at_start = machine_state()
     spark = get_spark(
         "bench",
         master=f"local[{CPUS}]",
@@ -259,6 +294,31 @@ def main() -> None:
             pass
         finally:
             spark.catalog.clearCache()
+
+    # Settle lap: when the box is still digesting a previous heavy JVM's
+    # exit (low MemAvailable at bench start), one more untimed headline lap
+    # lets the OS finish reclaiming before any timing starts. Recorded in
+    # the JSON so the reading is self-attributing either way.
+    settle_lap = (
+        state_at_start.get("mem_available_mb", SETTLE_MEM_MB) < SETTLE_MEM_MB
+    )
+    if settle_lap:
+        print(
+            f"[bench] MemAvailable {state_at_start.get('mem_available_mb')}m "
+            f"< {SETTLE_MEM_MB}m at start — running one untimed settle lap",
+            file=sys.stderr,
+        )
+        for name in HEADLINE:
+            try:
+                force(REGISTRY[name][0](spark, SF_DIR))
+            except Exception:  # noqa: BLE001
+                pass
+            finally:
+                spark.catalog.clearCache()
+    state_pre_timing = machine_state()
+    state_pre_timing["seconds_since_process_start"] = round(
+        time.perf_counter() - t_proc0, 1
+    )
 
     # Failure-isolated: one broken query records an error entry and the run
     # keeps going — a bench that can't produce partial results under a single
@@ -440,6 +500,16 @@ def main() -> None:
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
             },
             "headline_warm_lap_since_round": 8,
+            "machine_state_markers_since_round": 12,
+        },
+        # Round-12 self-attribution markers (verdict #3): classify slot-1
+        # drift from the artifact alone — low mem_available_mb at start +
+        # high load = the back-to-back-JVM signature, not a code change.
+        "machine_state": {
+            "at_start": state_at_start,
+            "pre_timing": state_pre_timing,
+            "settle_lap": settle_lap,
+            "settle_mem_mb_threshold": SETTLE_MEM_MB,
         },
     }
     if soak:

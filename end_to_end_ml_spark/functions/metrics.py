@@ -205,6 +205,93 @@ def precision_recall_curve(
     )
 
 
+_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def two_level_rank(
+    df: DataFrame,
+    score_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 64,
+    id_bounds: DataFrame | None = None,
+) -> DataFrame:
+    """Exact global rank under ``(score desc, tiebreak asc)`` with NO
+    unbounded-input window — the shared two-level pattern behind a13
+    (:func:`lift_gains`) and pipe13's half-pool cut, with the round-12
+    hot-score fix.
+
+    Returns ``df``'s columns plus ``pos`` (1-based position; ``tiebreak_col``
+    is a PK so rank == row_number) and ``n_total``.
+
+    Level 1 is ``row_number`` partitioned by ``(score, __bkt)`` where
+    ``__bkt`` is an ORDER-PRESERVING range bucket of the tiebreak PK:
+    ``(tb - min_tb) div ceil(span / n_buckets)``. Monotone in ``tb``, so the
+    induced total order ``(score desc, __bkt asc, tb asc)`` EQUALS
+    ``(score desc, tb asc)`` — unlike a hash salt
+    (``pmod(xxhash64(tb), B)``), which would reorder ties within the
+    boundary score and change which rows land on each side of any
+    rank-threshold cut. Level 2 adds per-cell cumulative offsets from the
+    ``(score, __bkt)`` cell frame; the only unpartitioned window runs over
+    ``|cells| <= |distinct scores| * n_buckets`` rows (a score with one row
+    occupies one cell, so sparse scores add nothing).
+
+    Why this matters at 100 TB: ``score_precision`` quantization BOUNDS the
+    distinct-score frame, which GUARANTEES hot score partitions at scale
+    (N / |scores| rows each — 10^9-row single-task windows at N=10^11,
+    p=2). The range bucket caps each level-1 partition at ~cnt_s/B when ids
+    are spread across the id range (the norm — ids are assigned independent
+    of score). Residual data-dependent skew: a hot score whose ids all
+    cluster inside ONE id-range bucket still collapses; only per-score id
+    quantiles would fix that, at the cost of a driver action.
+
+    ``id_bounds``: optional 1-row frame with ``__lo``/``__hi`` (min/max of
+    the tiebreak domain, any superset). Default computes them from ``df``
+    (one extra column-pruned agg pass). Non-integral tiebreak columns fall
+    back to a single bucket (= the pre-round-12 shape). Long overflow on
+    ``hi - lo`` (ids spanning > 2^63) raises under the engine-wide ANSI pin
+    — loud, never a wrong bucket."""
+    dtype = dict(df.dtypes)[tiebreak_col]
+    if dtype in _INTEGRAL_DTYPES:
+        if id_bounds is None:
+            id_bounds = df.agg(
+                F.min(tiebreak_col).alias("__lo"), F.max(tiebreak_col).alias("__hi")
+            )
+        bkt = F.expr(
+            f"(CAST({tiebreak_col} AS BIGINT) - __lo) div "
+            f"greatest(1L, (__hi - __lo + {n_buckets}) div {n_buckets})"
+        )
+        with_b = df.crossJoin(F.broadcast(id_bounds)).withColumn(
+            "__bkt", bkt
+        ).drop("__lo", "__hi")
+    else:
+        with_b = df.withColumn("__bkt", F.lit(0))
+    ranked = with_b.withColumn(
+        "__r_in",
+        F.row_number().over(
+            Window.partitionBy(score_col, "__bkt").orderBy(tiebreak_col)
+        ),
+    )
+    cells = with_b.groupBy(score_col, "__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy(F.col(score_col).desc(), F.col("__bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # AQE broadcasts this join when the cell frame is small (the quantized-
+    # score invariant bounds it at |scores|*B); no hint so huge score
+    # domains degrade to a shuffle join instead of an OOM broadcast.
+    offsets = (
+        cells.withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+        .crossJoin(F.broadcast(cells.agg(F.sum("__cnt").alias("n_total"))))
+        .select(score_col, "__bkt", "__off", "n_total")
+    )
+    return (
+        ranked.join(offsets, on=[score_col, "__bkt"])
+        .withColumn("pos", F.col("__off") + F.col("__r_in"))
+        .drop("__bkt", "__r_in", "__off")
+    )
+
+
 def lift_gains(
     df: DataFrame,
     label_col: str,
@@ -217,13 +304,15 @@ def lift_gains(
     global-window ntile (which funnels all N rows through one WindowExec
     partition). Distributed two-level ranking instead:
 
-    1. ``row_number`` partitioned BY SCORE, ordered by ``tiebreak_col`` (a
-       PK) — each distinct score is its own partition, so the heavy window
-       is spread across the cluster.
-    2. Per-score cumulative offsets from the tiny distinct-score frame
-       (same reduction as :func:`roc_curve`; the only global window runs
-       over |distinct scores| rows, never N).
-    3. global rank = offset + within-score rank; ntile's bucket arithmetic
+    1. ``row_number`` partitioned by (score, id-range bucket) — see
+       :func:`two_level_rank` for the shared machinery and the hot-score
+       rationale (quantization guarantees hot scores at scale; the
+       order-preserving bucket splits them without touching the
+       (score desc, tiebreak asc) total order).
+    2. Per-cell cumulative offsets from the (score, bucket) cell frame
+       (the only global window runs over <= |distinct scores| * B rows,
+       never N).
+    3. global rank = offset + within-cell rank; ntile's bucket arithmetic
        (first N%k buckets get one extra row) applied as a closed-form
        expression.
 
@@ -231,33 +320,22 @@ def lift_gains(
     ntile formulation, so results hash-match on any engine/partitioning.
 
     ``score_precision`` is the same knob the other curve metrics carry:
-    with near-unique continuous scores the distinct-score frame approaches
-    N rows and its offsets window degenerates to a single-partition N-row
-    sort. Quantizing to k decimal digits bounds |distinct scores| at
-    10^k+1 regardless of N (decile boundaries shift only within a
-    quantization bucket — the documented approximation, identical to the
-    a6q/a12q/m8q semantics)."""
-    ranked = df.select(
-        quantize_score(F.col(score_col), score_precision).alias("s"),
-        F.col(label_col).alias("y"),
-        F.col(tiebreak_col).alias("tb"),
-    ).withColumn(
-        "r_in", F.row_number().over(Window.partitionBy("s").orderBy("tb"))
+    with near-unique continuous scores the cell frame approaches N rows
+    and its offsets window degenerates to a single-partition N-row sort.
+    Quantizing to k decimal digits bounds |distinct scores| at 10^k+1
+    regardless of N (decile boundaries shift only within a quantization
+    bucket — the documented approximation, identical to the a6q/a12q/m8q
+    semantics)."""
+    with_rank = two_level_rank(
+        df.select(
+            quantize_score(F.col(score_col), score_precision).alias("s"),
+            F.col(label_col).alias("y"),
+            F.col(tiebreak_col).alias("tb"),
+        ),
+        "s",
+        "tb",
     )
-    counts = ranked.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy(F.col("s").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        counts.withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
-        .crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("n_total"))))
-        .select("s", "offset", "n_total")
-    )
-    # AQE broadcasts this join when the distinct-score frame is small (the
-    # quantized-score invariant bounds it); no hint so huge score domains
-    # degrade to a shuffle join instead of an OOM broadcast.
-    with_rank = ranked.join(offsets, on="s")
-    r = F.col("offset") + F.col("r_in")
+    r = F.col("pos")
     base = F.floor(F.col("n_total") / n_tiles)
     rem = F.col("n_total") % n_tiles
     big = rem * (base + 1)  # rows living in the (base+1)-sized buckets

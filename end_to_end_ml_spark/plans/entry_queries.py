@@ -8163,20 +8163,24 @@ def pipe13_dsir_curation(spark, sf_dir):
     runner's 'bud1' salt, so stats match curate(dsir_frac=0.5) exactly) → per-source kept counts + admit rate.
 
     The half-pool cut is decided by integer cross-multiplication over a
-    DISTRIBUTED two-level rank (the a13 lift_gains pattern, round-10
-    verdict #3 — the earlier global rank window funneled the whole
-    per-doc scored frame through one WindowExec partition): keep global
-    rank r where 2·r ≤ n_pool + 1 (= ceil(n/2), no float, no driver
-    count — this is the declarative form; the runner uses
+    DISTRIBUTED two-level rank (metrics.two_level_rank, the a13 pattern;
+    round-10 verdict #3 — the earlier global rank window funneled the
+    whole per-doc scored frame through one WindowExec partition): keep
+    global rank r where 2·r ≤ n_pool + 1 (= ceil(n/2), no float, no
+    driver count — this is the declarative form; the runner uses
     TakeOrderedAndProject with a driver-computed k). Level 1 is
-    row_number partitioned BY SCORE ordered by doc_id (each distinct
-    integer score is its own partition, spread across the cluster);
-    level 2 adds per-score cumulative offsets from the distinct-score
-    frame — the only unpartitioned window runs over |distinct integer
-    scores| rows (bounded by the div-truncated weight-average domain),
-    never over |pool docs|. doc_id is a PK, so offset + within-score
-    row_number equals rank() over (score desc, doc_id) exactly — the
-    oracle SQL keeps the single-window form and hash-matches. Weight
+    row_number partitioned by (score, id-range bucket) — the round-12
+    hot-score fix: the div-truncated integer weight average can collapse
+    onto a handful of values on a homogeneous corpus, which would put
+    the whole pool in ONE score partition; the order-preserving doc_id
+    range bucket (bounds from a column-pruned scan of the raw documents
+    table, a superset of the pool) splits a hot score B ways WITHOUT
+    changing the (score desc, doc_id asc) total order, so
+    offset + within-cell row_number still equals
+    rank() over (score desc, doc_id) exactly and the oracle SQL keeps
+    the single-window form and hash-matches. Level 2's only
+    unpartitioned window runs over the (score, bucket) cell frame
+    (≤ |distinct scores|·B rows), never over |pool docs|. Weight
     building is the single-scan conditional aggregate
     (dsir_bucket_weights_from_flag) over the survivor frame."""
     from ..operators import text as TX
@@ -8205,26 +8209,22 @@ def pipe13_dsir_curation(spark, sf_dir):
         weights,
         carry_cols=("source", "n_words"),
     )
-    ranked = scored.select(
-        "doc_id",
-        "source",
-        "n_words",
-        F.col("dsir_score_q").alias("s"),
-    ).withColumn(
-        "r_in", F.row_number().over(Window.partitionBy("s").orderBy("doc_id"))
-    )
-    counts = ranked.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy(F.col("s").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        counts.withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
-        .crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("np"))))
-        .select("s", "offset", "np")
+    id_bounds = docs.agg(
+        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
     )
     sel = (
-        ranked.join(offsets, "s")
-        .filter((F.col("offset") + F.col("r_in")) * 2 <= F.col("np") + 1)
+        M.two_level_rank(
+            scored.select(
+                "doc_id",
+                "source",
+                "n_words",
+                F.col("dsir_score_q").alias("s"),
+            ),
+            "s",
+            "doc_id",
+            id_bounds=id_bounds,
+        )
+        .filter(F.col("pos") * 2 <= F.col("n_total") + 1)
         .select("doc_id", "source", "n_words")
     )
     admitted_pop = (

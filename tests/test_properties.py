@@ -5,7 +5,7 @@ matches set algebra."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from end_to_end_ml_spark.functions import metrics as M
@@ -671,17 +671,31 @@ half_cut_rows = st.lists(
 
 
 @given(rows=half_cut_rows)
+@example(rows=[(i, 7) for i in range(40)])  # ALL scores equal: one hot
+# score partition — the r12 degeneracy case. The order-preserving range
+# bucket must keep the doc_id tie-break EXACT here (a hash salt would
+# keep a hash-dependent half instead of the smallest ceil(n/2) doc_ids).
+@example(rows=[(i * 1000 + 3, i % 2) for i in range(60)])  # sparse ids, hot scores
+@example(rows=[(i - 30, 5) for i in range(50)])  # negative ids, one hot score
 @settings(**SETTINGS)
 def test_two_level_half_cut_equals_rank_window(spark, rows):
     """pipe13's half-pool cut was rewritten (r11) from a single global
-    rank window to the a13 two-level distributed rank. Metamorphic pin:
-    on ARBITRARY (id, score) frames — including heavy score ties, the
-    case where rank() vs row_number() could diverge if the tie-break
-    were wrong — the two-level selection must equal BOTH (a) the old
-    global-window formulation and (b) a pure-python replay of
-    'keep rank r where 2r <= n+1 under (score desc, id asc)'."""
+    rank window to the two-level distributed rank, and (r12) the shared
+    helper metrics.two_level_rank gained the order-preserving id-range
+    bucket that splits hot score partitions. Metamorphic pin: on
+    ARBITRARY (id, score) frames — including heavy score ties, the case
+    where rank() vs row_number() could diverge if the tie-break were
+    wrong, and all-equal-scores, where a non-order-preserving salt would
+    change WHICH docs survive the cut — the production helper's
+    selection must equal BOTH (a) the old global-window formulation and
+    (b) a pure-python replay of 'keep rank r where 2r <= n+1 under
+    (score desc, id asc)'. Runs the REAL helper (pipe13's and a13's code
+    path), not a test-local copy, with n_buckets=4 so even the 80-row
+    cases actually span multiple range buckets."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from end_to_end_ml_spark.functions import metrics as M
 
     df = spark.createDataFrame(rows, ["doc_id", "s"])
     # (a) the old global-window form
@@ -701,25 +715,18 @@ def test_two_level_half_cut_equals_rank_window(spark, rows):
     n = len(ordered)
     expect = {doc for i, (doc, _) in enumerate(ordered) if 2 * (i + 1) <= n + 1}
     assert old == expect
-    # the two-level distributed form (pipe13's exact shape)
-    ranked = df.withColumn(
-        "r_in", F.row_number().over(Window.partitionBy("s").orderBy("doc_id"))
-    )
-    counts = ranked.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy(F.col("s").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        counts.withColumn(
-            "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
-        )
-        .crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("np"))))
-        .select("s", "offset", "np")
-    )
+    # the production two-level form (pipe13's and a13's shared helper)
     got = {
         r["doc_id"]
-        for r in ranked.join(offsets, "s")
-        .filter((F.col("offset") + F.col("r_in")) * 2 <= F.col("np") + 1)
+        for r in M.two_level_rank(df, "s", "doc_id", n_buckets=4)
+        .filter(F.col("pos") * 2 <= F.col("n_total") + 1)
         .collect()
     }
     assert got == expect
+    # and the exact positions, not just the cut: pos == rank()
+    pos_got = {
+        r["doc_id"]: r["pos"]
+        for r in M.two_level_rank(df, "s", "doc_id", n_buckets=4).collect()
+    }
+    pos_expect = {doc: i + 1 for i, (doc, _) in enumerate(ordered)}
+    assert pos_got == pos_expect
