@@ -1185,7 +1185,7 @@ def dsir_bucket_weights(
         "bucket",
         F.expr(
             f"(coalesce(t_count, 0L) + 1L) * {scale_x} div (r_count + 1L)"
-        ).alias("weight"),
+        ).alias("weight", metadata={"scale_x": int(scale_x)}),
     )
 
 
@@ -1197,6 +1197,7 @@ def dsir_scores(
     carry_cols: tuple = (),
     n_buckets: int = 256,
     unseen_bucket_weight: int | None = None,
+    floor_unseen: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance scores over the raw pool.
 
@@ -1219,9 +1220,14 @@ def dsir_scores(
     historical :func:`~end_to_end_ml_spark.streaming.events.\
 dsir_weights_from_store` table) would silently drop unseen-bucket
     bigrams from both the sum and the n_bigrams denominator; pass
-    ``unseen_bucket_weight=scale_x`` (the add-one floor
-    ((0+1)·scale_x) div (0+1) an unseen bucket would have received) to
-    left-join and coalesce instead.
+    ``floor_unseen=True`` to left-join and coalesce unseen buckets to
+    the add-one floor ((0+1)·scale_x) div (0+1) = scale_x — the floor
+    is DERIVED from the ``scale_x`` metadata
+    :func:`dsir_weights_from_counts` stamps on the weight column, so a
+    non-default scale can never silently mis-floor (round-11 ADVICE
+    #4); a weights frame without the metadata raises. The older
+    ``unseen_bucket_weight=<int>`` explicit override remains for
+    hand-built weight tables.
 
     Overflow (round-10 ADVICE): the sum stays BIGINT, and under ANSI —
     Spark 4's default, PINNED in session.py precisely for this
@@ -1239,6 +1245,20 @@ dsir_weights_from_store` table) would silently drop unseen-bucket
     bucket at the default scale and 10^5-bigram docs."""
     from .dedup import _spread
 
+    if floor_unseen:
+        if unseen_bucket_weight is not None:
+            raise ValueError(
+                "pass floor_unseen=True OR unseen_bucket_weight, not both"
+            )
+        meta = weights.schema["weight"].metadata or {}
+        if "scale_x" not in meta:
+            raise ValueError(
+                "floor_unseen=True needs a weights frame built by "
+                "dsir_weights_from_counts/dsir_bucket_weights* (no scale_x "
+                "metadata on the weight column) — pass "
+                "unseen_bucket_weight=<scale_x> explicitly instead"
+            )
+        unseen_bucket_weight = int(meta["scale_x"])
     exploded = _spread(raw_df).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
@@ -1359,12 +1379,15 @@ def dsir_weights_from_counts(
     r_count) counts frame: w = ((t+1)·scale_x) div (r+1), restricted to
     buckets the raw pool has actually populated (r_count > 0 — a bucket
     no raw bigram hashes to can never be joined by an in-pool doc;
-    callers scoring docs OUTSIDE the counted pool pass the scale_x floor
-    via dsir_scores(unseen_bucket_weight=...))."""
+    callers scoring docs OUTSIDE the counted pool pass
+    dsir_scores(floor_unseen=True), which derives the scale_x floor from
+    the metadata stamped on the weight column here — so the floor can
+    never drift from the scale the weights were built with (round-11
+    ADVICE #4)."""
     return counts_df.filter(F.col("r_count") > 0).select(
         "bucket",
         F.expr(f"(t_count + 1L) * {scale_x} div (r_count + 1L)").alias(
-            "weight"
+            "weight", metadata={"scale_x": int(scale_x)}
         ),
     )
 

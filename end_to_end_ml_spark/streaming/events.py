@@ -907,11 +907,13 @@ def dsir_weights_from_store(
     operators/text.dsir_bucket_weights, restricted to buckets the raw
     pool has actually populated. ≤ n_buckets rows; broadcast it into
     dsir_scores/dsir_select — and when the scored docs are NOT already
-    counted into the store, pass
-    ``dsir_scores(unseen_bucket_weight=scale_x)`` so unseen-bucket
-    bigrams receive the add-one floor instead of vanishing (round-10
-    ADVICE). Delegates to operators/text.dsir_weights_from_counts (one
-    formula, batch + streaming)."""
+    counted into the store, pass ``dsir_scores(floor_unseen=True)`` so
+    unseen-bucket bigrams receive the add-one floor instead of vanishing
+    (round-10 ADVICE); the floor is derived from the scale_x metadata
+    this table carries, so a non-default ``scale_x`` here can never
+    silently mis-floor (round-11 ADVICE #4). Delegates to
+    operators/text.dsir_weights_from_counts (one formula, batch +
+    streaming)."""
     from ..operators.text import dsir_weights_from_counts
 
     return dsir_weights_from_counts(

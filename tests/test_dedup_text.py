@@ -1158,6 +1158,66 @@ def test_dsir_scores_unseen_bucket_floor(spark):
     assert floored[0]["dsir_score"] == sum(w[b] for b in seen) + 65536 * len(unseen)
 
 
+def test_dsir_floor_unseen_derives_scale_from_metadata(spark):
+    """round-11 ADVICE #4: the unseen floor must not be hand-kept in
+    sync with the scale_x the weights were built with. floor_unseen=True
+    derives it from the scale_x metadata the weight builders stamp on
+    the weight column — pinned with a NON-default scale (1024), where
+    the old documented floor of 65536 would mis-floor by 64x. Also pins
+    the loud paths: both knobs at once raises; a weights frame without
+    the metadata raises instead of guessing."""
+    import pytest as _pytest
+
+    from end_to_end_ml_spark.operators import text
+    from pyspark.sql import functions as F2
+
+    target = spark.createDataFrame([(10, "alpha beta gamma")], ["doc_id", "text"])
+    counted_pool = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    weights = text.dsir_bucket_weights(
+        target, counted_pool, "text", scale_x=1024
+    )
+    w = {r["bucket"]: r["weight"] for r in weights.collect()}
+    new_docs = spark.createDataFrame(
+        [(7, "alpha beta zzyzx qwrty zzyzx")], ["doc_id", "text"]
+    )
+    buckets = new_docs.select(
+        F2.explode(text.hashed_bigram_buckets("text")).alias("b")
+    ).collect()
+    seen = [r["b"] for r in buckets if r["b"] in w]
+    unseen = [r["b"] for r in buckets if r["b"] not in w]
+    assert seen and unseen
+
+    got = text.dsir_scores(
+        new_docs, "doc_id", "text", weights, floor_unseen=True
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["n_bigrams"] == len(seen) + len(unseen)
+    assert got[0]["dsir_score"] == sum(w[b] for b in seen) + 1024 * len(unseen)
+
+    # the counts → weights path stamps the metadata too (the streaming
+    # store derivation goes through dsir_weights_from_counts)
+    counts = text.dsir_bucket_counts_from_flag(
+        target.withColumn("is_tgt", F2.lit(True)).unionByName(
+            counted_pool.withColumn("is_tgt", F2.lit(False))
+        ),
+        "is_tgt",
+        "text",
+    )
+    w2 = text.dsir_weights_from_counts(counts, scale_x=1024)
+    assert (w2.schema["weight"].metadata or {}).get("scale_x") == 1024
+
+    with _pytest.raises(ValueError, match="not both"):
+        text.dsir_scores(
+            new_docs, "doc_id", "text", weights,
+            floor_unseen=True, unseen_bucket_weight=5,
+        )
+    bare = weights.select("bucket", (F2.col("weight") + 0).alias("weight"))
+    with _pytest.raises(ValueError, match="no scale_x metadata"):
+        text.dsir_scores(new_docs, "doc_id", "text", bare, floor_unseen=True)
+
+
 def test_dsir_score_overflow_raises_not_wraps(spark):
     """round-10 ADVICE: under ANSI (Spark 4 default, PINNED in
     session.py for exactly this contract) a BIGINT score sum beyond

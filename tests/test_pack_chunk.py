@@ -802,6 +802,7 @@ def test_curation_cli_dsir_frac_validation(spark, tmp_path, monkeypatch):
         (["--dsir-frac", "0"], r"in \(0, 1\]"),
         (["--dsir-frac", "1.5"], r"in \(0, 1\]"),
         (["--dsir-frac", "-0.5"], r"in \(0, 1\]"),
+        (["--incremental", "--operational-loop"], "standalone mode"),
     ]:
         monkeypatch.setattr(sys, "argv", base + extra)
         with _pytest.raises(SystemExit, match=pat):
@@ -1068,3 +1069,172 @@ def test_curation_multi_epoch_dsir_invariants(spark, tmp_path):
     assert [f for f, n in Counter(all_fps).items() if n > 1] == []
     for e, rows in enumerate(epoch_rows):
         assert all(r["doc_id"] % 3 == e for r in rows)
+
+
+def test_operational_loop_composes_three_systems(spark, tmp_path):
+    """round-11 verdict #4 — the full production loop in ONE session:
+    run_operational_loop drives (1) streaming DSIR store maintenance
+    (stream_dsir_counts_ingest over each night's survivor feed), (2)
+    nightly epoch curation CONSUMING that store (night 0 self-merge
+    bootstrap; nights 1-2 score against dsir_weights_from_store with
+    the metadata-derived unseen floor), and (3) the ANN probe-then-add
+    maintenance loop — then cross-system invariants are replayed from
+    the on-disk artifacts with library pieces:
+
+    (1) STORE PARITY: the streaming store's latest version equals the
+        SUM-merge of batch-operator counts over each night's replayed
+        survivors (gate + within-night dedup + anti join vs the
+        versioned fp store) — the sink and the batch operator agree on
+        the same feed;
+    (2) NO FINGERPRINT READMITTED: curated fps distinct across nights,
+        and the fp store versions only ever grow;
+    (3) SELECTION CONSUMED THE STREAM'S STORE: night e's admitted pool
+        docs are inside the top-ceil(frac*|scored|) of night e's pool
+        scored against store version e-1 with floor_unseen=True —
+        replayed from dsir_store/v{e-1} on disk;
+    (4) ANN TRAJECTORY: one stats row per night with a sane
+        pruned_fraction/mode, pairs written per epoch."""
+    import math
+    import os
+    import sys
+    from collections import Counter
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_curation_pipeline import (
+        DSIR_TARGET_SOURCES,
+        fingerprint_expr,
+        run_operational_loop,
+    )
+
+    from end_to_end_ml_spark.operators import text
+    from end_to_end_ml_spark.sources import load_table
+    from end_to_end_ml_spark.streaming import events as SE
+    from pyspark.sql import Window, functions as F
+
+    sf = "/root/testdata/sf0.001"
+    work = str(tmp_path / "oploop")
+    out = run_operational_loop(spark, sf, work, budget_tokens=2000, n_epochs=3)
+    assert len(out["nights"]) == 3
+
+    docs = load_table(spark, sf, "documents")
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    tgt = set(DSIR_TARGET_SOURCES)
+
+    # replay each night's survivors with library pieces + on-disk fp stores
+    surv_by_night = []
+    for e in range(3):
+        surv = (
+            docs.filter(F.col("doc_id") % 3 == e)
+            .select(
+                "doc_id", "source", "text",
+                fingerprint_expr().alias("fp"),
+                *text.gopher_evidence_columns("text"),
+            )
+            .select("*", *text.gopher_rule_columns())
+            .filter(F.col("keep") & F.col("source").isNotNull())
+            .withColumn(
+                "__rn",
+                F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+            )
+            .filter(F.col("__rn") == 1)
+        )
+        if e > 0:
+            hist = spark.read.parquet(os.path.join(work, "fp_store", f"v{e-1}"))
+            surv = surv.join(hist, "fp", "left_anti")
+        surv_by_night.append(
+            surv.select("doc_id", "source", "text", "n_words").persist()
+        )
+
+    # (1) streaming store latest == batch-operator merge over the replays
+    stream_latest = sorted(
+        map(tuple, SE.read_latest_snapshot(spark, out["dsir_store"]).collect())
+    )
+    batch_replay = sorted(
+        map(
+            tuple,
+            text.dsir_merge_counts(
+                *[
+                    text.dsir_bucket_counts_from_flag(s, is_target, "text")
+                    for s in surv_by_night
+                ]
+            ).collect(),
+        )
+    )
+    assert stream_latest == batch_replay and stream_latest
+
+    # (2) no fingerprint readmitted across nights; fp store monotone
+    curated_rows = [
+        spark.read.parquet(os.path.join(work, "curated", f"epoch={e}")).collect()
+        for e in range(3)
+    ]
+    assert any(rows for rows in curated_rows)
+    fp_by_id = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", fingerprint_expr().alias("fp")).collect()
+    }
+    all_fps = [fp_by_id[r["doc_id"]] for rows in curated_rows for r in rows]
+    assert [f for f, n in Counter(all_fps).items() if n > 1] == []
+    prev = set()
+    for e in range(3):
+        cur = {
+            r["fp"]
+            for r in spark.read.parquet(
+                os.path.join(work, "fp_store", f"v{e}")
+            ).collect()
+        }
+        assert prev <= cur
+        prev = cur
+
+    # (3) nights 1-2 selected against the STREAM's store version e-1
+    floor_engaged = False
+    for e in (1, 2):
+        store_prev = spark.read.parquet(
+            os.path.join(out["dsir_store"], f"v={e-1}")
+        )
+        weights = text.dsir_weights_from_counts(store_prev)
+        pool = surv_by_night[e].filter(~is_target)
+        scored = text.dsir_scores(
+            pool, "doc_id", "text", weights, floor_unseen=True
+        )
+        n_scored = scored.count()
+        k = int(math.ceil(0.5 * n_scored))
+        top_ids = {
+            r["doc_id"]
+            for r in scored.orderBy(F.col("dsir_score_q").desc(), "doc_id")
+            .limit(k)
+            .collect()
+        }
+        admitted_pool = {
+            r["doc_id"] for r in curated_rows[e] if r["source"] not in tgt
+        }
+        assert admitted_pool <= top_ids
+        # floor engagement: any pool bigram bucket absent from the weight
+        # table (unseen by the store, or target-only so r_count == 0)?
+        w_buckets = {r["bucket"] for r in weights.collect()}
+        pool_buckets = {
+            r["b"]
+            for r in pool.select(
+                F.explode(text.hashed_bigram_buckets("text")).alias("b")
+            ).collect()
+        }
+        if pool_buckets - w_buckets:
+            floor_engaged = True
+    assert floor_engaged, (
+        "no unseen bucket in any night's pool — the floor path was never "
+        "exercised; shrink n_buckets in the loop or the invariant is vacuous"
+    )
+
+    # (4) ANN trajectory: one row per night, sane values, pairs on disk
+    ann = out["ann"]
+    assert len(ann["epochs"]) == 3
+    for row in ann["epochs"]:
+        assert row["mode"] in ("exact", "approx")
+        assert 0.0 <= row["pruned_fraction"] <= 1.0
+        assert row["n_pairs"] >= 0
+        assert os.path.isdir(
+            os.path.join(work, "ann", "pairs", f"epoch={row['epoch']}")
+        )
+    assert ann["index_rows"] > 0
+
+    for s in surv_by_night:
+        s.unpersist()

@@ -179,6 +179,8 @@ def curate_epoch(
     fingerprint=None,
     dsir_frac: float | None = None,
     dsir_counts=None,
+    dsir_weights=None,
+    persisted_out: list | None = None,
 ):
     """ONE nightly epoch of the pipe11 chain over an arbitrary batch
     frame: Gopher gate → within-batch keep-first dedup on the
@@ -207,13 +209,35 @@ def curate_epoch(
     |scored|) by length-normalized integer importance weight (ties by
     doc_id), exactly the full-mode stage.
 
+    EXTERNALLY-MAINTAINED store mode (round-11 verdict #4, the composed
+    operational loop): pass ``dsir_weights`` (a weight table from
+    streaming/events.dsir_weights_from_store — i.e. a store some OTHER
+    system maintains, typically stream_dsir_counts_ingest) and the pool
+    is scored directly against it with ``floor_unseen=True`` — tonight's
+    docs are NOT counted into those weights, so unseen buckets take the
+    add-one floor derived from the table's scale_x metadata. No count
+    merge happens here (the stream owns the store); the returned
+    dsir_counts_df is None. Mutually exclusive with ``dsir_counts``.
+
+    ``persisted_out``: optional list; every frame this call persists is
+    appended (element 0 is always the survivor frame) so long-lived
+    callers can unpersist once the epoch's outputs are written — without
+    it, executor cache grows linearly with epochs (round-11 ADVICE #2).
+
     Returns (curated_df, stats_df, admitted_fps_df, dsir_counts_df) —
     the caller unions admitted_fps into its store so the NEXT epoch
     dedups against everything the corpus already contains (a
     draw-rejected doc keeps its chance in later epochs; an admitted
     fingerprint never re-enters), and carries dsir_counts_df (the
-    merged counts, or None when DSIR is off) as the next epoch's
-    ``dsir_counts``."""
+    merged counts, or None when DSIR is off or the store is external)
+    as the next epoch's ``dsir_counts``."""
+    if dsir_weights is not None and dsir_counts is not None:
+        raise ValueError(
+            "pass dsir_counts (self-merged store) OR dsir_weights "
+            "(externally-maintained store), not both"
+        )
+    if dsir_weights is not None and dsir_frac is None:
+        raise ValueError("dsir_weights without dsir_frac has no effect")
     feat = batch_docs.select(
         "doc_id",
         "source",
@@ -232,19 +256,32 @@ def curate_epoch(
     if hist_fps is not None:
         surv = surv.join(hist_fps, "fp", "left_anti")
     surv = surv.select("doc_id", "source", "text", "n_words", "fp").persist()
+    if persisted_out is not None:
+        persisted_out.append(surv)
     new_counts = None
     if dsir_frac is not None:
         import math
 
         is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
-        batch_counts = text.dsir_bucket_counts_from_flag(
-            surv, is_target, "text"
-        )
-        new_counts = text.dsir_merge_counts(dsir_counts, batch_counts)
-        weights = text.dsir_weights_from_counts(new_counts)
+        if dsir_weights is not None:
+            # external store: the stream already counted history; tonight's
+            # batch is outside it, so unseen buckets take the derived floor
+            weights = dsir_weights
+            floor = True
+        else:
+            batch_counts = text.dsir_bucket_counts_from_flag(
+                surv, is_target, "text"
+            )
+            new_counts = text.dsir_merge_counts(dsir_counts, batch_counts)
+            weights = text.dsir_weights_from_counts(new_counts)
+            floor = False
         tgt = surv.filter(is_target)
         pool = surv.filter(~is_target)
-        scored = text.dsir_scores(pool, "doc_id", "text", weights).persist()
+        scored = text.dsir_scores(
+            pool, "doc_id", "text", weights, floor_unseen=floor
+        ).persist()
+        if persisted_out is not None:
+            persisted_out.append(scored)
         k = int(math.ceil(dsir_frac * scored.count()))
         top = (
             scored.orderBy(F.col("dsir_score_q").desc(), "doc_id")
@@ -311,14 +348,32 @@ def curate_incremental(
     versioned store a production loop carries: run_epochs threads the
     store between epochs, and stream_dsir_counts_ingest maintains the
     same shape online, so a real nightly job reads ≤256 rows instead
-    of running this pass)."""
+    of running this pass). The history slice is gated + deduped before
+    counting (round-11 ADVICE #1): the production stores accumulate
+    SURVIVOR counts, so a demo distribution counted over raw history —
+    gated-out and duplicate docs included — would differ in shape from
+    the store it stands in for."""
     docs = load_table(spark, sf_dir, "documents")
     hist_docs = docs.filter(F.col("doc_id") % batch_mod != 0)
     hist = hist_docs.select(fingerprint_expr().alias("fp")).distinct()
     hist_counts = None
     if dsir_frac is not None:
+        w_fp = Window.partitionBy("fp").orderBy("doc_id")
+        hist_surv = (
+            hist_docs.select(
+                "doc_id",
+                "source",
+                "text",
+                fingerprint_expr().alias("fp"),
+                *text.gopher_evidence_columns("text"),
+            )
+            .select("*", *text.gopher_rule_columns())
+            .filter(F.col("keep") & F.col("source").isNotNull())
+            .withColumn("__rn", F.row_number().over(w_fp))
+            .filter(F.col("__rn") == 1)
+        )
         hist_counts = text.dsir_bucket_counts_from_flag(
-            hist_docs, F.col("source").isin(*DSIR_TARGET_SOURCES), "text"
+            hist_surv, F.col("source").isin(*DSIR_TARGET_SOURCES), "text"
         )
     curated, stats, _, _ = curate_epoch(
         spark,
@@ -356,15 +411,22 @@ def run_epochs(
     through night e without rescanning history — both stores are ≤256
     rows / 16-bytes-per-doc no matter the corpus size. Returns
     (per_epoch, fp_store_df) where per_epoch is a list of
-    (curated_df, stats_df) per night — frames, never driver collects
-    (their lineage reads the per-epoch persisted survivor frame, so they
-    stay cheap to evaluate after the loop)."""
+    (curated_df, stats_df) per night — frames, never driver collects.
+    Cache discipline (round-11 ADVICE #2): with ``out_dir`` each night's
+    persisted survivor/scored frames are unpersisted once the night's
+    outputs are written (re-evaluating a returned frame recomputes from
+    lineage over the versioned parquet stores — deterministic, and the
+    cache stays O(one night) instead of O(n_epochs)); without
+    ``out_dir`` (the in-memory test/demo mode) survivors stay persisted
+    for cheap later evaluation, but the previous night's store/counts
+    versions are unpersisted as soon as the new versions materialize."""
     docs = load_table(spark, sf_dir, "documents")
     store = None
     counts = None
     per_epoch = []
     for e in range(n_epochs):
         batch = docs.filter(F.col("doc_id") % n_epochs == e)
+        epoch_persisted: list = []
         curated, stats, admitted_fps, new_counts = curate_epoch(
             spark,
             batch,
@@ -373,6 +435,7 @@ def run_epochs(
             salt=f"cur2e{e}",
             dsir_frac=dsir_frac,
             dsir_counts=counts,
+            persisted_out=epoch_persisted,
         )
         # materialize the store ONCE per night: checkpoint through parquet
         # when out_dir is given (the versioned store a production loop
@@ -392,12 +455,144 @@ def run_epochs(
                 counts_dir = os.path.join(out_dir, "dsir_store", f"v{e}")
                 new_counts.write.mode("overwrite").parquet(counts_dir)
                 counts = spark.read.parquet(counts_dir)
+            # epoch outputs are on disk and next-epoch state reads parquet —
+            # the night's survivor/scored blocks are done; without this the
+            # executor cache grows linearly with n_epochs (round-11 ADVICE
+            # #2). Returned frames re-evaluate from lineage (reading the
+            # versioned parquet stores), which stays deterministic.
+            for f in epoch_persisted:
+                f.unpersist()
         else:
+            prev_store, prev_counts = store, counts
             store = new_store.persist()
             if new_counts is not None:
                 counts = new_counts.persist()
+                counts.count()  # materialize before dropping the previous
+            store.count()
+            # the new versions are materialized; the previous epoch's
+            # store/counts blocks are unreachable by any later lineage
+            if prev_store is not None:
+                prev_store.unpersist()
+            if prev_counts is not None:
+                prev_counts.unpersist()
         per_epoch.append((curated, stats))
     return per_epoch, store
+
+
+def run_operational_loop(
+    spark,
+    sf_dir: str,
+    work_dir: str,
+    budget_tokens: int,
+    n_epochs: int = 3,
+    dsir_frac: float = 0.5,
+    ann_threshold: float = 0.4,
+):
+    """ONE production session driving the three independently-pinned
+    systems together across ``n_epochs`` nights (round-11 verdict #4 —
+    the pieces were pairwise-pinned; this composes them end-to-end):
+
+      1. STREAMING DSIR store maintenance: each night's curation
+         SURVIVORS (with their target flag) land in a file-source
+         directory and are drained through
+         streaming/events.stream_dsir_counts_ingest into the versioned
+         count store (``work_dir/dsir_store``, checkpoint
+         ``work_dir/ck`` — the two live and die together per the sink's
+         lifecycle contract).
+      2. NIGHTLY EPOCH CURATION consuming that store: night 0
+         bootstraps in self-merge mode (its own batch counts — which is
+         exactly what the store holds after night 0's ingest, so the
+         two systems agree by construction); every later night scores
+         its pool against dsir_weights_from_store(...) via
+         curate_epoch(dsir_weights=..., floor_unseen inside) — tonight's
+         docs are NOT yet counted into the store, so unseen buckets take
+         the metadata-derived add-one floor. The fingerprint store
+         threads between nights exactly as run_epochs does
+         (``work_dir/fp_store/v{e}``), and each night's persisted
+         frames are unpersisted once its outputs are on disk.
+      3. ANN MAINTENANCE over the matching embedding nights
+         (tools/run_ann_maintenance.maintain_epochs): probe-then-add
+         against the live IVF index, pairs written under
+         ``work_dir/ann``, pruned_fraction trajectory recorded.
+
+    Returns a JSON-able dict: per-night curation stats rows, the ANN
+    stats, and the store paths. Cross-system invariants (streaming
+    store == batch replay of the survivor counts, no fingerprint
+    readmitted, floor engagement, trajectory shape) are asserted by
+    tests/test_pack_chunk.py::test_operational_loop_composes_three_systems."""
+    from end_to_end_ml_spark.streaming import events as SE
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run_ann_maintenance import maintain_epochs
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    dsir_store = os.path.join(work_dir, "dsir_store")
+    checkpoint = os.path.join(work_dir, "ck")
+    surv_src = os.path.join(work_dir, "survivor_feed")
+    fp_store = None
+    nights = []
+    for e in range(n_epochs):
+        batch = docs.filter(F.col("doc_id") % n_epochs == e)
+        weights = (
+            SE.dsir_weights_from_store(spark, dsir_store) if e > 0 else None
+        )
+        persisted: list = []
+        curated, stats, admitted_fps, _ = curate_epoch(
+            spark,
+            batch,
+            fp_store,
+            budget_tokens,
+            salt=f"op{e}",
+            dsir_frac=dsir_frac,
+            dsir_weights=weights,
+            persisted_out=persisted,
+        )
+        curated.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(work_dir, "curated", f"epoch={e}")
+        )
+        version_dir = os.path.join(work_dir, "fp_store", f"v{e}")
+        new_store = (
+            admitted_fps
+            if fp_store is None
+            else fp_store.unionByName(admitted_fps)
+        ).distinct()
+        new_store.write.mode("overwrite").parquet(version_dir)
+        fp_store = spark.read.parquet(version_dir)
+        stats_rows = [r.asDict() for r in stats.collect()]
+        # feed tonight's survivors to the stream (one file per night so
+        # each drain is one micro-batch = one store version), then drain
+        persisted[0].select(
+            "doc_id", is_target.alias("is_tgt"), "text"
+        ).coalesce(1).write.mode("append").parquet(surv_src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(surv_src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(surv_src)
+        )
+        SE.stream_dsir_counts_ingest(
+            stream, dsir_store, "is_tgt", "text", checkpoint,
+            query_name=f"op_dsir_ingest_e{e}",
+        )
+        for f in persisted:
+            f.unpersist()
+        nights.append({"epoch": e, "sources": stats_rows})
+    _, ann_stats = maintain_epochs(
+        spark,
+        sf_dir,
+        threshold=ann_threshold,
+        n_epochs=n_epochs,
+        out_dir=os.path.join(work_dir, "ann"),
+    )
+    return {
+        "n_epochs": n_epochs,
+        "dsir_frac": dsir_frac,
+        "nights": nights,
+        "ann": ann_stats,
+        "dsir_store": dsir_store,
+        "fp_store": os.path.join(work_dir, "fp_store"),
+        "survivor_feed": surv_src,
+    }
 
 
 def main() -> None:
@@ -421,12 +616,28 @@ def main() -> None:
                 "DSIR jobs"
             )
         argv = argv[:i] + argv[i + 2 :]
-    args = [a for a in argv if a != "--incremental"]
+    args = [a for a in argv if a not in ("--incremental", "--operational-loop")]
     incremental = "--incremental" in argv
+    operational = "--operational-loop" in argv
+    if incremental and operational:
+        raise SystemExit(
+            "--operational-loop is a standalone mode (it already runs the "
+            "incremental epoch path per night); drop --incremental"
+        )
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
     out_dir = args[1] if len(args) > 1 else "/tmp/spark_curation_run"
     budget = int(args[2]) if len(args) > 2 else 50_000
     spark = get_spark("run-curation")
+    if operational:
+        summary = run_operational_loop(
+            spark, sf_dir, out_dir, budget,
+            dsir_frac=dsir_frac if dsir_frac is not None else 0.5,
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "operational_loop.json"), "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(json.dumps(summary))
+        return
     if incremental:
         # nightly batch scored against counts reflecting history (the
         # curate_epoch DSIR stage via the mergeable count store) — the

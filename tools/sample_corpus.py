@@ -43,17 +43,22 @@ def sample(sf_dir: str, out_dir: str, mod: int = 8) -> int:
     src = os.path.join(sf_dir, "documents.parquet")
     dst = os.path.join(out_dir, "documents.parquet")
     con = duckdb.connect()
+    # paths are SQL string literals — escape single quotes (COPY ... TO
+    # takes no parameter binding; round-11 ADVICE #3)
+    src_q, dst_q = src.replace("'", "''"), dst.replace("'", "''")
     con.execute(
         f"""
         COPY (
-          SELECT * FROM read_parquet('{src}')
+          SELECT * FROM read_parquet('{src_q}')
           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                 % {int(mod)} = 0
           ORDER BY doc_id
-        ) TO '{dst}' (FORMAT PARQUET)
+        ) TO '{dst_q}' (FORMAT PARQUET)
         """
     )
-    n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+    n = con.execute(
+        "SELECT count(*) FROM read_parquet(?)", [dst]
+    ).fetchone()[0]
     for t in TABLES:
         if t == "documents":
             continue
