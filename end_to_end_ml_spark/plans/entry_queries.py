@@ -2985,12 +2985,17 @@ def pipe3_pretrain_corpus(spark, sf_dir):
         F.md5("clean_text").alias("clean_md5"),
     )
     # exact dedup keep-min-id: one shuffle on fingerprint (window), no
-    # join back
-    w_fp = Window.partitionBy("fingerprint")
+    # join back. row_number()==1 (not min(doc_id)+equality) so Spark's
+    # InferWindowGroupLimit pushes a per-map-partition rank-1 limit BELOW
+    # the exchange — a fingerprint duplicated 10^9 times forwards at most
+    # one row per map partition to the reducer instead of funneling every
+    # copy through one hot window partition (round-12; same argument as
+    # tile_dedup_rewrite's hot-tile note, visible in PLANS.md).
+    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
     keep = (
-        enriched.withColumn("__keeper", F.min("doc_id").over(w_fp))
-        .filter(F.col("doc_id") == F.col("__keeper"))
-        .drop("__keeper")
+        enriched.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     # decontamination drop-list is benchmark-sized → broadcast LEFT ANTI:
     # the corpus side never shuffles for it
@@ -7489,11 +7494,15 @@ def pipe10_budget_curation(spark, sf_dir):
         text.fingerprint_column("text").alias("fp"),
         *text.gopher_evidence_columns("text"),
     ).select("*", *text.gopher_rule_columns())
-    w_fp = Window.partitionBy("fp")
+    # keep-min-id via row_number()==1, not min(doc_id)+equality: the rank-1
+    # limit pushes below the exchange (InferWindowGroupLimit), so a
+    # mass-duplicated fingerprint ships <= one row per map partition
+    # instead of funneling every copy through one hot window partition
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
     surv = (
         feat.filter(F.col("keep"))
-        .withColumn("keeper", F.min("doc_id").over(w_fp))
-        .filter(F.col("doc_id") == F.col("keeper"))
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
         .select("doc_id", "source", "n_words")
     )
     rates = split.token_budget_allocation(
@@ -8193,11 +8202,14 @@ def pipe13_dsir_curation(spark, sf_dir):
         text.fingerprint_column("text").alias("fp"),
         *text.gopher_evidence_columns("text"),
     ).select("*", *text.gopher_rule_columns())
-    w_fp = Window.partitionBy("fp")
+    # row_number()==1 keeper (InferWindowGroupLimit pushdown — the NULL-
+    # source filter stays AFTER the window exactly as before: the rank-1
+    # row IS the min-doc_id keeper, and only then is its source checked)
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
     surv = (
         feat.filter(F.col("keep"))
-        .withColumn("keeper", F.min("doc_id").over(w_fp))
-        .filter((F.col("doc_id") == F.col("keeper")) & F.col("source").isNotNull())
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter((F.col("__rn") == 1) & F.col("source").isNotNull())
         .select("doc_id", "source", "text", "n_words")
     )
     is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)

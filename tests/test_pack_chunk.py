@@ -1238,3 +1238,32 @@ def test_operational_loop_composes_three_systems(spark, tmp_path):
 
     for s in surv_by_night:
         s.unpersist()
+
+
+def test_curate_epoch_store_mode_guards(spark):
+    """curate_epoch's two DSIR store modes are mutually exclusive and the
+    external-weights mode requires a frac — both misuses raise loudly
+    instead of silently preferring one store."""
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from run_curation_pipeline import curate_epoch
+
+    docs = spark.createDataFrame(
+        [(1, "src0", "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, source string, text string",
+    )
+    fake = spark.createDataFrame([(0, 1)], "bucket int, weight long")
+    fake_counts = spark.createDataFrame(
+        [(0, 1, 1)], "bucket int, t_count long, r_count long"
+    )
+    with _pytest.raises(ValueError, match="not both"):
+        curate_epoch(
+            spark, docs, None, 1000,
+            dsir_frac=0.5, dsir_counts=fake_counts, dsir_weights=fake,
+        )
+    with _pytest.raises(ValueError, match="no effect"):
+        curate_epoch(spark, docs, None, 1000, dsir_weights=fake)

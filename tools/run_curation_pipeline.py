@@ -79,7 +79,7 @@ def curate(
         text.fingerprint_column("text").alias("fp"),
         *text.gopher_evidence_columns("text"),
     ).select("*", *text.gopher_rule_columns())
-    w_fp = Window.partitionBy("fp")
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
     surv = (
         # Keeper selection MUST see NULL-source docs (round-9 ADVICE): in
         # the oracled pipe10 form a NULL-source doc that is the min-doc_id
@@ -88,9 +88,12 @@ def curate(
         # itself. Filtering source before the window would let those
         # duplicates through — so the NULL filter runs AFTER dedup here,
         # exactly as PIPE10_SQL does.
+        # row_number()==1 keeper (== the min-doc_id row; doc_id is a PK)
+        # so InferWindowGroupLimit caps a mass-duplicated fingerprint at
+        # one forwarded row per map partition (round-12)
         feat.filter(F.col("keep"))
-        .withColumn("keeper", F.min("doc_id").over(w_fp))
-        .filter((F.col("doc_id") == F.col("keeper")) & F.col("source").isNotNull())
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter((F.col("__rn") == 1) & F.col("source").isNotNull())
         .select("doc_id", "source", "text", "n_words")
     )
     if dsir_frac is not None:
