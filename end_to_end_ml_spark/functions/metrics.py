@@ -269,9 +269,13 @@ def two_level_rank(
             id_bounds = df.agg(
                 F.min(tiebreak_col).alias("__lo"), F.max(tiebreak_col).alias("__hi")
             )
+        # arithmetic entirely in BIGINT: a 32-bit tiebreak column spanning
+        # more than 2^31 would otherwise overflow the int subtraction
+        # (ANSI raise) even though the span fits a long
         bkt = F.expr(
-            f"(CAST({tiebreak_col} AS BIGINT) - __lo) div "
-            f"greatest(1L, (__hi - __lo + {n_buckets}) div {n_buckets})"
+            f"(CAST({tiebreak_col} AS BIGINT) - CAST(__lo AS BIGINT)) div "
+            f"greatest(1L, (CAST(__hi AS BIGINT) - CAST(__lo AS BIGINT)"
+            f" + {n_buckets}) div {n_buckets})"
         )
         with_b = df.crossJoin(F.broadcast(id_bounds)).withColumn(
             "__bkt", bkt

@@ -322,3 +322,14 @@ class TestSpearmanNulls:
         # surviving complete pairs are perfectly monotone; a NULL-biased
         # rank table would give ~0.98 instead of exactly 1.0
         assert r["n"] == 3 and abs(rho - 1.0) < 1e-12
+
+
+def test_two_level_rank_int32_extreme_span(spark):
+    """r12 self-review: a 32-bit tiebreak column spanning more than 2^31
+    must not trip the ANSI int-overflow on (hi - lo) — the bucket
+    arithmetic runs in BIGINT. Positions still exact at the extremes."""
+    rows = [(-(2**31), 5), (2**31 - 1, 5), (0, 5), (7, 3)]
+    df = spark.createDataFrame(rows, "tb int, s int")
+    got = {r["tb"]: r["pos"] for r in M.two_level_rank(df, "s", "tb").collect()}
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    assert got == {tb: i + 1 for i, (tb, _) in enumerate(ordered)}
