@@ -201,6 +201,11 @@ def force(df) -> None:
 # uniformly ~30-45%) — take ONE extra untimed headline lap so the timed
 # pass measures the engine, not the page-cache churn.
 SETTLE_MEM_MB = int(os.environ.get("SPARK_GRAFT_SETTLE_MEM_MB", str(48 * 1024)))
+# ... and above this 1-min load average (r12: the driver run had 115 GiB
+# MemAvailable — no settle lap — but load_1m 6.19, and its first pass read
+# ~25% slow; high load is the OTHER face of the same back-to-back-JVM host
+# state, so it should be ABSORBED, not just classified).
+SETTLE_LOAD_1M = float(os.environ.get("SPARK_GRAFT_SETTLE_LOAD_1M", "2.0"))
 
 
 def machine_state() -> dict:
@@ -299,13 +304,17 @@ def main() -> None:
     # exit (low MemAvailable at bench start), one more untimed headline lap
     # lets the OS finish reclaiming before any timing starts. Recorded in
     # the JSON so the reading is self-attributing either way.
-    settle_lap = (
+    settle_mem = (
         state_at_start.get("mem_available_mb", SETTLE_MEM_MB) < SETTLE_MEM_MB
     )
+    settle_load = state_at_start.get("load_1m", 0.0) > SETTLE_LOAD_1M
+    settle_lap = settle_mem or settle_load
     if settle_lap:
         print(
-            f"[bench] MemAvailable {state_at_start.get('mem_available_mb')}m "
-            f"< {SETTLE_MEM_MB}m at start — running one untimed settle lap",
+            f"[bench] start state MemAvailable "
+            f"{state_at_start.get('mem_available_mb')}m (threshold "
+            f"{SETTLE_MEM_MB}m), load_1m {state_at_start.get('load_1m')} "
+            f"(threshold {SETTLE_LOAD_1M}) — running one untimed settle lap",
             file=sys.stderr,
         )
         for name in HEADLINE:
@@ -501,6 +510,10 @@ def main() -> None:
             },
             "headline_warm_lap_since_round": 8,
             "machine_state_markers_since_round": 12,
+            # round 13: settle lap also fires on high start load (the r12
+            # driver run had plenty of memory but load_1m 6.19 — the same
+            # host state, now absorbed instead of merely classified)
+            "settle_on_load_since_round": 13,
         },
         # Round-12 self-attribution markers (verdict #3): classify slot-1
         # drift from the artifact alone — low mem_available_mb at start +
@@ -510,6 +523,7 @@ def main() -> None:
             "pre_timing": state_pre_timing,
             "settle_lap": settle_lap,
             "settle_mem_mb_threshold": SETTLE_MEM_MB,
+            "settle_load_1m_threshold": SETTLE_LOAD_1M,
         },
     }
     if soak:

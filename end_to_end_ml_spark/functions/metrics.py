@@ -271,11 +271,20 @@ def two_level_rank(
             )
         # arithmetic entirely in BIGINT: a 32-bit tiebreak column spanning
         # more than 2^31 would otherwise overflow the int subtraction
-        # (ANSI raise) even though the span fits a long
+        # (ANSI raise) even though the span fits a long.
+        # NULL tiebreak RAISES (assert_true) instead of silently vanishing:
+        # a NULL here would yield a NULL __bkt, the row would be counted
+        # into the cell frame and n_total but never match the equi-join
+        # below — silent row loss on PK-contract misuse, against the
+        # module's loud-never-wrong rule (r12 ADVICE #1).
         bkt = F.expr(
+            f"CASE WHEN {tiebreak_col} IS NULL THEN CAST(assert_true(FALSE, "
+            f"'two_level_rank: NULL in tiebreak column {tiebreak_col} — the "
+            f"tiebreak must be a non-null PK (NULL rows would silently drop "
+            f"from the ranked output)') AS BIGINT) ELSE "
             f"(CAST({tiebreak_col} AS BIGINT) - CAST(__lo AS BIGINT)) div "
             f"greatest(1L, (CAST(__hi AS BIGINT) - CAST(__lo AS BIGINT)"
-            f" + {n_buckets}) div {n_buckets})"
+            f" + {n_buckets}) div {n_buckets}) END"
         )
         with_b = df.crossJoin(F.broadcast(id_bounds)).withColumn(
             "__bkt", bkt

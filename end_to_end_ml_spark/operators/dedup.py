@@ -1244,23 +1244,39 @@ def prefix_filter_jaccard_pairs(
         raise ValueError("threshold_x100 must be in [1, 100]")
     if ngram < 1:
         raise ValueError("ngram must be >= 1")
-    w = f"split(trim({text_col}), '\\\\s+')"
+    # The tokenization is BOUND to a real column before any higher-order
+    # lambda touches it (the repo rule of text.word_ngrams_from_tokens:
+    # Catalyst does not hoist subexpressions through HOF lambdas, so a raw
+    # split() inlined into the gram transform re-runs once per gram —
+    # O(words²) regex splits per document). Multi-use of a non-trivial
+    # aliased expression keeps CollapseProject from re-inlining it.
+    staged = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+    )
+    w = F.col("__w")
     if ngram == 1:
-        tok_expr = f"array_distinct({w})"
+        gram_expr = F.array_distinct(w)
     else:
         # w-shingling (Broder 1997): tokens are the distinct sliding word
         # n-grams. On corpora whose WORD vocabulary is tiny (so every doc
         # contains almost every word and word-level Jaccard saturates),
         # n-grams restore the rarity the prefix filter prunes on —
         # vocab grows ~|V|^n while per-doc token count stays ~|doc|.
-        tok_expr = (
-            f"array_distinct(CASE WHEN size({w}) < {ngram} THEN "
-            f"array() ELSE transform(sequence(1, size({w}) - {ngram - 1}), "
-            f"i -> concat_ws(' ', slice({w}, i, {ngram}))) END)"
+        # (Short-doc convention differs from word_ngrams_from_tokens —
+        # docs shorter than n yield NO grams, not a whole-doc gram — so
+        # the CASE is kept rather than reusing that helper.)
+        gram_expr = F.array_distinct(
+            F.when(F.size(w) < ngram, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (ngram - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, ngram)),
+                )
+            )
         )
-    toks = _spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.expr(tok_expr)).alias("token"),
+    toks = staged.select(
+        "doc",
+        F.explode(gram_expr).alias("token"),
     )
     from .ordinal import global_ordinal
 

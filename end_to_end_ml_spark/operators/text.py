@@ -1250,6 +1250,12 @@ dsir_weights_from_store` table) would silently drop unseen-bucket
             raise ValueError(
                 "pass floor_unseen=True OR unseen_bucket_weight, not both"
             )
+        if "weight" not in weights.columns:
+            raise ValueError(
+                "floor_unseen=True needs a weights frame with a 'weight' "
+                f"column (got columns {weights.columns}) — build it with "
+                "dsir_weights_from_counts/dsir_bucket_weights*"
+            )
         meta = weights.schema["weight"].metadata or {}
         if "scale_x" not in meta:
             raise ValueError(

@@ -8396,56 +8396,56 @@ REGISTRY["pipe13_dsir_curation"] = (pipe13_dsir_curation, PIPE13_SQL)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    "x7_domain_counts",
-    "dq2_corpus_expectations",
-    "q13_order_distribution",
-    "agg_pivot_event_matrix",
-    "q8_market_share",
-    "x21_lang_mismatch_audit",
-    "x11_token_rarity",
-    "fn_string_suite",
-    "ev5_daily_state_snapshot",
-    "t9b_replicated_sample",
-    "fn_window_suite",
-    "q22_idle_balances",
-    "ts1_hourly_downsample",
-    "pipe11_incremental_curation",
-    "mm4_payload_dup_groups",
-    "t8_kfold_audit",
-    "x14_data_card",
-    "emb2_label_centroids",
-    "x15_charset_audit",
-    "fn_date_suite",
-    "set2_lapsed_customers",
-    "ts9_arrival_completeness",
-    "set3_union_targets",
-    "emb3_int8_quantization",
-    "q2_min_cost_supplier",
-    "fn_higher_order_text_suite",
-    "q19_disjunctive_revenue",
-    "pipe2_corpus_mix",
-    "pipe4_shard_stats",
-    "d9_decontaminate",
-    "fn_range_frame_rolling_sum",
-    "a17_corr_components",
-    "q14_promo_revenue",
-    "fn_unpivot_order_metrics",
-    "s15_orc_roundtrip",
-    "mix3_epoch_expansion",
-    "f12_feature_hash_audit",
-    "skew3_key_skew_report",
-    "p14_winsorize",
-    "pack2_bin_summary",
-    "j5_customers_without_orders",
+    "d17_tile_dedup_rewrite",
+    "a19_brier_components",
+    "dq4_volume_anomaly",
+    "fn_udtf_word_rows",
+    "x10_vocabulary",
+    "q6_forecast_revenue",
+    "q17_small_qty_revenue",
+    "s14_snapshot_diff",
+    "a9_ece_multiclass",
+    "mix4_waterfill",
+    "pipe12_adaptive_ann_exact",
+    "mix5_dsir_selection",
+    "pipe13_dsir_curation",
+    "a10q_pr_curve_ap_quantized",
+    "a12q_roc_curve_quantized",
+    "a6q_roc_auc_quantized",
+    "d8_canonical_docs",
+    "d5_embedding_near_dup",
+    "ts3_time_weighted_avg",
+    "q20_above_avg_orders",
+    "q10_returned_items",
+    "s5_json_props",
+    "q18_large_volume_customers",
+    "a16_ks_drift",
+    "x8_winnow_fingerprints",
+    "ev3_scd2_history",
+    "s13_incremental_agg",
+    "fn_map_suite",
+    "x13_lexical_stats",
+    "ts6_ewma",
+    "q23_copurchase_pairs",
+    "t11_group_split",
+    "f13_robust_scale",
+    "mm2_frame_sample",
+    "set4_multiset_ops",
+    "p15_profile_columns",
+    "emb4_negative_pairs",
+    "agg_percentiles",
+    "skew2_salted_collect",
+    "pack1_sequence_packing",
+    "w5_topk_per_group",
+    "j2_split_overlap",
     "prof1_column_profile",
     "ml1b_validation_leaderboard",
-    "w7_pivot_matrix",
-    "h7_asha_schedule",
-    "sim1b_topk_sharded",
+    "sim1_topk_bruteforce",
     "ord1_global_ordinal",
+    "h7_asha_schedule",
     "m8q_threshold_sweep_quantized",
     "rj1_event_pairs",
-    "st_sessionize",
+    "st_hourly_window",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"

@@ -1216,6 +1216,13 @@ def test_dsir_floor_unseen_derives_scale_from_metadata(spark):
     bare = weights.select("bucket", (F2.col("weight") + 0).alias("weight"))
     with _pytest.raises(ValueError, match="no scale_x metadata"):
         text.dsir_scores(new_docs, "doc_id", "text", bare, floor_unseen=True)
+    # r12 ADVICE #2: a weights frame WITHOUT a 'weight' column must get the
+    # same descriptive ValueError, not a bare KeyError from the schema read
+    no_weight = weights.select("bucket")
+    with _pytest.raises(ValueError, match="'weight' column"):
+        text.dsir_scores(
+            new_docs, "doc_id", "text", no_weight, floor_unseen=True
+        )
 
 
 def test_dsir_score_overflow_raises_not_wraps(spark):

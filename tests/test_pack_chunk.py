@@ -1116,6 +1116,15 @@ def test_operational_loop_composes_three_systems(spark, tmp_path):
     out = run_operational_loop(spark, sf, work, budget_tokens=2000, n_epochs=3)
     assert len(out["nights"]) == 3
 
+    # r12 ADVICE #3: night<->store-version alignment depends on a fresh
+    # work_dir (one new feed file == one micro-batch == one version); a
+    # re-run against existing loop state must REFUSE loudly, not silently
+    # shift the version numbering
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="already holds loop state"):
+        run_operational_loop(spark, sf, work, budget_tokens=2000, n_epochs=3)
+
     docs = load_table(spark, sf, "documents")
     is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
     tgt = set(DSIR_TARGET_SOURCES)

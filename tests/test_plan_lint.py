@@ -313,3 +313,121 @@ def test_bench_and_plandump_lists_reference_live_queries():
             names |= set(re.findall(r'"([a-z][a-z0-9_]+)"', block))
         stale = names - live
         assert not stale, f"{path} references non-registry queries: {sorted(stale)}"
+
+
+def test_no_raw_tokenizer_inside_hof_lambda():
+    """Source-level guard for the O(words²) lambda re-split class (third
+    occurrence was d16, r12 VERDICT finding #1): Catalyst does not hoist
+    subexpressions through higher-order-function lambdas, so a raw
+    tokenizer expression (split / regexp_extract_all / sentences) inlined
+    into a SQL-string lambda body re-runs once per ELEMENT. The rule
+    (operators/text.py word_ngrams_from_tokens docstring): bind the token
+    array to a real column one select earlier, then reference the bound
+    attribute inside the lambda.
+
+    Two detectors over every non-test source file (docstrings skipped):
+    1. any string literal (incl. f-string templates destined for F.expr)
+       containing a SQL lambda arrow ``->`` with a tokenizer call inside
+       the lambda BODY (arrow → enclosing-paren close / same-depth comma);
+    2. any Python ``lambda`` passed to an HOF builder (F.transform /
+       aggregate / filter / exists / forall / zip_with / reduce) whose
+       body calls F.split / F.regexp_extract_all / F.sentences directly.
+    DuckDB oracle SQL is naturally exempt: its list lambdas operate on
+    bound aliases, and body-scoping keeps argument-position tokenizers
+    (e.g. list_transform(split(...), c -> ...)) from false-positive.
+    """
+    import ast
+    import pathlib
+    import re
+
+    src_root = pathlib.Path(__file__).resolve().parents[1] / "end_to_end_ml_spark"
+    tokenizers = ("split(", "regexp_extract_all(", "sentences(")
+    sql_lambda = re.compile(r"\w+\s*->")
+    hof_names = {"transform", "aggregate", "filter", "exists", "forall",
+                 "zip_with", "reduce"}
+    offenders: list[str] = []
+
+    def _lambda_body(s: str, start: int) -> str:
+        depth = 0
+        for i in range(start, len(s)):
+            c = s[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    return s[start:i]
+            elif c == "," and depth == 0:
+                return s[start:i]
+        return s[start:]
+
+    def _string_offends(s: str) -> bool:
+        return any(
+            t in _lambda_body(s, m.end())
+            for m in sql_lambda.finditer(s)
+            for t in tokenizers
+        )
+
+    class V(ast.NodeVisitor):
+        def __init__(self, path: str):
+            self.path = path
+
+        def visit_Constant(self, node: ast.Constant):
+            if isinstance(node.value, str) and _string_offends(node.value):
+                offenders.append(f"{self.path}:{node.lineno} (string literal)")
+
+        def visit_JoinedStr(self, node: ast.JoinedStr):
+            text = "".join(
+                v.value for v in node.values
+                if isinstance(v, ast.Constant) and isinstance(v.value, str)
+            )
+            if _string_offends(text):
+                offenders.append(f"{self.path}:{node.lineno} (f-string)")
+            # don't recurse: inner constants already concatenated
+
+        def visit_Call(self, node: ast.Call):
+            fname = None
+            if isinstance(node.func, ast.Attribute):
+                fname = node.func.attr
+            elif isinstance(node.func, ast.Name):
+                fname = node.func.id
+            if fname in hof_names:
+                for arg in list(node.args) + [k.value for k in node.keywords]:
+                    if isinstance(arg, ast.Lambda):
+                        for sub in ast.walk(arg.body):
+                            if (
+                                isinstance(sub, ast.Call)
+                                and isinstance(sub.func, (ast.Attribute, ast.Name))
+                                and (
+                                    sub.func.attr
+                                    if isinstance(sub.func, ast.Attribute)
+                                    else sub.func.id
+                                )
+                                in {"split", "regexp_extract_all", "sentences"}
+                            ):
+                                offenders.append(
+                                    f"{self.path}:{node.lineno} (Python HOF lambda)"
+                                )
+            self.generic_visit(node)
+
+    for py in sorted(src_root.rglob("*.py")):
+        tree = ast.parse(py.read_text(), filename=str(py))
+        # skip docstrings: blank the leading Expr-constant of every scope
+        for scope in ast.walk(tree):
+            if isinstance(
+                scope, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ) and scope.body:
+                first = scope.body[0]
+                if (
+                    isinstance(first, ast.Expr)
+                    and isinstance(first.value, ast.Constant)
+                    and isinstance(first.value.value, str)
+                ):
+                    first.value.value = ""
+        V(str(py.relative_to(src_root.parent))).visit(tree)
+
+    assert not offenders, (
+        "raw tokenizer expression inside an HOF lambda (O(words²) re-split "
+        "class — bind the token array to a column first, see "
+        "text.word_ngrams_from_tokens): " + "; ".join(offenders)
+    )

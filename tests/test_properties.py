@@ -730,3 +730,28 @@ def test_two_level_half_cut_equals_rank_window(spark, rows):
     }
     pos_expect = {doc: i + 1 for i, (doc, _) in enumerate(ordered)}
     assert pos_got == pos_expect
+
+
+def test_two_level_rank_null_tiebreak_raises_not_drops(spark):
+    """r12 ADVICE #1: a NULL tiebreak in the integral path used to yield a
+    NULL __bkt — the row was counted into the cell frame and n_total but
+    never matched the (score, __bkt) equi-join, so it VANISHED silently
+    while n_total still included it. The PK contract makes this misuse,
+    but misuse must RAISE (assert_true), not drop rows."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from end_to_end_ml_spark.functions import metrics as M
+
+    df = spark.createDataFrame(
+        [(1, 5), (None, 5), (3, 2)], "doc_id bigint, s bigint"
+    )
+    with _pytest.raises(SparkRuntimeException, match="NULL in tiebreak column"):
+        M.two_level_rank(df, "s", "doc_id", n_buckets=4).collect()
+    # non-null frames are untouched by the guard
+    ok = spark.createDataFrame([(1, 5), (2, 5), (3, 2)], "doc_id bigint, s bigint")
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in M.two_level_rank(ok, "s", "doc_id", n_buckets=4).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}

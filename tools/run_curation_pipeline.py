@@ -533,6 +533,21 @@ def run_operational_loop(
     dsir_store = os.path.join(work_dir, "dsir_store")
     checkpoint = os.path.join(work_dir, "ck")
     surv_src = os.path.join(work_dir, "survivor_feed")
+    # Night-to-version alignment (night e reads store v{e-1}) depends on
+    # each night's survivor feed being exactly one NEW file drained as
+    # exactly one micro-batch. A leftover file from a crashed prior run,
+    # or a re-run against an existing work_dir, silently shifts the
+    # version numbering — refuse loudly instead (r12 ADVICE #3).
+    stale = [
+        p for p in (dsir_store, checkpoint, surv_src)
+        if os.path.isdir(p) and os.listdir(p)
+    ]
+    if stale:
+        raise RuntimeError(
+            "run_operational_loop: work_dir already holds loop state "
+            f"({stale}) — the store version <-> night alignment would "
+            "silently shift. Point work_dir at a fresh directory."
+        )
     fp_store = None
     nights = []
     for e in range(n_epochs):
@@ -577,6 +592,17 @@ def run_operational_loop(
             stream, dsir_store, "is_tgt", "text", checkpoint,
             query_name=f"op_dsir_ingest_e{e}",
         )
+        # loud drift check: after night e's drain the store's newest
+        # snapshot must BE version e, or the night<->version contract the
+        # replay test (and dsir_weights_from_store) relies on is broken
+        versions = SE._snapshot_versions(dsir_store)
+        if not versions or versions[-1] != e:
+            raise RuntimeError(
+                f"run_operational_loop: after night {e}'s drain the DSIR "
+                f"store's snapshot versions are {versions} (expected "
+                f"latest == {e}) — survivor_feed produced more or fewer "
+                "micro-batches than one per night"
+            )
         for f in persisted:
             f.unpersist()
         nights.append({"epoch": e, "sources": stats_rows})
