@@ -1071,15 +1071,17 @@ def test_curation_multi_epoch_dsir_invariants(spark, tmp_path):
         assert all(r["doc_id"] % 3 == e for r in rows)
 
 
-def test_operational_loop_composes_three_systems(spark, tmp_path):
-    """round-11 verdict #4 — the full production loop in ONE session:
-    run_operational_loop drives (1) streaming DSIR store maintenance
-    (stream_dsir_counts_ingest over each night's survivor feed), (2)
-    nightly epoch curation CONSUMING that store (night 0 self-merge
-    bootstrap; nights 1-2 score against dsir_weights_from_store with
-    the metadata-derived unseen floor), and (3) the ANN probe-then-add
-    maintenance loop — then cross-system invariants are replayed from
-    the on-disk artifacts with library pieces:
+def test_operational_loop_composes_four_systems(spark, tmp_path):
+    """round-11 verdict #4 + round-12 verdict #5 — the full production
+    loop in ONE session: run_operational_loop drives (1) streaming DSIR
+    store maintenance (stream_dsir_counts_ingest over each night's
+    survivor feed), (2) nightly epoch curation CONSUMING that store
+    (night 0 self-merge bootstrap; nights 1-2 score against
+    dsir_weights_from_store with the metadata-derived unseen floor),
+    (3) the ANN probe-then-add maintenance loop, and (4) MinHash
+    near-dup maintenance (raw batch probes the persisted survivor LSH
+    index, O(batch) index adds) — then cross-system invariants are
+    replayed from the on-disk artifacts with library pieces:
 
     (1) STORE PARITY: the streaming store's latest version equals the
         SUM-merge of batch-operator counts over each night's replayed
@@ -1093,7 +1095,12 @@ def test_operational_loop_composes_three_systems(spark, tmp_path):
         scored against store version e-1 with floor_unseen=True —
         replayed from dsir_store/v{e-1} on disk;
     (4) ANN TRAJECTORY: one stats row per night with a sane
-        pruned_fraction/mode, pairs written per epoch."""
+        pruned_fraction/mode, pairs written per epoch;
+    (5) MINHASH PROBE == cross-split slice of the FULL pair set over
+        (night-e raw batch ∪ prior-night survivors) — the pipe8
+        equivalence, replayed from the on-disk pairs artifacts — and
+        the index store grew by exactly one per-night append whose ids
+        are exactly the survivors."""
     import math
     import os
     import sys
@@ -1244,6 +1251,63 @@ def test_operational_loop_composes_three_systems(spark, tmp_path):
             os.path.join(work, "ann", "pairs", f"epoch={row['epoch']}")
         )
     assert ann["index_rows"] > 0
+
+    # (5) MinHash probe pairs == cross-split slice of the full pair set
+    # over (night-e raw batch ∪ prior-night survivors). Identical hash
+    # family/seed/banding on both paths, so this is EXACT equality (the
+    # pinned test_minhash_probe_matches_full_pairs argument), replayed
+    # from the pairs parquet the loop wrote.
+    from end_to_end_ml_spark.operators import dedup
+
+    total_probe_pairs = 0
+    for e in (1, 2):
+        got = {
+            (r["new_id"], r["hist_id"], round(r["jaccard_sim"], 9))
+            for r in spark.read.parquet(
+                os.path.join(out["minhash_pairs"], f"epoch={e}")
+            ).collect()
+        }
+        batch_e = docs.filter(F.col("doc_id") % 3 == e).select("doc_id", "text")
+        hist = surv_by_night[0].select("doc_id", "text")
+        for h in range(1, e):
+            hist = hist.unionByName(surv_by_night[h].select("doc_id", "text"))
+        hist_ids = {r["doc_id"] for r in hist.select("doc_id").collect()}
+        full = dedup.minhash_dedup_pairs(
+            batch_e.unionByName(hist), "doc_id", "text",
+            threshold=0.5, shingle_size=5,
+        )
+        want = set()
+        for r in full.collect():
+            a, b = r["id_a"], r["id_b"]
+            j = round(r["jaccard_sim"], 9)
+            if a % 3 == e and b in hist_ids:
+                want.add((a, b, j))
+            elif b % 3 == e and a in hist_ids:
+                want.add((b, a, j))
+        assert got == want
+        assert out["nights"][e]["minhash_pairs"] == len(got)
+        total_probe_pairs += len(got)
+    assert total_probe_pairs > 0, (
+        "no cross-night near-dup probe pair at sf0.001 — invariant vacuous"
+    )
+    # index adds: exactly one per-night append, ids == the survivor set
+    for sub in ("sig", "bands"):
+        subdirs = sorted(
+            d
+            for d in os.listdir(os.path.join(out["minhash_index"], sub))
+            if d.startswith("epoch=")
+        )
+        assert subdirs == ["epoch=0", "epoch=1", "epoch=2"]
+    idx_ids = {
+        r["id"]
+        for r in spark.read.parquet(os.path.join(out["minhash_index"], "sig"))
+        .select("id")
+        .collect()
+    }
+    surv_ids = {
+        r["doc_id"] for s in surv_by_night for r in s.select("doc_id").collect()
+    }
+    assert idx_ids == surv_ids
 
     for s in surv_by_night:
         s.unpersist()

@@ -490,9 +490,11 @@ def run_operational_loop(
     n_epochs: int = 3,
     dsir_frac: float = 0.5,
     ann_threshold: float = 0.4,
+    minhash_threshold: float = 0.5,
 ):
-    """ONE production session driving the three independently-pinned
-    systems together across ``n_epochs`` nights (round-11 verdict #4 —
+    """ONE production session driving the FOUR independently-pinned
+    systems together across ``n_epochs`` nights (round-11 verdict #4
+    composed the first three; round-13 adds the MinHash near-dup probe —
     the pieces were pairwise-pinned; this composes them end-to-end):
 
       1. STREAMING DSIR store maintenance: each night's curation
@@ -517,12 +519,30 @@ def run_operational_loop(
          (tools/run_ann_maintenance.maintain_epochs): probe-then-add
          against the live IVF index, pairs written under
          ``work_dir/ann``, pruned_fraction trajectory recorded.
+      4. MINHASH NEAR-DUP MAINTENANCE on the same epochs (round-12
+         verdict #5 — the composition story's near-dup gap): night e's
+         RAW ingest batch PROBES the persisted LSH index of nights < e's
+         SURVIVORS (dedup.minhash_probe_pairs over a dedup.MinHashIndex
+         read from the on-disk store — candidates only where batch meets
+         history in a band, never history×history), pairs land under
+         ``work_dir/minhash/epoch={e}``; then the night's survivor
+         signature and band rows are APPENDED to
+         ``work_dir/mh_index/{sig,bands}`` — an O(night batch) index
+         add, no rebuild, exactly the probe-then-add shape the ANN loop
+         runs. The RAW batch (not the survivors) probes because the
+         exact-fingerprint system already collapses prefix-sharing
+         near-dups out of the survivor set — the probe is the audit that
+         catches what the prefix-8 fingerprint admits/misses. Same hash
+         family / seed / shingles as pipe8, so each night's probe pairs
+         equal the cross-split slice of the full pair set over
+         (night-e batch ∪ prior survivors) — replayed from disk by the
+         e2e test.
 
     Returns a JSON-able dict: per-night curation stats rows, the ANN
     stats, and the store paths. Cross-system invariants (streaming
     store == batch replay of the survivor counts, no fingerprint
     readmitted, floor engagement, trajectory shape) are asserted by
-    tests/test_pack_chunk.py::test_operational_loop_composes_three_systems."""
+    tests/test_pack_chunk.py::test_operational_loop_composes_four_systems."""
     from end_to_end_ml_spark.streaming import events as SE
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -538,8 +558,11 @@ def run_operational_loop(
     # exactly one micro-batch. A leftover file from a crashed prior run,
     # or a re-run against an existing work_dir, silently shifts the
     # version numbering — refuse loudly instead (r12 ADVICE #3).
+    mh_sig_dir = os.path.join(work_dir, "mh_index", "sig")
+    mh_bands_dir = os.path.join(work_dir, "mh_index", "bands")
+    mh_pairs_dir = os.path.join(work_dir, "minhash")
     stale = [
-        p for p in (dsir_store, checkpoint, surv_src)
+        p for p in (dsir_store, checkpoint, surv_src, mh_sig_dir, mh_pairs_dir)
         if os.path.isdir(p) and os.listdir(p)
     ]
     if stale:
@@ -578,6 +601,27 @@ def run_operational_loop(
         new_store.write.mode("overwrite").parquet(version_dir)
         fp_store = spark.read.parquet(version_dir)
         stats_rows = [r.asDict() for r in stats.collect()]
+        # --- system 4: MinHash near-dup probe (BEFORE tonight's feed /
+        # index rows land, so history is exactly nights < e) ---
+        from end_to_end_ml_spark.operators import dedup as DD
+
+        surv = persisted[0]
+        n_mh_pairs = 0
+        if e > 0:
+            idx = DD.MinHashIndex(
+                spark.read.parquet(mh_sig_dir).persist(),
+                spark.read.parquet(mh_bands_dir).persist(),
+                (True, True),
+                num_hashes=64, bands=16, seed=42, shingle_size=5,
+            )
+            hist_text = spark.read.parquet(surv_src).select("doc_id", "text")
+            pair_dir = os.path.join(mh_pairs_dir, f"epoch={e}")
+            DD.minhash_probe_pairs(
+                batch.select("doc_id", "text"), hist_text, "doc_id", "text",
+                threshold=minhash_threshold, shingle_size=5, index=idx,
+            ).write.mode("overwrite").parquet(pair_dir)
+            n_mh_pairs = spark.read.parquet(pair_dir).count()
+            idx.unpersist()
         # feed tonight's survivors to the stream (one file per night so
         # each drain is one micro-batch = one store version), then drain
         persisted[0].select(
@@ -603,9 +647,22 @@ def run_operational_loop(
                 f"latest == {e}) — survivor_feed produced more or fewer "
                 "micro-batches than one per night"
             )
+        # O(night batch) index ADD — tonight's signature and band rows
+        # append as epoch subdirs; no rebuild of the history index. Bands
+        # derive from the just-written signature file (one read, no
+        # signature recompute).
+        sig_dir_e = os.path.join(mh_sig_dir, f"epoch={e}")
+        DD.minhash_signatures_agg(
+            DD._spread(surv), "doc_id", DD.char_shingles("text", 5)
+        ).write.mode("overwrite").parquet(sig_dir_e)
+        DD._banded(spark.read.parquet(sig_dir_e), 64, 16).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(mh_bands_dir, f"epoch={e}"))
         for f in persisted:
             f.unpersist()
-        nights.append({"epoch": e, "sources": stats_rows})
+        nights.append(
+            {"epoch": e, "sources": stats_rows, "minhash_pairs": n_mh_pairs}
+        )
     _, ann_stats = maintain_epochs(
         spark,
         sf_dir,
@@ -621,6 +678,8 @@ def run_operational_loop(
         "dsir_store": dsir_store,
         "fp_store": os.path.join(work_dir, "fp_store"),
         "survivor_feed": surv_src,
+        "minhash_index": os.path.join(work_dir, "mh_index"),
+        "minhash_pairs": mh_pairs_dir,
     }
 
 
