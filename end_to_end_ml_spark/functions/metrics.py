@@ -272,16 +272,22 @@ def two_level_rank(
         # arithmetic entirely in BIGINT: a 32-bit tiebreak column spanning
         # more than 2^31 would otherwise overflow the int subtraction
         # (ANSI raise) even though the span fits a long.
-        # NULL tiebreak RAISES (assert_true) instead of silently vanishing:
-        # a NULL here would yield a NULL __bkt, the row would be counted
-        # into the cell frame and n_total but never match the equi-join
-        # below — silent row loss on PK-contract misuse, against the
-        # module's loud-never-wrong rule (r12 ADVICE #1).
+        # NULL tiebreak or NULL score RAISES (assert_true) instead of
+        # silently vanishing: a NULL in either would leave the row counted
+        # into the cell frame and n_total but never matched by the
+        # (score, __bkt) equi-join below — silent row loss on contract
+        # misuse, against the module's loud-never-wrong rule (r12 ADVICE
+        # #1; the score case found by the same-class self-review).
         bkt = F.expr(
             f"CASE WHEN {tiebreak_col} IS NULL THEN CAST(assert_true(FALSE, "
             f"'two_level_rank: NULL in tiebreak column {tiebreak_col} — the "
             f"tiebreak must be a non-null PK (NULL rows would silently drop "
-            f"from the ranked output)') AS BIGINT) ELSE "
+            f"from the ranked output)') AS BIGINT) "
+            f"WHEN {score_col} IS NULL THEN CAST(assert_true(FALSE, "
+            f"'two_level_rank: NULL in score column {score_col} — NULL-score "
+            f"rows would silently drop from the ranked output (and NULL "
+            f"ordering differs across engines); filter or coalesce them "
+            f"first') AS BIGINT) ELSE "
             f"(CAST({tiebreak_col} AS BIGINT) - CAST(__lo AS BIGINT)) div "
             f"greatest(1L, (CAST(__hi AS BIGINT) - CAST(__lo AS BIGINT)"
             f" + {n_buckets}) div {n_buckets}) END"
@@ -290,7 +296,20 @@ def two_level_rank(
             "__bkt", bkt
         ).drop("__lo", "__hi")
     else:
-        with_b = df.withColumn("__bkt", F.lit(0))
+        # the non-integral fallback has no bucket arithmetic to piggyback
+        # on, but the same NULL-score silent-drop applies — same guard.
+        # (A NULL tiebreak here is harmless: __bkt is constant, so the row
+        # still matches the join and just sorts NULLS FIRST.)
+        with_b = df.withColumn(
+            "__bkt",
+            F.expr(
+                f"CASE WHEN {score_col} IS NULL THEN CAST(assert_true(FALSE, "
+                f"'two_level_rank: NULL in score column {score_col} — "
+                f"NULL-score rows would silently drop from the ranked output "
+                f"(and NULL ordering differs across engines); filter or "
+                f"coalesce them first') AS INT) ELSE 0 END"
+            ),
+        )
     ranked = with_b.withColumn(
         "__r_in",
         F.row_number().over(

@@ -325,7 +325,8 @@ def test_no_raw_tokenizer_inside_hof_lambda():
     array to a real column one select earlier, then reference the bound
     attribute inside the lambda.
 
-    Two detectors over every non-test source file (docstrings skipped):
+    Two detectors over every non-test source file — the package, tools/,
+    bench.py, __spark_entry__.py — (docstrings skipped):
     1. any string literal (incl. f-string templates destined for F.expr)
        containing a SQL lambda arrow ``->`` with a tokenizer call inside
        the lambda BODY (arrow → enclosing-paren close / same-depth comma);
@@ -410,7 +411,14 @@ def test_no_raw_tokenizer_inside_hof_lambda():
                                 )
             self.generic_visit(node)
 
-    for py in sorted(src_root.rglob("*.py")):
+    repo_root = src_root.parent
+    extra = [repo_root / "bench.py", repo_root / "__spark_entry__.py"]
+    files = (
+        sorted(src_root.rglob("*.py"))
+        + sorted((repo_root / "tools").glob("*.py"))
+        + [p for p in extra if p.exists()]
+    )
+    for py in files:
         tree = ast.parse(py.read_text(), filename=str(py))
         # skip docstrings: blank the leading Expr-constant of every scope
         for scope in ast.walk(tree):
@@ -424,7 +432,7 @@ def test_no_raw_tokenizer_inside_hof_lambda():
                     and isinstance(first.value.value, str)
                 ):
                     first.value.value = ""
-        V(str(py.relative_to(src_root.parent))).visit(tree)
+        V(str(py.relative_to(repo_root))).visit(tree)
 
     assert not offenders, (
         "raw tokenizer expression inside an HOF lambda (O(words²) re-split "

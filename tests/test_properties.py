@@ -739,15 +739,30 @@ def test_two_level_rank_null_tiebreak_raises_not_drops(spark):
     while n_total still included it. The PK contract makes this misuse,
     but misuse must RAISE (assert_true), not drop rows."""
     import pytest as _pytest
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from end_to_end_ml_spark.functions import metrics as M
 
+    # match on the message, not a concrete exception class: a single-stage
+    # failure surfaces as SparkRuntimeException, but AQE can merge several
+    # failing stage materializations into a wrapping SparkException
     df = spark.createDataFrame(
         [(1, 5), (None, 5), (3, 2)], "doc_id bigint, s bigint"
     )
-    with _pytest.raises(SparkRuntimeException, match="NULL in tiebreak column"):
+    with _pytest.raises(Exception, match="NULL in tiebreak column"):
         M.two_level_rank(df, "s", "doc_id", n_buckets=4).collect()
+    # same class, same loudness for a NULL SCORE (found by self-review:
+    # a NULL score never matches the (score, __bkt) equi-join either) —
+    # in BOTH the integral and the non-integral tiebreak paths
+    df2 = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 2)], "doc_id bigint, s bigint"
+    )
+    with _pytest.raises(Exception, match="NULL in score column"):
+        M.two_level_rank(df2, "s", "doc_id", n_buckets=4).collect()
+    df3 = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", 2)], "k string, s bigint"
+    )
+    with _pytest.raises(Exception, match="NULL in score column"):
+        M.two_level_rank(df3, "s", "k", n_buckets=4).collect()
     # non-null frames are untouched by the guard
     ok = spark.createDataFrame([(1, 5), (2, 5), (3, 2)], "doc_id bigint, s bigint")
     got = {
