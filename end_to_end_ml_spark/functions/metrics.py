@@ -819,30 +819,63 @@ def _doubled_tie_ranks(
     levels), a raw numeric column's DISTINCT cardinality grows with the
     data, so a single prefix window over the per-value counts would be a
     one-task scale-killer. The prefix sum is therefore two-level, the
-    global_ordinal pattern applied to weighted counts: approx-percentile
-    boundaries collected once and frozen as literals -> row-local bucket
-    -> per-bucket row-count totals prefix-summed over the BOUNDED bucket
-    aggregate -> within-bucket prefix windows partitioned by bucket.
-    cum_less = bucket offset + within-bucket prefix; boundary placement
-    only affects balance, never the ranks."""
+    global_ordinal pattern applied to weighted counts: bucket the
+    DISTINCT-value table monotonically -> per-bucket row-count totals
+    prefix-summed over the BOUNDED bucket aggregate -> within-bucket
+    prefix windows partitioned by bucket. cum_less = bucket offset +
+    within-bucket prefix; bucket placement only affects balance, never
+    the ranks (any MONOTONE bucketing of the value yields identical
+    output).
+
+    Bucketing (round-13 optimization): for INTEGRAL columns the bucket
+    is the two_level_rank order-preserving range bucket,
+    (v − lo) div ceil(span/B), with lo/hi riding a 1-row broadcast agg —
+    entirely IN-PLAN, no driver action. The previous percentile_approx
+    sketch (one extra full-input pass + a driver collect per column) was
+    the dominant cost of a18 at sf0.1 (3.96 → 2.38 s min-of-5
+    alternating A/B, identical output); it remains as the fallback for
+    non-integral columns and callers passing explicit ``boundaries``.
+    Residual: value-range skew can unbalance range buckets where the
+    percentile sketch balanced them — only the within-bucket window's
+    balance is affected, and the quantized-integer columns this path
+    serves are range-bounded by construction."""
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
-    if boundaries is None:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        raw = []
-        if probs:
-            raw = (
-                df.agg(
-                    F.percentile_approx(F.col(col).cast("double"), probs).alias("b")
-                ).collect()[0]["b"]
-                or []
-            )
-        from ..operators.ordinal import dedup_boundaries
+    dtype = dict(df.dtypes)[col]
+    if boundaries is None and dtype in _INTEGRAL_DTYPES:
+        # min/max over the distinct-value table == min/max over df, and
+        # riding on `counts` lets the exchange be reused instead of
+        # paying another full-input scan
+        bounds = counts.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"))
+        bkt = F.expr(
+            f"(CAST({col} AS BIGINT) - CAST(__lo AS BIGINT)) div "
+            f"greatest(1L, (CAST(__hi AS BIGINT) - CAST(__lo AS BIGINT)"
+            f" + {n_buckets}) div {n_buckets})"
+        )
+        counts = (
+            counts.crossJoin(F.broadcast(bounds))
+            .withColumn("__bkt", bkt)
+            .drop("__lo", "__hi")
+        )
+    else:
+        if boundaries is None:
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            raw = []
+            if probs:
+                raw = (
+                    df.agg(
+                        F.percentile_approx(
+                            F.col(col).cast("double"), probs
+                        ).alias("b")
+                    ).collect()[0]["b"]
+                    or []
+                )
+            from ..operators.ordinal import dedup_boundaries
 
-        boundaries = dedup_boundaries(raw)
-    from ..operators.ordinal import bucket_expr
+            boundaries = dedup_boundaries(raw)
+        from ..operators.ordinal import bucket_expr
 
-    key = F.col(col).cast("double")
-    counts = counts.withColumn("__bkt", bucket_expr(key, boundaries))
+        key = F.col(col).cast("double")
+        counts = counts.withColumn("__bkt", bucket_expr(key, boundaries))
 
     totals = counts.groupBy("__bkt").agg(F.sum("__cnt").alias("__bn"))
     off_w = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -891,20 +924,28 @@ def spearman_components(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     # before pairing would let half-missing rows shift the other column's
     # ranks non-uniformly and bias rho
     df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    # one pass sketches both columns' bucket boundaries (frozen literals)
-    probs = [i / 32 for i in range(1, 32)]
-    brow = df.agg(
-        F.percentile_approx(F.col(x_col).cast("double"), probs).alias("bx"),
-        F.percentile_approx(F.col(y_col).cast("double"), probs).alias("by"),
-    ).collect()[0]
-    from ..operators.ordinal import dedup_boundaries
+    dtypes = dict(df.dtypes)
+    if dtypes[x_col] in _INTEGRAL_DTYPES and dtypes[y_col] in _INTEGRAL_DTYPES:
+        # round-13: integral columns take _doubled_tie_ranks' in-plan
+        # range-bucket path — no percentile sketch, no driver collect
+        rx = _doubled_tie_ranks(df, x_col, "__r2x")
+        ry = _doubled_tie_ranks(df, y_col, "__r2y")
+    else:
+        # one pass sketches both columns' bucket boundaries (frozen
+        # literals)
+        probs = [i / 32 for i in range(1, 32)]
+        brow = df.agg(
+            F.percentile_approx(F.col(x_col).cast("double"), probs).alias("bx"),
+            F.percentile_approx(F.col(y_col).cast("double"), probs).alias("by"),
+        ).collect()[0]
+        from ..operators.ordinal import dedup_boundaries
 
-    rx = _doubled_tie_ranks(
-        df, x_col, "__r2x", boundaries=dedup_boundaries(brow["bx"])
-    )
-    ry = _doubled_tie_ranks(
-        df, y_col, "__r2y", boundaries=dedup_boundaries(brow["by"])
-    )
+        rx = _doubled_tie_ranks(
+            df, x_col, "__r2x", boundaries=dedup_boundaries(brow["bx"])
+        )
+        ry = _doubled_tie_ranks(
+            df, y_col, "__r2y", boundaries=dedup_boundaries(brow["by"])
+        )
     ranked = df.select(x_col, y_col).join(rx, x_col).join(ry, y_col)
     r2x = F.col("__r2x").cast(dec)
     r2y = F.col("__r2y").cast(dec)

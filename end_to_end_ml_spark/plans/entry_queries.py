@@ -8191,7 +8191,20 @@ def pipe13_dsir_curation(spark, sf_dir):
     unpartitioned window runs over the (score, bucket) cell frame
     (≤ |distinct scores|·B rows), never over |pool docs|. Weight
     building is the single-scan conditional aggregate
-    (dsir_bucket_weights_from_flag) over the survivor frame."""
+    (dsir_bucket_weights_from_flag) over the survivor frame.
+
+    Round-13 (optimization): the three frames referenced by more than one
+    downstream consumer — surv (weights + scored + the target half of
+    admitted_pop), the scored rank input (two_level_rank reads it for
+    level-1 rows AND the cell frame), and admitted_pop (budget rates +
+    the final admit join) — are localCheckpoint(eager=False)-materialized.
+    Without this the composed plan re-derived the gopher+keeper survivor
+    subtree once per reference (40 parquet scans of documents in ONE
+    plan, no ReusedExchange across the differing consumers); with it each
+    stage computes once per execution (guide §5: reuse + recompute-cost
+    rule; nothing persists across invocations — the checkpoint lives and
+    dies inside a single run). Measured 5.04→3.18 s min-of-5 alternating
+    A/B at sf0.1, identical output."""
     from ..operators import text as TX
 
     docs = load_table(spark, sf_dir, "documents")
@@ -8211,6 +8224,7 @@ def pipe13_dsir_curation(spark, sf_dir):
         .withColumn("__rn", F.row_number().over(w_fp))
         .filter((F.col("__rn") == 1) & F.col("source").isNotNull())
         .select("doc_id", "source", "text", "n_words")
+        .localCheckpoint(eager=False)
     )
     is_target = F.col("source").isin(*_DSIR_TARGET_SOURCES)
     weights = TX.dsir_bucket_weights_from_flag(surv, is_target, "text")
@@ -8231,7 +8245,7 @@ def pipe13_dsir_curation(spark, sf_dir):
                 "source",
                 "n_words",
                 F.col("dsir_score_q").alias("s"),
-            ),
+            ).localCheckpoint(eager=False),
             "s",
             "doc_id",
             id_bounds=id_bounds,
@@ -8242,6 +8256,7 @@ def pipe13_dsir_curation(spark, sf_dir):
     admitted_pop = (
         surv.filter(is_target).select("doc_id", "source", "n_words")
         .unionByName(sel)
+        .localCheckpoint(eager=False)
     )
     rates = split.token_budget_allocation(
         admitted_pop, "source", "n_words", budget_tokens=5_000,
