@@ -716,6 +716,69 @@ def bpe_train(
     )
 
 
+def _bpe_rounds_driver(
+    word_rows: list[tuple[int, list[str]]],
+    n_merges: int,
+    merges_per_round: int,
+    min_pair_freq: int,
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side replica of the batched merge rounds, step-for-step
+    identical to the distributed loop in :func:`bpe_train_batched` —
+    INCLUDING the candidate-pool truncation (top ``max(64, 8·want)`` rows
+    in (pf DESC, l, r) order; the distributed side only ever sees that
+    prefix, and a driver path that scanned further could pick a pair the
+    distributed path would not). Pair counts are exact integer sums of
+    word frequencies, ties break lexicographically, the greedy
+    disjointness guard and the LTR fold are the same — so the returned
+    merge table is bit-identical to the distributed loop's on the same
+    word-frequency table (pinned by the parity pytest that runs both
+    paths)."""
+    words = list(word_rows)
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < n_merges:
+        want = min(merges_per_round, n_merges - len(merges))
+        pool = max(64, 8 * want)
+        pf: dict[tuple[str, str], int] = {}
+        for freq, sym in words:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pf[p] = pf.get(p, 0) + freq
+        cand = sorted(
+            pf.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:pool]
+        used: set[str] = set()
+        picked: list[tuple[str, str, int]] = []
+        for (left, right), f in cand:
+            if f < min_pair_freq:
+                break
+            m = left + right
+            if left in used or right in used or m in used:
+                continue
+            picked.append((left, right, f))
+            used.update((left, right, m))
+            if len(picked) >= want:
+                break
+        if not picked:
+            break
+        for left, right, f in picked:
+            merges.append((len(merges), left, right, left + right, f))
+        rules = {(left, right): left + right for left, right, _ in picked}
+        nxt = []
+        for freq, sym in words:
+            out: list[str] = []
+            for s in sym:
+                # same shape as the distributed fold: merge with the
+                # fold's LAST element (disjointness forbids cascades, so
+                # this equals the i+=2 LTR form of the reference)
+                if out and (out[-1], s) in rules:
+                    out[-1] = rules[(out[-1], s)]
+                else:
+                    out.append(s)
+            nxt.append((freq, out))
+        words = nxt
+    return merges
+
+
 def bpe_train_batched(
     df: DataFrame,
     text_col: str,
@@ -723,6 +786,7 @@ def bpe_train_batched(
     merges_per_round: int = 32,
     min_pair_freq: int = 2,
     ckpt_every: int = 4,
+    driver_vocab_rows: int = 65536,
 ) -> list[tuple[int, str, str, str, int]]:
     """Distributed BPE merge-table training at production merge counts —
     the "tokenizer-training" step of an LLM data pipeline. The classic
@@ -785,6 +849,30 @@ def bpe_train_batched(
     )
     if merges_per_round <= 0:
         raise ValueError("merges_per_round must be positive")
+    # Round-13 optimization (guide §1.2: fix the distributed algorithm's
+    # constant factors only where they matter): the merge rounds operate
+    # on the DISTINCT-word frequency table, which is vocabulary-sized —
+    # orders of magnitude smaller than the corpus and already collapsed
+    # by the one corpus-wide groupBy above. When it fits comfortably on
+    # the driver (<= driver_vocab_rows rows; the per-round candidate
+    # collect already ships a slice of it), run the rounds driver-side:
+    # a 15-round k=1 schedule on this corpus's 31-word vocab was paying
+    # ~0.25 s of job-launch + codegen + lineage-replay overhead PER ROUND
+    # for sub-microsecond data work (measured at sf0.1, min-of-5:
+    # x16 3.33 -> 1.20 s, x16b 3.34 -> 0.95 s; merge tables verified
+    # identical across both paths on all three SFs and all three bench
+    # parameter combos — the parity pytest drives both paths). The count()
+    # gate is cheap (the table is eagerly checkpointed) and at
+    # production vocabularies (> driver_vocab_rows distinct words) the
+    # distributed rounds below run exactly as before.
+    if words.count() <= driver_vocab_rows:
+        rows = words.select("freq", "sym").collect()
+        return _bpe_rounds_driver(
+            [(r["freq"], list(r["sym"])) for r in rows],
+            n_merges,
+            merges_per_round,
+            min_pair_freq,
+        )
     SEP = "\x00"
     merges: list[tuple[int, str, str, str, int]] = []
     rounds = 0

@@ -582,6 +582,14 @@ class TestBpeTrain:
             )
             assert got == self._reference_bpe_batched(corpus, 12, k)
             assert len(got) == 12
+            # the round-13 small-vocab driver path (taken by default on
+            # this corpus) must be bit-identical to the distributed
+            # rounds (forced with driver_vocab_rows=0) — both against
+            # the same reference
+            assert got == text.bpe_train_batched(
+                df, "text", n_merges=12, merges_per_round=k,
+                driver_vocab_rows=0,
+            )
 
     def test_batched_k1_equals_sequential(self, spark):
         """k=1 batched IS the classic algorithm (bpe_train delegates)."""
