@@ -310,6 +310,15 @@ def two_level_rank(
                 f"coalesce them first') AS INT) ELSE 0 END"
             ),
         )
+    # round-13: with_b feeds BOTH the level-1 window and the cell frame —
+    # without materialization the caller's upstream (often an expensive
+    # scored composition, e.g. pipe13's survivor scoring) computed twice
+    # per execution, and three times when the default id_bounds agg reads
+    # it too. One lazy localCheckpoint bounds that to once (a13 1.20 →
+    # 0.98 s min-of-6 alternating A/B at sf0.1; cells and n_total also
+    # come out of the materialized frame). Note cells/__r_in still share
+    # the (score, __bkt) exchange when AQE reuses it.
+    with_b = with_b.localCheckpoint(eager=False)
     ranked = with_b.withColumn(
         "__r_in",
         F.row_number().over(

@@ -1073,6 +1073,16 @@ def _span_intervals(df: DataFrame, id_col: str, text_col: str, n: int):
             )
         ).alias("pos", "g"),
     )
+    # round-13 optimization: the positional-gram explode (tokenize +
+    # per-window md5 — the dominant per-row CPU of the span family) feeds
+    # BOTH the dup aggregate and the hit join below; without
+    # materialization it computed twice per execution. One lazy
+    # localCheckpoint makes it compute once (d10 2.69 → 1.78 s min-of-5
+    # alternating A/B at sf0.1, identical output; the checkpoint lives
+    # inside a single run). At scale the gram frame is O(total tokens) ×
+    # ~28 B/row — the same order as the shuffle both consumers already
+    # pay, and it spills to local disk like any shuffle write.
+    grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__occ"))

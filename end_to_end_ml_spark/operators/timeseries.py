@@ -428,13 +428,32 @@ def countmin_sketch(
     col, cnt) — merging is a plain SUM groupBy, and each bucket carries
     at most d·w rows regardless of cardinality.
 
-    Shape: one explode to d lanes (d is 4, not data-sized) + one partial-
-    agg groupBy — Zipf keys absorb map-side exactly like a raw count."""
+    Shape (round-13 optimization): one partial-agg groupBy collapses the
+    raw rows to DISTINCT (bucket, key) counts FIRST, then the d-lane
+    explode and the md5 lane hash run over that bounded frame — the hash
+    depends only on (lane, key), so hashing once per distinct key per
+    bucket and SUMming the pre-counts yields bit-identical counters to
+    hashing every raw row (the ts7 oracle rebuilds the naive form in SQL
+    and still matches). This moves the md5 work from O(d·rows) to
+    O(d·distinct keys per bucket) — on Zipf keys orders of magnitude
+    less — and the first groupBy absorbs the Zipf head map-side exactly
+    like a raw count (measured ts7 1.89 → 1.41 s min-of-5 alternating
+    A/B at sf0.1; the second groupBy input is ≤ d·w rows per bucket
+    after partial aggregation)."""
     from pyspark.sql import functions as F
 
-    lanes = df.select(
-        bucket_expr.alias("bucket"),
-        F.col(key_col).cast("string").alias("__k"),
+    per_key = (
+        df.select(
+            bucket_expr.alias("bucket"),
+            F.col(key_col).cast("string").alias("__k"),
+        )
+        .groupBy("bucket", "__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    lanes = per_key.select(
+        "bucket",
+        "__k",
+        "__c",
         F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row_i"),
     )
     col = (
@@ -446,7 +465,7 @@ def countmin_sketch(
         % w
     )
     return lanes.groupBy("bucket", "row_i", col.alias("col")).agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("__c").alias("cnt")
     )
 
 

@@ -1442,6 +1442,11 @@ def ml1b_validation_leaderboard(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("__s"),
         F.count(F.lit(1)).alias("__n"),
     )
+    # round-13: the labeled frame is consumed by the split validator's
+    # driver action AND by every subtree of the bucketed-rank split
+    # (~5 recomputations of the join+total-agg lineage, 24 parquet scans
+    # in one plan); one lazy localCheckpoint makes it compute once
+    # (2.36 → 1.52 s min-of-5 alternating A/B at sf0.1, identical rows)
     labeled = df.join(F.broadcast(tot)).select(
         "o_orderkey",
         (
@@ -1450,7 +1455,7 @@ def ml1b_validation_leaderboard(spark, sf_dir):
         )
         .cast("int")
         .alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     valid = split.stratified_split_column(
         labeled, "y", "o_orderkey", 0.8
     ).filter(F.col("split") == "test")
@@ -6060,23 +6065,36 @@ def d12_source_overlap_matrix(spark, sf_dir):
     # query's dominant cost) onto a single core; at 100 TB the file count
     # provides this parallelism for free
     docs = _spread(load_table(spark, sf_dir, "documents"))
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = F.size(toks)
-    grams = docs.filter(n >= 8).select(
+    # round-13: BIND the token array to a real column before the gram
+    # lambda touches it (the d16/word_ngrams_from_tokens rule — Catalyst
+    # does not hoist subexpressions through HOF lambdas, so the previous
+    # textually-inlined split re-ran once per gram position: O(words²)
+    # regex splits per doc; the source lint misses it because the
+    # tokenizer hid behind a Python variable). Measured with the
+    # src_sets checkpoint below: 1.52 → 1.29 s min-of-4 at sf0.1.
+    staged = docs.select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("__w")
+    ).filter(F.size("__w") >= 8)
+    w = F.col("__w")
+    grams = staged.select(
         "source",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), n - 7),
+                F.sequence(F.lit(1), F.size(w) - 7),
                 lambda i: F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(8)))), 1, 16
+                    F.md5(F.concat_ws(" ", F.slice(w, i, F.lit(8)))), 1, 16
                 ),
             )
         ).alias("g"),
     )
     # per-gram source set in ONE shuffle: collect_set dedups (source)
     # within each gram, and the partial aggregate absorbs within-partition
-    # duplicates map-side
-    src_sets = grams.groupBy("g").agg(F.collect_set("source").alias("__ss"))
+    # duplicates map-side. localCheckpoint: both totals and shared consume
+    # this frame — without it the gram explode + groupBy computed twice
+    # per execution.
+    src_sets = grams.groupBy("g").agg(
+        F.collect_set("source").alias("__ss")
+    ).localCheckpoint(eager=False)
     # distinct-gram totals per source, derived from the bounded sets
     totals = (
         src_sets.select(F.explode("__ss").alias("source"))
@@ -8193,11 +8211,12 @@ def pipe13_dsir_curation(spark, sf_dir):
     building is the single-scan conditional aggregate
     (dsir_bucket_weights_from_flag) over the survivor frame.
 
-    Round-13 (optimization): the three frames referenced by more than one
+    Round-13 (optimization): the frames referenced by more than one
     downstream consumer — surv (weights + scored + the target half of
-    admitted_pop), the scored rank input (two_level_rank reads it for
-    level-1 rows AND the cell frame), and admitted_pop (budget rates +
-    the final admit join) — are localCheckpoint(eager=False)-materialized.
+    admitted_pop) and admitted_pop (budget rates + the final admit
+    join) — are localCheckpoint(eager=False)-materialized here; the
+    scored rank input is materialized INSIDE two_level_rank (which reads
+    it for level-1 rows AND the cell frame) since round 13.
     Without this the composed plan re-derived the gopher+keeper survivor
     subtree once per reference (40 parquet scans of documents in ONE
     plan, no ReusedExchange across the differing consumers); with it each
@@ -8245,7 +8264,7 @@ def pipe13_dsir_curation(spark, sf_dir):
                 "source",
                 "n_words",
                 F.col("dsir_score_q").alias("s"),
-            ).localCheckpoint(eager=False),
+            ),
             "s",
             "doc_id",
             id_bounds=id_bounds,

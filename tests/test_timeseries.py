@@ -145,6 +145,47 @@ def test_countmin_mergeable_and_never_underestimates(spark):
     assert joined and all(r["est_n"] >= r["n"] for r in joined.values())
 
 
+def test_countmin_preagg_equals_naive_per_row_hash(spark):
+    """The round-13 pre-aggregated sketch build (count distinct
+    (bucket, key) first, hash once per key per lane, SUM) must produce
+    bit-identical counters to the naive form that hashes every raw row —
+    including NULL keys, which group together and hash as the empty
+    concat_ws fragment either way."""
+    from end_to_end_ml_spark.operators import timeseries as TS
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-01"), (2, "2024-01-01"),
+        (1, "2024-01-02"), (None, "2024-01-01"), (None, "2024-01-01"),
+        (3, "2024-01-02"), (3, "2024-01-02"), (3, "2024-01-02"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "day"])
+    bucket = F.col("day")
+    got = TS.countmin_sketch(df, "user_id", bucket, d=3, w=16)
+    # naive replica: one lane row per RAW input row, count(*) per counter
+    lanes = df.select(
+        bucket.alias("bucket"),
+        F.col("user_id").cast("string").alias("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("row_i"),
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("row_i"), F.col("__k"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    naive = lanes.groupBy("bucket", "row_i", col.alias("col")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    key = lambda df: {  # noqa: E731
+        (r["bucket"], r["row_i"], r["col"]): r["cnt"] for r in df.collect()
+    }
+    assert key(got) == key(naive)
+
+
 def test_hll_registers_merge_law_and_estimate(spark):
     """md5-derived HLL registers (the oracle-exact ts4 twin): (a) daily
     rollup of hourly registers == registers built directly at day grain
