@@ -361,6 +361,16 @@ def _quantizer_sample(
     base = df.select(F.col(id_col), F.col(vec_col)).filter(
         (F.col(id_col) % sample_mod) == 0
     )
+    # One-job fast path: a sorted limit(max+1) collect (TakeOrdered — each
+    # partition forwards at most max+1 rows) returns the ENTIRE base when it
+    # fits the driver bound, which the id-sorted full collect would have
+    # returned identically — the separate count() job existed only to size
+    # the stride. Only when the probe overflows (row max+1 exists) does the
+    # count+stride path run, where its two jobs are noise against the
+    # corpus-scale scan they bound.
+    probe = base.orderBy(id_col).limit(max_driver_sample + 1).collect()
+    if len(probe) <= max_driver_sample:
+        return probe
     n_s = base.count()
     stride = max(1, _math.ceil(n_s / max_driver_sample))
     if stride > 1:
@@ -671,6 +681,71 @@ def _probe_candidate_cells(
     ).mapInPandas(probe, "cell int, qid long, qvec array<float>")
 
 
+def _verify_pairs_cogrouped(
+    cand: DataFrame,
+    cells: DataFrame,
+    threshold: float,
+    round_digits: int,
+    member_chunk: int = 8192,
+):
+    """Exact cosine verification of (cell, qid, qvec) candidate rows
+    against the index's (cell, nid, nvec) members as a COGROUP on cell —
+    one BLAS matmul per (cell, member-chunk) instead of a pair-exploded
+    row join. The join form materialized |candidate pairs| rows each
+    carrying BOTH vectors through Arrow (~2·dim·8 bytes per pair — ~400 MB
+    at sf0.1's 750k degenerate-regime pairs) and paid a per-row
+    np.asarray in the verify loop; the cogroup ships each query vector
+    once per candidate CELL and each member vector exactly once, then
+    verifies with the same matmul-plus-round arithmetic the oracle-proven
+    cogrouped rerank paths (_group_rerank: sim1b/sim3) already pin.
+    Members are processed in ``member_chunk`` blocks so the dense cosine
+    temp is bounded at |queries-in-cell| × member_chunk regardless of
+    cell size. Output rows (new_id, hist_id, cosine_sim) are the pairs
+    with round(cos, round_digits) >= threshold — identical set and values
+    as the pair-join form (A/B collect-compared at all three SFs)."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    rd = int(round_digits)
+    chunk = int(member_chunk)
+
+    def verify(queries: pd.DataFrame, members: pd.DataFrame) -> pd.DataFrame:
+        if len(queries) == 0 or len(members) == 0:
+            return pd.DataFrame(
+                {"new_id": [], "hist_id": [], "cosine_sim": []}
+            ).astype(
+                {"new_id": "int64", "hist_id": "int64", "cosine_sim": "float64"}
+            )
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in queries["qvec"]])
+        qids = queries["qid"].to_numpy(dtype=np.int64)
+        xn = np.sqrt((x * x).sum(axis=1))
+        out = []
+        for lo in range(0, len(members), chunk):
+            mb = members.iloc[lo : lo + chunk]
+            y = np.stack([np.asarray(v, dtype=np.float64) for v in mb["nvec"]])
+            nids = mb["nid"].to_numpy(dtype=np.int64)
+            yn = np.sqrt((y * y).sum(axis=1))
+            cos = np.round((x @ y.T) / np.outer(xn, yn), rd)
+            qi, mj = np.nonzero(cos >= thr)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "new_id": qids[qi],
+                        "hist_id": nids[mj],
+                        "cosine_sim": cos[qi, mj],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        cand.groupBy("cell")
+        .cogroup(cells.select("cell", "nid", "nvec").groupBy("cell"))
+        .applyInPandas(verify, "new_id long, hist_id long, cosine_sim double")
+    )
+
+
 def ivf_probe_pairs(
     new_df: DataFrame,
     id_col: str,
@@ -681,6 +756,7 @@ def ivf_probe_pairs(
     n_centroids: int = 16,
     sample_mod: int = 1,
     round_digits: int = 6,
+    _cand: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ANN maintenance — the embedding twin of
     dedup.minhash_probe_pairs (round-7 verdict #6): a new ingest batch
@@ -709,52 +785,27 @@ def ivf_probe_pairs(
     Pass ``index=`` (from :func:`ivf_build_index`) in a maintenance loop
     so the only per-call work is the batch probe; without it the index is
     built from ``hist_df`` per call (self-contained query form)."""
-    import numpy as np
-    import pandas as pd
-
     if index is None:
         if hist_df is None:
             raise ValueError("ivf_probe_pairs needs hist_df or index")
         index = ivf_build_index(hist_df, id_col, vec_col, n_centroids, sample_mod)
-    cand = _probe_candidate_cells(
-        new_df, id_col, vec_col, index, threshold, round_digits=round_digits
-    )
-    joined = cand.join(index.cells, "cell").select("qid", "qvec", "nid", "nvec")
-    # Arrow-batched row-wise cosine over the candidate pairs: Spark's
-    # higher-order fold (aggregate/zip_with) is interpreted per element —
-    # one vectorized numpy pass costs ~6x less CPU per pair (cold
-    # single-pass at sf0.1: 22.7 -> 9.3 s; the warm min-of-N bench row
-    # stays ~3.5 s because 32 idle local cores hid the interpreted
-    # fold), with ROW-IDENTICAL output at all three SFs. Oracle parity
-    # is the d5 argument: np's summation order differs from the
-    # oracle's strict left-to-right list_reduce by ~1 ulp, and
-    # round(.., 6) absorbs it — d5_embedding_near_dup pins exactly this
-    # numpy-vs-DuckDB arithmetic hash-green over the same embedding
-    # population.
-    thr = float(threshold)
-    rd = int(round_digits)
-
-    def verify(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
-            y = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nvec"]])
-            cos = (x * y).sum(axis=1) / (
-                np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
-            )
-            cos = np.round(cos, rd)
-            keep = cos >= thr
-            yield pd.DataFrame(
-                {
-                    "new_id": pdf["qid"].to_numpy(dtype=np.int64)[keep],
-                    "hist_id": pdf["nid"].to_numpy(dtype=np.int64)[keep],
-                    "cosine_sim": cos[keep],
-                }
-            )
-
-    return joined.mapInPandas(
-        verify, "new_id long, hist_id long, cosine_sim double"
+    cand = _cand
+    if cand is None:
+        cand = _probe_candidate_cells(
+            new_df, id_col, vec_col, index, threshold, round_digits=round_digits
+        )
+    # Cogrouped exact verification (see _verify_pairs_cogrouped): each
+    # query vector crosses the Python boundary once per candidate CELL and
+    # each member once, instead of once per candidate PAIR — the previous
+    # pair-join + row-wise verify shipped ~400 MB of duplicated vectors
+    # through Arrow at sf0.1's degenerate 750k-pair regime and spent its
+    # time in per-row np.asarray. Arithmetic parity: matmul + round(.., 6)
+    # is the same kernel as _group_rerank, whose cosines the sim1b/sim3
+    # DuckDB oracles pin hash-green over this embedding population; the
+    # old row-wise fold's values were A/B collect-compared identical at
+    # all three SFs when this form landed.
+    return _verify_pairs_cogrouped(
+        cand, index.cells, threshold, round_digits
     ).orderBy("new_id", "hist_id")
 
 
@@ -876,48 +927,39 @@ def ivf_probe_pairs_adaptive(
     :func:`ivf_pruning_report` (e.g. tools/run_ann_maintenance.py, which
     records the report in its stats sidecar) passes it via ``report=`` so
     the candidate-cell probe is not computed twice (round-9 ADVICE)."""
+    exact_cand = None
     if report is None:
-        report = ivf_pruning_report(
-            new_df, id_col, vec_col, index, threshold, round_digits
-        ).collect()[0]
-    rep = report
+        # Inline report WITHOUT the double probe pass (the report's
+        # candidate count and the exact route's candidate set are the SAME
+        # frame): materialize the triangle-inequality candidates once via
+        # eager localCheckpoint, count the checkpointed rows for the
+        # routing decision, and hand the frame to ivf_probe_pairs if the
+        # exact route wins — the previous shape ran the candidate-cell
+        # mapInPandas twice (once under ivf_pruning_report's count, once
+        # under the probe). Same n_queries/cand_rows as the standalone
+        # report, so the routing decision is unchanged.
+        n_queries = new_df.count()
+        n_cells = len(index.centroids)
+        exact_cand = _probe_candidate_cells(
+            new_df, id_col, vec_col, index, threshold, round_digits=round_digits
+        ).localCheckpoint(eager=True)
+        cand_rows = exact_cand.count()
+        total = n_queries * n_cells
+        pruned = 0.0 if total == 0 else 1.0 - cand_rows / total
+        rep = {"pruned_fraction": float(pruned)}
+    else:
+        rep = report
     if rep["pruned_fraction"] >= min_pruned_fraction:
         return (
             ivf_probe_pairs(
                 new_df, id_col, vec_col, threshold=threshold, index=index,
-                round_digits=round_digits,
+                round_digits=round_digits, _cand=exact_cand,
             ),
             "exact",
         )
-    import numpy as np
-    import pandas as pd
-
     cand = _probe_nearest_cells(new_df, id_col, vec_col, index, n_probe)
-    joined = cand.join(index.cells, "cell").select("qid", "qvec", "nid", "nvec")
-    thr = float(threshold)
-    rd = int(round_digits)
-
-    def verify(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
-            y = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nvec"]])
-            cos = (x * y).sum(axis=1) / (
-                np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
-            )
-            cos = np.round(cos, rd)
-            keep = cos >= thr
-            yield pd.DataFrame(
-                {
-                    "new_id": pdf["qid"].to_numpy(dtype=np.int64)[keep],
-                    "hist_id": pdf["nid"].to_numpy(dtype=np.int64)[keep],
-                    "cosine_sim": cos[keep],
-                }
-            )
-
     out = (
-        joined.mapInPandas(verify, "new_id long, hist_id long, cosine_sim double")
+        _verify_pairs_cogrouped(cand, index.cells, threshold, round_digits)
         .dropDuplicates(["new_id", "hist_id"])
         .orderBy("new_id", "hist_id")
     )
