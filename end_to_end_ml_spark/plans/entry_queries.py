@@ -4244,7 +4244,13 @@ def q23_copurchase_pairs(spark, sf_dir):
     trick), and the pair aggregate shuffles only (part_a, part_b, count)
     partials. Top-20 is a TakeOrdered, no global sort materialization."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # the self-join reads the distinct basket table TWICE and Catalyst does
+    # not plan a ReusedExchange across the two sides (4 parquet scans in
+    # the unoptimized plan) — localCheckpoint materializes the ~|orders|·
+    # |basket| two-long-column frame once and both sides read it
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
     a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     return (
@@ -4277,7 +4283,14 @@ def q24_association_rules(spark, sf_dir):
     back onto the pair aggregate; N is a scalar broadcast, not a driver
     round-trip per row."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # four consumers of the distinct basket table (total count, per-part
+    # counts, both self-join sides) and no exchange reuse across them —
+    # lazy localCheckpoint materializes it under the scalar-count job and
+    # every later consumer reads the checkpointed rows (8 parquet scans
+    # of lineitem collapse to 1)
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
     n_orders_total = items.select("l_orderkey").distinct().count()  # scalar
     part_counts = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_part")
