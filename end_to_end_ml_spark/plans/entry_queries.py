@@ -4529,12 +4529,30 @@ def pipe5_eval_set(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 3 != 0)
     cands = docs.filter(F.col("doc_id") % 3 == 0)
-    q = cands.select(
-        "doc_id", "lang", "n_chars",
-        F.size(text.tokens("text")).alias("__ntok"),
+    # tokenize the candidate side ONCE: the quality gate (token count) and
+    # the contamination grams both consume the same token arrays — the
+    # composed form re-split the candidate text per consumer (two scans).
+    # The gram construction below is contaminated_doc_ids verbatim over
+    # the bound __toks column (same tokens/word_ngrams_from_tokens
+    # helpers), so the membership set — and the oracle — are unchanged.
+    staged = cands.select(
+        "doc_id", "lang", "n_chars", text.tokens("text").alias("__toks")
+    ).localCheckpoint(eager=False)
+    q = staged.select(
+        "doc_id", "lang", "n_chars", F.size("__toks").alias("__ntok")
     ).filter((F.col("__ntok") >= 10) & (F.col("n_chars") >= 50))
-    contaminated = text.contaminated_doc_ids(
-        cands, train, "doc_id", "text", n=8
+    probe_grams = (
+        train.select(text.tokens("text").alias("__toks"))
+        .select(F.explode(text.word_ngrams_from_tokens("__toks", 8)).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        staged.select(
+            "doc_id", F.explode(text.word_ngrams_from_tokens("__toks", 8)).alias("g")
+        )
+        .join(F.broadcast(probe_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
     )
     clean = q.join(F.broadcast(contaminated), "doc_id", "left_anti")
     h = F.md5(F.col("doc_id").cast("string"))
@@ -5072,12 +5090,15 @@ def d11_edit_distance_pairs(spark, sf_dir):
     returns -1 above the threshold, hence the >= 0 guard). The oracle
     computes the plain form — identical values in the kept band."""
     docs = load_table(spark, sf_dir, "documents")
+    # both self-join sides re-scanned the parquet and re-derived the
+    # prefix projection (no ReusedExchange across sides) — materialize the
+    # narrow (id, lang, bucket, 48-char prefix) frame once
     base = docs.select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 50).alias("lb"),
         F.substring("text", 1, 48).alias("pfx"),
-    )
+    ).localCheckpoint(eager=False)
     a = base.select(
         F.col("doc_id").alias("id_a"), "lang", "lb", F.col("pfx").alias("pfx_a")
     )
