@@ -53,6 +53,31 @@ def dedup_boundaries(raw) -> list[float]:
     return out
 
 
+def count_and_boundaries(
+    df: DataFrame, key_col: str, n_buckets: int = 32
+) -> tuple[int, list[float]]:
+    """Exact row count + the approx boundary sketch in ONE aggregate job.
+
+    Callers that need both (negative_pairs' modulus, winsorize /
+    quantile_uniform's rank indices) otherwise pay two full input scans —
+    a separate ``count()`` job followed by :func:`global_ordinal`'s
+    percentile job. Both are driver folds over the same pass, so fuse
+    them; pass the sketch to ``global_ordinal(boundaries=...)`` to skip
+    its internal job. Count is exact (the correctness-bearing half);
+    boundary placement only affects bucket balance, never output."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if probs:
+        aggs.append(
+            F.percentile_approx(F.col(key_col).cast("double"), probs).alias("__b")
+        )
+    row = df.agg(*aggs).collect()[0]
+    boundaries = dedup_boundaries(row["__b"]) if probs else []
+    return int(row["__n"]), boundaries
+
+
 def bucket_expr(key, boundaries: list[float]):
     """Row-local bucket id for frozen boundary literals: a chain of
     ``key >= b`` comparisons (whole-stage codegen, no shuffle); NULL keys
@@ -69,11 +94,14 @@ def global_ordinal(
     pk_col: str,
     n_buckets: int = 32,
     out_col: str = "ordinal",
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Add ``out_col``: the dense 0-based global rank of each row under
     ``ORDER BY key_col, pk_col`` (ties broken by pk, so the order is
     total). ``n_buckets`` is the parallelism knob — at 100 TB use O(10k)
-    buckets so each per-bucket sort fits an executor core.
+    buckets so each per-bucket sort fits an executor core. Pass
+    ``boundaries`` (e.g. from :func:`count_and_boundaries`) to skip the
+    sketch job — placement only affects balance, never the output.
 
     Null keys: every NULL lands in bucket 0 (all boundary comparisons are
     null -> otherwise(0)) and Spark's default ascending sort puts NULLS
@@ -92,13 +120,16 @@ def global_ordinal(
     temperature_sample)."""
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    boundaries: list[float] = []
-    if probs:
-        row = df.agg(
-            F.percentile_approx(F.col(key_col).cast("double"), probs).alias("b")
-        ).collect()[0]
-        boundaries = dedup_boundaries(row["b"])
+    if boundaries is None:
+        # sketch job; callers that ALSO need a row count should fuse the
+        # two via count_and_boundaries and pass the sketch in here
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        boundaries = []
+        if probs:
+            row = df.agg(
+                F.percentile_approx(F.col(key_col).cast("double"), probs).alias("b")
+            ).collect()[0]
+            boundaries = dedup_boundaries(row["b"])
     key = F.col(key_col).cast("double")
     staged = df.withColumn("__bucket", bucket_expr(key, boundaries))
 

@@ -353,7 +353,7 @@ def winsorize(
 
     from pyspark.sql import functions as F
 
-    from .ordinal import global_ordinal
+    from .ordinal import count_and_boundaries, global_ordinal
 
     if not 0.0 <= p_lo <= p_hi <= 1.0:
         raise ValueError("need 0 <= p_lo <= p_hi <= 1")
@@ -365,12 +365,15 @@ def winsorize(
     non_null = df.select(pk_col, value_col).filter(
         F.col(value_col).isNotNull()
     )
-    n = non_null.count()
+    # count + boundary sketch fused into one aggregate job
+    n, bounds = count_and_boundaries(non_null, value_col, n_buckets)
     if n == 0:
         raise ValueError("winsorize: no non-null values")
     k_lo = int(math.floor(p_lo * (n - 1)))
     k_hi = int(math.floor(p_hi * (n - 1)))
-    ords = global_ordinal(non_null, value_col, pk_col, n_buckets=n_buckets)
+    ords = global_ordinal(
+        non_null, value_col, pk_col, n_buckets=n_buckets, boundaries=bounds
+    )
     rows = ords.filter(F.col("ordinal").isin(k_lo, k_hi)).collect()
     vals = {r["ordinal"]: r[value_col] for r in rows}
     lo, hi = vals[k_lo], vals[k_hi]
@@ -406,17 +409,20 @@ def quantile_uniform(
     multi-evaluation caveat on global_ordinal."""
     from pyspark.sql import functions as F
 
-    from .ordinal import global_ordinal
+    from .ordinal import count_and_boundaries, global_ordinal
 
     # NULL values are excluded from the rank space (they would occupy
     # the lowest ordinals and skew the non-null marginal off uniform);
     # their rows are dropped from the output — explicit contract.
     df = df.filter(F.col(value_col).isNotNull())
-    n = df.count()
+    # count + boundary sketch fused into one aggregate job
+    n, bounds = count_and_boundaries(df, value_col, n_buckets)
     if n == 0:
         raise ValueError("quantile_uniform: no non-null values")
     out = out_col or f"{value_col}_q"
-    ords = global_ordinal(df, value_col, pk_col, n_buckets=n_buckets)
+    ords = global_ordinal(
+        df, value_col, pk_col, n_buckets=n_buckets, boundaries=bounds
+    )
     if n == 1:
         return ords.withColumn(out, F.lit(0.0)).drop("ordinal")
     return ords.withColumn(

@@ -1215,12 +1215,16 @@ def negative_pairs(
     see the multi-evaluation caveat on global_ordinal."""
     if k <= 0:
         raise ValueError("k must be positive")
-    from .ordinal import global_ordinal
+    from .ordinal import count_and_boundaries, global_ordinal
 
-    n = df.count()
+    # one aggregate job yields BOTH the exact modulus n and the ordinal
+    # boundary sketch (previously two full input scans: count() + the
+    # percentile job inside global_ordinal)
+    keyed = df.select(pk_col)
+    n, bounds = count_and_boundaries(keyed, pk_col)
     if n < 2:
         raise ValueError("negative_pairs: need at least 2 rows")
-    ords = global_ordinal(df.select(pk_col), pk_col, pk_col)
+    ords = global_ordinal(keyed, pk_col, pk_col, boundaries=bounds)
     draws = (
         df.select(F.col(pk_col).alias("anchor_id"))
         .withColumn(

@@ -6389,12 +6389,14 @@ def f13_robust_scale(spark, sf_dir):
     division, bit-identical on both engines. MLlib's RobustScaler uses
     approximate quantiles — this is the exact-contract form that makes
     the transform itself verifiable."""
-    from ..operators.ordinal import global_ordinal
+    from ..operators.ordinal import count_and_boundaries, global_ordinal
 
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
+    keyed = docs.select("doc_id", "n_chars")
+    # count + boundary sketch fused into one aggregate job
+    n, bounds = count_and_boundaries(keyed, "n_chars", 8)
     ords = global_ordinal(
-        docs.select("doc_id", "n_chars"), "n_chars", "doc_id", n_buckets=8
+        keyed, "n_chars", "doc_id", n_buckets=8, boundaries=bounds
     )
     import math
 
