@@ -1095,6 +1095,7 @@ def bpe_encode_batched(
     text_col: str,
     merges: list[tuple[int, str, str, str, int]],
     out_col: str = "bpe_tokens",
+    emit_tokens: bool = True,
 ) -> DataFrame:
     """Production-scale BPE tokenization: the Arrow-batched pandas path
     :func:`bpe_encode`'s docstring defers to for real vocab sizes. The
@@ -1118,7 +1119,16 @@ def bpe_encode_batched(
 
     Row-identical to :func:`bpe_encode` (same split/trim/len>0 word rule,
     same greedy-LTR fold-with-last per word, same output columns) —
-    pinned by the parity pytest in tests/test_dedup_text.py."""
+    pinned by the parity pytest in tests/test_dedup_text.py.
+
+    ``emit_tokens=False`` drops the ``out_col`` array from the output and
+    returns only ``n_{out_col}`` — for count-only consumers (x18b's
+    per-doc token-count contract). The token ARRAY is by far the widest
+    thing a tokenizer ships back through Arrow (every subword string of
+    every document, serialized only to have ``size()`` taken); a counter
+    needs one int64 per row, and the word cache memoizes lengths instead
+    of lists. Same word rule, same merge replay — the count is
+    definitionally ``len`` of the array the True path would build."""
     import pandas as pd
     from pyspark.sql.types import (
         ArrayType,
@@ -1129,13 +1139,10 @@ def bpe_encode_batched(
     )
 
     rules = [(l, r, m) for _rank, l, r, m, _pf in sorted(merges, key=lambda x: x[0])]
-    out_schema = StructType(
-        df.schema.fields
-        + [
-            StructField(out_col, ArrayType(StringType())),
-            StructField(f"n_{out_col}", LongType()),
-        ]
+    out_fields = df.schema.fields + (
+        [StructField(out_col, ArrayType(StringType()))] if emit_tokens else []
     )
+    out_schema = StructType(out_fields + [StructField(f"n_{out_col}", LongType())])
 
     def _encode(batches):
         import re
@@ -1178,7 +1185,44 @@ def bpe_encode_batched(
             res[f"n_{out_col}"] = pd.array(n_col, dtype="Int64")
             yield res
 
-    return df.mapInPandas(_encode, schema=out_schema)
+    def _count_only(batches):
+        # count path: never build the per-doc token list — memoize each
+        # word's TOKEN COUNT (len of the same greedy-LTR fold the array
+        # path runs) and sum ints per row; the wide array column never
+        # exists, so it never crosses Arrow
+        import re
+
+        ws = re.compile(r"\s+")
+        cache: dict[str, int] = {}
+
+        def word_len(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                sym = list(w)
+                for left, right, merged in rules:
+                    acc: list[str] = []
+                    for s in sym:
+                        if acc and acc[-1] == left and s == right:
+                            acc[-1] = merged
+                        else:
+                            acc.append(s)
+                    sym = acc
+                cache[w] = n = len(sym)
+            return n
+
+        for pdf in batches:
+            n_col: list = []
+            for t in pdf[text_col]:
+                if t is None:
+                    # parity with the expression form: split(NULL) -> NULL
+                    n_col.append(None)
+                    continue
+                n_col.append(sum(word_len(w) for w in ws.split(t.strip()) if w))
+            res = pdf.copy()
+            res[f"n_{out_col}"] = pd.array(n_col, dtype="Int64")
+            yield res
+
+    return df.mapInPandas(_encode if emit_tokens else _count_only, schema=out_schema)
 
 # --- DSIR-style data selection (hashed n-gram importance resampling) ----
 #

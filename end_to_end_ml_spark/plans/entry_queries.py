@@ -5939,7 +5939,14 @@ def x18b_bpe_encode_batched(spark, sf_dir):
     merges = text.bpe_train_batched(
         docs, "text", n_merges=40, merges_per_round=16, min_pair_freq=2
     )
-    enc = text.bpe_encode_batched(docs, "text", merges)
+    # count-only consumer: ship (doc_id, text) into the encoder and only
+    # n_bpe_tokens back — the token ARRAY (the widest Arrow payload of
+    # the whole pipeline) is never built; lang/source/n_chars never cross
+    # the boundary either (guide §4: pass only the columns the function
+    # needs). text still passes through so n_ws_tokens stays a JVM split.
+    enc = text.bpe_encode_batched(
+        docs.select("doc_id", "text"), "text", merges, emit_tokens=False
+    )
     return enc.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws_tokens"),

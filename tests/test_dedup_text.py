@@ -738,6 +738,40 @@ class TestBpeEncode:
         assert out[1] == (["a", "b"], 2)
         assert out[2] == (None, None)
 
+    def test_batched_encode_count_only_parity(self, spark):
+        """emit_tokens=False (x18b's count-only Arrow payload) must agree
+        with the array path's n_bpe_tokens on every row — incl. memo hits,
+        cascading merges, empty/whitespace-only and NULL text — and must
+        not emit the token array column at all."""
+        from end_to_end_ml_spark.operators.text import (
+            bpe_encode_batched,
+            bpe_train,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "low lower lowest low low"),
+                (2, "newer newest new lower"),
+                (3, "  low   low\tlower  "),
+                (4, "aaaa a,b!"),
+                (5, ""),
+                (6, "   "),
+                (7, None),
+            ],
+            "doc_id INT, text STRING",
+        )
+        merges = bpe_train(
+            docs.filter("text is not null"), "text", n_merges=6, min_pair_freq=2
+        )
+        assert merges
+        full = bpe_encode_batched(docs, "text", merges)
+        counted = bpe_encode_batched(docs, "text", merges, emit_tokens=False)
+        assert "bpe_tokens" not in counted.columns
+        assert counted.columns == [c for c in full.columns if c != "bpe_tokens"]
+        want = {r["doc_id"]: r["n_bpe_tokens"] for r in full.collect()}
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in counted.collect()}
+        assert got == want and len(got) == 7
+
 
 def test_minhash_probe_matches_full_pairs(spark, docs):
     """Incremental probe (batch vs history) must equal the cross-split
