@@ -8042,6 +8042,12 @@ def mix4_waterfill(spark, sf_dir):
             .alias("len_bucket"),
             "n_ws_tokens",
         )
+        # staged is 16 B/doc (two longs) but its lineage tokenizes every
+        # document; it is consumed twice (the budget scalar below, then
+        # token_budget_allocation's groupBy). Lazy localCheckpoint: the
+        # total agg materializes it, the groupBy reads checkpointed rows —
+        # ONE tokenize pass instead of two (same pattern as q23/q24).
+        .localCheckpoint(eager=False)
     )
     total = staged.agg(F.sum("n_ws_tokens")).collect()[0][0]
     return split.token_budget_waterfill(
