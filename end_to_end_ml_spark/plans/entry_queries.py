@@ -7544,10 +7544,10 @@ def pipe10_budget_curation(spark, sf_dir):
 
     Shuffles: the fingerprint window, one tiny groupBy(source), the
     final per-source agg; rates broadcast back. The survivor frame is
-    evaluated twice (allocation pass + draw pass) — free over a parquet
-    scan with fused narrow stages, same trade documented on
-    temperature_sample; a production run materializes survivors once and
-    probes the budget table many times."""
+    consumed twice (allocation pass + draw pass) and checkpointed once —
+    its lineage includes the gopher feature extraction and the
+    fingerprint window shuffle, which a re-evaluation would repeat
+    (measured r13: the q23/mix4 pattern)."""
     docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
         "doc_id",
@@ -7565,6 +7565,12 @@ def pipe10_budget_curation(spark, sf_dir):
         .withColumn("__rn", F.row_number().over(w_fp))
         .filter(F.col("__rn") == 1)
         .select("doc_id", "source", "n_words")
+        # surv is 3 narrow columns/doc but its lineage re-runs the gopher
+        # feature extraction + the fingerprint window shuffle; it is
+        # consumed twice (allocation pass + draw pass). Lazy
+        # localCheckpoint: the rates broadcast build materializes it, the
+        # draw pass reads checkpointed rows (q23/mix4 pattern).
+        .localCheckpoint(eager=False)
     )
     rates = split.token_budget_allocation(
         surv, "source", "n_words", budget_tokens=50_000, max_epochs_x1024=1024
@@ -7805,13 +7811,12 @@ def pipe11_incremental_curation(spark, sf_dir):
     Scale: the gate and fingerprints fuse into the batch scan; the
     history probe is an anti equi-join on the hash (broadcast when the
     batch is small); the budget table is |sources| rows. The survivor
-    frame is evaluated twice (allocation pass + draw pass — same trade
-    documented on pipe10/temperature_sample: free over a parquet scan
-    with fused narrow stages; a production run materializes survivors
-    once, as tools/run_curation_pipeline does for pipe10). Per-batch
-    cost is O(|batch|) + the probe — the full corpus is never
-    re-curated. Composition of oracled primitives (x22 + pipe6 + mix2 +
-    pipe10's draw), so the chain is fully oracled."""
+    frame is consumed twice (allocation pass + draw pass) and
+    checkpointed once — without it the history-fingerprint distinct and
+    the anti-join ran twice per query (measured r13: the q23/mix4
+    pattern). Per-batch cost is O(|batch|) + the probe — the full corpus
+    is never re-curated. Composition of oracled primitives (x22 + pipe6 +
+    mix2 + pipe10's draw), so the chain is fully oracled."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(
         F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8))
@@ -7834,6 +7839,10 @@ def pipe11_incremental_curation(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .join(hist, "fp", "left_anti")
         .select("doc_id", "source", "n_words")
+        # same double-consumption as pipe10, and here the lineage ALSO
+        # contains the history-fingerprint distinct + anti-join — without
+        # the checkpoint the full history scan ran twice per query
+        .localCheckpoint(eager=False)
     )
     rates = split.token_budget_allocation(
         surv, "source", "n_words", budget_tokens=3000, max_epochs_x1024=1024
