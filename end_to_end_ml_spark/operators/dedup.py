@@ -1208,6 +1208,25 @@ def remove_duplicated_spans(
     )
 
 
+# Join-strategy knobs for prefix_filter_jaccard_pairs, A/B'd in
+# tools/exp_d16_shj_ab.py (r13 optimization round; two independent
+# alternating warmed A/Bs at sf0.1: baseline SMJ 6.76/5.67 s vs verify-SHJ
+# 5.62/4.77 s — the win is skipping BOTH sorts of the ~1M-row candidate
+# frame, the second of which carries two token arrays per row).
+#
+# Verify joins default to shuffled-hash (guide §3): the build side is the
+# hinted RANKED frame, keyed by the unique doc id — a perfectly uniform
+# hash key, so per-partition build bytes are |ranked|/numPartitions and
+# AQE's advisory sizing keeps that bounded as the corpus grows. Sort-merge
+# buys nothing here: the stream side is consumed by a hash aggregate, not
+# another merge. The CANDIDATE self-join stays planner-default (SMJ): its
+# build side would be an exploded prefix frame keyed by token df — a
+# skewable key at scale — and the third A/B arm measured no gain over
+# verify-only SHJ (5.30 vs 5.62 / 4.91 vs 4.77, within host scatter).
+_PF_VERIFY_HINT: str | None = "shuffle_hash"
+_PF_CAND_HINT: str | None = None
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -1326,6 +1345,8 @@ def prefix_filter_jaccard_pairs(
     )
     a = prefixes.select(F.col("doc").alias("id_a"), F.col("sz").alias("pa"), "ptok")
     b = prefixes.select(F.col("doc").alias("id_b"), F.col("sz").alias("pb"), "ptok")
+    if _PF_CAND_HINT:
+        b = b.hint(_PF_CAND_HINT)
     cand_ids = (
         a.join(b, "ptok")
         .filter(
@@ -1336,23 +1357,25 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verification joins the (|docs|-row) ranked frame back per side —
-    # small enough to broadcast at any realistic shard granularity
-    cand = cand_ids.join(
-        ranked.select(
-            F.col("doc").alias("id_a"),
-            F.col("stoks").alias("toks_a"),
-            F.col("sz").alias("sz_a"),
-        ),
-        "id_a",
-    ).join(
-        ranked.select(
-            F.col("doc").alias("id_b"),
-            F.col("stoks").alias("toks_b"),
-            F.col("sz").alias("sz_b"),
-        ),
-        "id_b",
+    # verification joins the (|docs|-row) ranked frame back per side as a
+    # SHUFFLED-HASH join (see _PF_VERIFY_HINT above): building a local hash
+    # map on the uniformly-id-keyed ranked partitions skips sorting the
+    # candidate frame twice. (Broadcast was A/B'd and REJECTED earlier this
+    # round: two ~12 MB broadcast builds lose to the narrow-row shuffle.)
+    r_a = ranked.select(
+        F.col("doc").alias("id_a"),
+        F.col("stoks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
     )
+    r_b = ranked.select(
+        F.col("doc").alias("id_b"),
+        F.col("stoks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    if _PF_VERIFY_HINT:
+        r_a = r_a.hint(_PF_VERIFY_HINT)
+        r_b = r_b.hint(_PF_VERIFY_HINT)
+    cand = cand_ids.join(r_a, "id_a").join(r_b, "id_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     verified = cand.select(
         "id_a",
