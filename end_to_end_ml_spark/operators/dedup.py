@@ -1225,6 +1225,16 @@ def remove_duplicated_spans(
 # verify-only SHJ (5.30 vs 5.62 / 4.91 vs 4.77, within host scatter).
 _PF_VERIFY_HINT: str | None = "shuffle_hash"
 _PF_CAND_HINT: str | None = None
+# Repartition the raw candidate pairs by id_a BEFORE the dedup aggregate so
+# the dedup's exchange doubles as the first verify join's distribution.
+# A/B'd in tools/exp_d16_repart_ab.py and REJECTED (r13 optimization round:
+# 6.86 s default vs 7.48 s repartitioned, min-of-5 alternating warmed):
+# repartition("id_a") satisfies the dedup's required distribution, so the
+# planner drops the pre-shuffle partial aggregate — the exchange then
+# carries RAW candidates (~1.26x rows) and the whole dedup runs
+# post-shuffle, which costs more than the one ENSURE_REQUIREMENTS exchange
+# it saves. Kept as a knob so the measurement is reproducible.
+_PF_REPART_CAND: bool = False
 
 
 def prefix_filter_jaccard_pairs(
@@ -1347,7 +1357,13 @@ def prefix_filter_jaccard_pairs(
     b = prefixes.select(F.col("doc").alias("id_b"), F.col("sz").alias("pb"), "ptok")
     if _PF_CAND_HINT:
         b = b.hint(_PF_CAND_HINT)
-    cand_ids = (
+    # _PF_REPART_CAND would reuse the dedup's exchange as the first verify
+    # join's distribution (repartition("id_a") satisfies the (id_a, id_b)
+    # aggregate's clustered distribution and pre-positions the stream for
+    # the id_a join) — measured SLOWER, see the knob's comment; default
+    # keeps the planner's own shape: map-side partial dedup, then one
+    # ENSURE_REQUIREMENTS exchange per verify key.
+    cand_raw = (
         a.join(b, "ptok")
         .filter(
             (F.col("id_a") < F.col("id_b"))
@@ -1355,8 +1371,10 @@ def prefix_filter_jaccard_pairs(
             & (F.lit(100) * F.col("pb") >= F.lit(threshold_x100) * F.col("pa"))
         )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if _PF_REPART_CAND:
+        cand_raw = cand_raw.repartition("id_a")
+    cand_ids = cand_raw.dropDuplicates(["id_a", "id_b"])
     # verification joins the (|docs|-row) ranked frame back per side as a
     # SHUFFLED-HASH join (see _PF_VERIFY_HINT above): building a local hash
     # map on the uniformly-id-keyed ranked partitions skips sorting the

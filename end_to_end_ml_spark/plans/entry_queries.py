@@ -4235,28 +4235,49 @@ GROUP BY change ORDER BY change
 REGISTRY["s14_snapshot_diff"] = (s14_snapshot_diff, S14_DIFF_SQL)
 
 
+def _basket_pairs_expr(parts_col: str):
+    """All (a, b) combinations with a < b from a SORTED DISTINCT array —
+    the in-array form of the basket self-join: element i pairs with every
+    later element via slice(parts, i+2, size) (1-based start; start past
+    the end yields an empty slice, so the last element contributes no
+    pairs). Sorted-distinct input makes a < b strict by construction —
+    the same pair set the l_orderkey self-join + (part_a < part_b) filter
+    produces, without the join: fan-out stays basket-size², but no
+    exchange of two join sides and no pair-dedup machinery."""
+    parts = F.col(parts_col)
+    return F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+
+
 def q23_copurchase_pairs(spark, sf_dir):
     """Market-basket co-occurrence: the 20 part pairs most often bought in
-    the same order. Distinct (order, part) first (two lineitems of one
-    part are one basket membership), then a self-join co-partitioned on
-    l_orderkey — fan-out is bounded by basket size squared (≤13 items
-    here; for retail-scale baskets cap items per order first, the ev4
-    trick), and the pair aggregate shuffles only (part_a, part_b, count)
-    partials. Top-20 is a TakeOrdered, no global sort materialization."""
+    the same order. One groupBy collects each order's SORTED DISTINCT
+    part array (two lineitems of one part are one basket membership),
+    then pairs are generated INSIDE the array (combinations with
+    part_a < part_b — fan-out is bounded by basket size squared, ≤13
+    items here; for retail-scale baskets cap items per order first, the
+    ev4 trick) and the pair aggregate shuffles only (part_a, part_b,
+    count) partials. Replaces the former distinct + self-join shape: the
+    distinct exchange, both join-side exchanges and the join itself
+    collapse into one l_orderkey aggregation (4 exchanges → 2, no join,
+    no checkpoint). Top-20 is a TakeOrdered, no global sort
+    materialization."""
     li = load_table(spark, sf_dir, "lineitem")
-    # the self-join reads the distinct basket table TWICE and Catalyst does
-    # not plan a ReusedExchange across the two sides (4 parquet scans in
-    # the unoptimized plan) — localCheckpoint materializes the ~|orders|·
-    # |basket| two-long-column frame once and both sides read it
-    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=False
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts"))
     )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        baskets.select(F.explode(_basket_pairs_expr("parts")).alias("pr"))
+        .groupBy(F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
@@ -4283,24 +4304,29 @@ def q24_association_rules(spark, sf_dir):
     back onto the pair aggregate; N is a scalar broadcast, not a driver
     round-trip per row."""
     li = load_table(spark, sf_dir, "lineitem")
-    # four consumers of the distinct basket table (total count, per-part
-    # counts, both self-join sides) and no exchange reuse across them —
-    # lazy localCheckpoint materializes it under the scalar-count job and
-    # every later consumer reads the checkpointed rows (8 parquet scans
-    # of lineitem collapse to 1)
-    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=False
+    # three consumers of the per-order basket table (total count, per-part
+    # counts, the pair explode) — ONE l_orderkey aggregation builds the
+    # sorted-distinct part arrays, a lazy localCheckpoint materializes it
+    # under the scalar-count job, and every later consumer reads the
+    # checkpointed rows. Replaces the former distinct + self-join shape
+    # (8 lineitem scans / distinct-orderkey job / two join-side exchanges
+    # collapse into the basket aggregate; pairs come from in-array
+    # combinations, see _basket_pairs_expr).
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("parts"))
+        .localCheckpoint(eager=False)
     )
-    n_orders_total = items.select("l_orderkey").distinct().count()  # scalar
-    part_counts = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_part")
-    )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    n_orders_total = baskets.count()  # scalar: one row per distinct order
+    part_counts = baskets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        baskets.select(F.explode(_basket_pairs_expr("parts")).alias("pr"))
+        .groupBy(
+            F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
@@ -4541,10 +4567,15 @@ def pipe5_eval_set(spark, sf_dir):
     q = staged.select(
         "doc_id", "lang", "n_chars", F.size("__toks").alias("__ntok")
     ).filter((F.col("__ntok") >= 10) & (F.col("n_chars") >= 50))
-    probe_grams = (
-        train.select(text.tokens("text").alias("__toks"))
-        .select(F.explode(text.word_ngrams_from_tokens("__toks", 8)).alias("g"))
-        .distinct()
+    # No .distinct() on either broadcast side: LEFT SEMI/ANTI probe
+    # semantics are set-based already, so deduplicating the build side
+    # only costs an exchange + two aggregate passes (8-grams are nearly
+    # all unique — the distinct removed almost nothing) while the
+    # broadcast hash relation dedups keys by construction. Removing both
+    # drops two exchanges from the plan; the membership sets — and the
+    # oracle — are unchanged.
+    probe_grams = train.select(text.tokens("text").alias("__toks")).select(
+        F.explode(text.word_ngrams_from_tokens("__toks", 8)).alias("g")
     )
     contaminated = (
         staged.select(
@@ -4552,7 +4583,6 @@ def pipe5_eval_set(spark, sf_dir):
         )
         .join(F.broadcast(probe_grams), "g", "left_semi")
         .select("doc_id")
-        .distinct()
     )
     clean = q.join(F.broadcast(contaminated), "doc_id", "left_anti")
     h = F.md5(F.col("doc_id").cast("string"))

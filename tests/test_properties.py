@@ -770,3 +770,37 @@ def test_two_level_rank_null_tiebreak_raises_not_drops(spark):
         for r in M.two_level_rank(ok, "s", "doc_id", n_buckets=4).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+@given(
+    basket=st.lists(st.integers(0, 50), min_size=0, max_size=14),
+)
+@settings(**SETTINGS)
+def test_basket_pairs_expr_equals_nested_loop(spark, basket):
+    """_basket_pairs_expr (q23/q24's in-array replacement for the
+    l_orderkey self-join) must emit exactly the i<j combinations of the
+    sorted-distinct basket — the pair multiset the old
+    distinct + self-join + (part_a < part_b) shape produced."""
+    from end_to_end_ml_spark.plans.entry_queries import _basket_pairs_expr
+
+    df = spark.createDataFrame([(1, basket)], "id int, raw array<bigint>")
+    from pyspark.sql import functions as F
+
+    # build "parts" the same way the queries do
+    got = (
+        df.select(
+            F.array_sort(F.array_distinct("raw")).alias("parts")
+        )
+        .select(F.explode(_basket_pairs_expr("parts")).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .collect()
+    )
+    got_pairs = sorted((r["part_a"], r["part_b"]) for r in got)
+    uniq = sorted(set(basket))
+    want = [
+        (uniq[i], uniq[j])
+        for i in range(len(uniq))
+        for j in range(i + 1, len(uniq))
+    ]
+    assert got_pairs == want
+    assert all(a < b for a, b in got_pairs)
