@@ -6044,22 +6044,40 @@ def x20_length_quantiles(spark, sf_dir):
     quantile row selected at rank floor(p*(n-1))+1 under the total order
     (n_chars, doc_id). All integer selection — engine-exact; the same
     order-statistic discipline as p14's winsorize bounds, grouped."""
+    # One window pass (r13 optimization): the former shape evaluated the
+    # ranked subtree FOUR times (the counts aggregate + one union branch
+    # per quantile; no ReusedExchange across the copies — 6 parquet scans,
+    # 7 exchanges) and joined the counts back via broadcast. The group
+    # size rides the SAME lang partitioning as the rank (count(*) over
+    # the unordered partition — no extra exchange), and the three
+    # quantile picks become one in-row label array + explode (a row
+    # matching several quantile ranks — possible in tiny groups — emits
+    # one row per matched label, exactly like the former three-branch
+    # union). 1 scan, 1 exchange, same rows.
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
     ranked = (
         docs.select("lang", "n_chars", "doc_id")
         .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
         .drop("doc_id")
     )
-    counts = ranked.groupBy("lang").agg(F.max("rn").alias("n"))
-    j = ranked.join(F.broadcast(counts), "lang")
-    sel = None
-    for p_name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
-        pick = j.filter(
-            F.col("rn") == F.floor(F.lit(p) * (F.col("n") - 1)) + 1
-        ).select("lang", F.lit(p_name).alias("q"), F.col("n_chars").alias("value"))
-        sel = pick if sel is None else sel.unionByName(pick)
-    return sel.orderBy("lang", "q")
+    labels = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.col("rn") == F.floor(F.lit(p) * (F.col("n") - 1)) + 1,
+                    F.lit(p_name),
+                )
+                for p_name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return ranked.select(
+        "lang", F.explode(labels).alias("q"), F.col("n_chars").alias("value")
+    ).orderBy("lang", "q")
 
 
 X20_SQL = """
