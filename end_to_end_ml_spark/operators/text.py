@@ -977,35 +977,64 @@ def bm25_components(
     separate composition, :func:`bm25_score`, because ln() is the one
     piece libm does not promise bit-identical across engines.
 
-    Scale shape: tokens explode narrow; dl/df/corpus stats are partial
-    aggregates; the query-term probe is a BROADCAST semi-join (terms are
-    a handful of literals), so the only fact-sized shuffles are the two
-    per-doc aggregations keyed on id. Corpus constants ride a 1-row
-    broadcast crossJoin."""
+    Scale shape (round-13 optimization): ONE tokenize pass. The former
+    shape derived dl / corpus constants / term matches / per-term df as
+    four independent subtrees, each re-tokenizing the corpus (x17's plan
+    carried 4 parquet scans). Because the probe terms are a fixed
+    literal list, per-term tf folds into the SAME per-doc aggregation
+    that computes dl (one conditional sum per term); the per-doc frame
+    (|docs| rows × (2+|terms|) integers) is localCheckpointed and every
+    downstream consumer — corpus constants, the (term, tf) unpivot,
+    the per-term df aggregate — reads it. df_t is a plain row count per
+    term of the matches frame ((id, term) rows are unique by
+    construction, so count(*) == countDistinct(id)) — a PARTIAL
+    aggregate, deliberately not a term-partitioned window (|terms| is a
+    handful: a window would funnel every matching doc through ≤|terms|
+    partitions); corpus constants ride a 1-row broadcast crossJoin as
+    before. No fact-sized shuffle but the per-doc aggregation, and the
+    corpus is read once."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    lterms = [t.lower() for t in query_terms]
+    if len(set(lterms)) != len(lterms):
+        # the former broadcast-join shape silently DOUBLED tf for a
+        # duplicated probe term; fail loudly instead of guessing intent
+        raise ValueError("query_terms must be distinct (case-insensitive)")
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     ).select(id_col, F.lower(F.col("__tok")).alias("token"))
-    dls = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    consts = dls.agg(
+    per_doc = (
+        toks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("token") == F.lit(t)).cast("long")).alias(f"__tf_{i}")
+                for i, t in enumerate(lterms)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    consts = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
     )
-    terms = df.sparkSession.createDataFrame(
-        [(t.lower(),) for t in query_terms], ["term"]
+    pairs = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"), F.col(f"__tf_{i}").alias("tf")
+                )
+                for i, t in enumerate(lterms)
+            ]
+        ),
+        lambda s: s["tf"] > 0,
     )
-    matches = (
-        toks.join(F.broadcast(terms), toks["token"] == terms["term"])
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfs = matches.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df_t")
-    )
+    matches = per_doc.select(
+        id_col, "dl", F.explode(pairs).alias("__m")
+    ).select(id_col, F.col("__m.term").alias("term"), F.col("__m.tf").alias("tf"), "dl")
+    dfs = matches.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     return (
-        matches.join(dls, id_col)
-        .join(F.broadcast(dfs), "term")
+        matches.join(F.broadcast(dfs), "term")
         .crossJoin(F.broadcast(consts))
         .select(id_col, "term", "tf", "dl", "df_t", "n_docs", "total_tokens")
     )
