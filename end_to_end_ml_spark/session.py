@@ -35,6 +35,8 @@ def get_spark(
         master = f"local[{DEFAULT_CPUS}]"
     if master:
         builder = builder.master(master)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+    driver_jopts = f"-Xms{driver_mem} -XX:ReservedCodeCacheSize=512m"
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_CPUS),
         "spark.sql.adaptive.enabled": "true",
@@ -55,9 +57,37 @@ def get_spark(
         # FIFO-starving each other; no effect on single-job workloads.
         "spark.scheduler.mode": "FAIR",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"),
+        "spark.driver.memory": driver_mem,
+        # FIXED-SIZE heap (-Xms == -Xmx), mirroring what Spark itself does
+        # for executor JVMs. Measured on this box (r13 optimization round):
+        # with the default tiny -Xms, every full GC (the bench's per-query
+        # ContextCleaner nudge) uncommits the heap back to ~2.5 GB and the
+        # next heavy query re-faults 5-50 GB of pages — 1-2M page faults
+        # per run whose munmap/mmap TLB shootdowns collapse into 10-60 s
+        # ALL-CORE kernel-time storms under co-tenant CPU steal (sys ~30
+        # cores, user ~1 core in /proc/stat during the stalls). Pinning
+        # Xms=Xmx removes the heap commit/uncommit churn entirely: d16
+        # reps went from [6.2..21.9] scatter to [5.0..5.9] steady state.
+        # The default is sized to observed live sets (~7 GB peak at
+        # sf0.1), not the machine, and stays env-tunable for bigger jobs.
+        "spark.driver.extraJavaOptions": driver_jopts,
+        # The default 100-entry codegen cache thrashes on this workload:
+        # one heavy query alone compiles ~29 units/run at local[32] and a
+        # session cycling many queries evicts everything, so every re-run
+        # of every plan re-pays Janino + cold-JIT (measured: 23-29
+        # recompiles per identical d16 re-run; 0 after raising the cap).
+        "spark.sql.codegen.cache.maxEntries": "10000",
     }
     if extra_conf:
+        caller_jopts = extra_conf.get("spark.driver.extraJavaOptions")
+        if caller_jopts and "-Xms" not in caller_jopts:
+            # merge rather than replace so callers adding e.g. a code-cache
+            # flag don't silently drop the fixed-heap floor (JVM semantics:
+            # later flags win, so caller flags stay authoritative)
+            extra_conf = dict(extra_conf)
+            extra_conf["spark.driver.extraJavaOptions"] = (
+                f"-Xms{driver_mem} {caller_jopts}"
+            )
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
