@@ -19,6 +19,21 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def merge_driver_java_options(driver_mem: str, caller_jopts: str | None) -> str:
+    """Merge caller ``spark.driver.extraJavaOptions`` with the fixed-heap
+    floor (``-Xms`` == driver memory; see the conf comment in get_spark).
+
+    The floor is PREPENDED so caller flags stay authoritative (the JVM
+    honours the last occurrence of a flag); a caller that sets its own
+    ``-Xms`` is respected verbatim."""
+    default = f"-Xms{driver_mem} -XX:ReservedCodeCacheSize=512m"
+    if not caller_jopts:
+        return default
+    if "-Xms" in caller_jopts:
+        return caller_jopts
+    return f"-Xms{driver_mem} {caller_jopts}"
+
+
 def get_spark(
     app_name: str = "end_to_end_ml_spark",
     master: str | None = None,
@@ -36,7 +51,7 @@ def get_spark(
     if master:
         builder = builder.master(master)
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
-    driver_jopts = f"-Xms{driver_mem} -XX:ReservedCodeCacheSize=512m"
+    driver_jopts = merge_driver_java_options(driver_mem, None)
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_CPUS),
         "spark.sql.adaptive.enabled": "true",
@@ -80,13 +95,12 @@ def get_spark(
     }
     if extra_conf:
         caller_jopts = extra_conf.get("spark.driver.extraJavaOptions")
-        if caller_jopts and "-Xms" not in caller_jopts:
+        if caller_jopts:
             # merge rather than replace so callers adding e.g. a code-cache
-            # flag don't silently drop the fixed-heap floor (JVM semantics:
-            # later flags win, so caller flags stay authoritative)
+            # flag don't silently drop the fixed-heap floor
             extra_conf = dict(extra_conf)
             extra_conf["spark.driver.extraJavaOptions"] = (
-                f"-Xms{driver_mem} {caller_jopts}"
+                merge_driver_java_options(driver_mem, caller_jopts)
             )
         conf.update(extra_conf)
     for k, v in conf.items():

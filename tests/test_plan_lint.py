@@ -439,3 +439,21 @@ def test_no_raw_tokenizer_inside_hof_lambda():
         "class — bind the token array to a column first, see "
         "text.word_ngrams_from_tokens): " + "; ".join(offenders)
     )
+
+
+def test_driver_java_options_fixed_heap_merge():
+    """The session factory pins a fixed-size driver heap (-Xms == driver
+    memory — the policy Spark applies to executor JVMs) and merges rather
+    than replaces caller extraJavaOptions, so a caller adding e.g. a
+    code-cache flag cannot silently drop the heap floor. The floor exists
+    because heap commit/uncommit churn around the bench's per-query GC
+    nudge was measured collapsing into all-core kernel-time storms
+    (OPTIMIZATION_r13.md, session 3)."""
+    from end_to_end_ml_spark.session import merge_driver_java_options as m
+
+    assert m("20g", None).startswith("-Xms20g ")
+    assert m("20g", "-XX:ReservedCodeCacheSize=512m") == (
+        "-Xms20g -XX:ReservedCodeCacheSize=512m"
+    )
+    # a caller that sets its own heap floor is respected verbatim
+    assert m("20g", "-Xms4g -XX:+UseG1GC") == "-Xms4g -XX:+UseG1GC"
