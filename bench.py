@@ -365,16 +365,34 @@ def main() -> None:
             reps = 8
         try:
             fn = REGISTRY[name][0]
-            best = float("inf")
             # min-of-N with N from the list above (HEADLINE/HEAVY 5,
             # R5/R6 4, d4 8): the heavy generated aggregates need 2-3
             # executions before C2 JIT reaches steady state; min-of-3 was
             # still measuring compilation on the big plans.
+            rep_times: list[float] = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 force(fn(spark, SF_DIR))
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                rep_times.append(time.perf_counter() - t0)
+            # Convergence guard (round 13): a co-tenant steal burst can
+            # cover ALL N reps of one query and poison its min (measured:
+            # a 10-60 s all-core kernel/steal storm read d16's min-of-5
+            # as 10.06 s vs a 5 s steady state reproduced minutes later).
+            # min-of-N is only trustworthy when a SECOND rep corroborates
+            # the best one; while the two best reps disagree by >25%,
+            # sample again (bounded at +3 so a genuinely degraded host
+            # still terminates and gets classified by machine_state/soak
+            # instead of looping).
+            extras = 0
+            while extras < 3:
+                b1, b2 = sorted(rep_times)[:2]
+                if (b2 - b1) / b1 <= 0.25:
+                    break
+                t0 = time.perf_counter()
+                force(fn(spark, SF_DIR))
+                rep_times.append(time.perf_counter() - t0)
+                extras += 1
+            timings[name] = round(min(rep_times), 3)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:
@@ -514,6 +532,14 @@ def main() -> None:
             # driver run had plenty of memory but load_1m 6.19 — the same
             # host state, now absorbed instead of merely classified)
             "settle_on_load_since_round": 13,
+            # round 13 (optimization): up to 3 extra reps per query while
+            # the two best reps disagree by >25% — min-of-N is only
+            # reported once a second rep corroborates the best, so a
+            # co-tenant steal burst covering one query's whole rep window
+            # can't poison its row (measured: d16 min-of-5 read 10.06 s
+            # under a storm vs 5 s steady state minutes later). Still a
+            # min over full end-to-end executions; no old number removed.
+            "rep_convergence_guard_since_round": 13,
         },
         # Round-12 self-attribution markers (verdict #3): classify slot-1
         # drift from the artifact alone — low mem_available_mb at start +
