@@ -23,8 +23,22 @@ makes these queries DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Scale-conditional materialization for spearman_components (r13
+# optimization round). At sf0.1 on an idle local[32] the nine redundant
+# pair-frame/counts subtrees in a18's plan execute CONCURRENTLY inside one
+# job and beat the serializing localCheckpoint barriers (measured,
+# tools/exp_a18_ckpt_ab.py: 4.02 s no-ckpt vs 4.81 s both-ckpts min-of-8
+# alternating warmed; counts-only 4.36 vs 4.75). On a cluster, where each
+# redundant subtree is a full table scan and cores are not idle, the
+# checkpointed shape wins. Parameterised per the repo's conf/env rule:
+# the local default (off) keeps the measured-optimal local plan and the
+# driver's bench comparable; a cluster deployment flips the env var.
+_SCALE_MATERIALIZE = os.environ.get("SPARK_GRAFT_SCALE_MATERIALIZE", "0") == "1"
 
 
 def quantize_score(col, score_precision: int | None):
@@ -849,6 +863,11 @@ def _doubled_tie_ranks(
     balance is affected, and the quantized-integer columns this path
     serves are range-bounded by construction."""
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    if _SCALE_MATERIALIZE:
+        # consumed by the bounds agg, the totals/offsets ladder and the
+        # main join — one materialization replaces three derivations of
+        # the distinct-counts shuffle (cluster shape; see knob comment)
+        counts = counts.localCheckpoint(eager=False)
     dtype = dict(df.dtypes)[col]
     if boundaries is None and dtype in _INTEGRAL_DTYPES:
         # min/max over the distinct-value table == min/max over df, and
@@ -933,6 +952,11 @@ def spearman_components(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     # before pairing would let half-missing rows shift the other column's
     # ranks non-uniformly and bias rho
     df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    if _SCALE_MATERIALIZE:
+        # the filtered pair frame feeds rx, ry and the ranked join — at
+        # cluster scale those are three full input scans (knob comment
+        # at the top of the module; default off = local-measured optimum)
+        df = df.localCheckpoint(eager=False)
     dtypes = dict(df.dtypes)
     if dtypes[x_col] in _INTEGRAL_DTYPES and dtypes[y_col] in _INTEGRAL_DTYPES:
         # round-13: integral columns take _doubled_tie_ranks' in-plan

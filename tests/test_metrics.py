@@ -333,3 +333,28 @@ def test_two_level_rank_int32_extreme_span(spark):
     got = {r["tb"]: r["pos"] for r in M.two_level_rank(df, "s", "tb").collect()}
     ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
     assert got == {tb: i + 1 for i, (tb, _) in enumerate(ordered)}
+
+
+class TestSpearmanScaleMaterialize:
+    def test_knob_is_result_identical(self, spark, monkeypatch):
+        """SPARK_GRAFT_SCALE_MATERIALIZE flips a18's plan to the
+        cluster shape (localCheckpoint the pair frame + each counts
+        table instead of re-deriving them per consumer — measured local
+        loss, cluster win; see the knob comment in functions/metrics).
+        The knob must never change a single value, ties and NULLs
+        included."""
+        from end_to_end_ml_spark.functions import metrics
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, None, 7]
+        ys = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8, 4, 3, None]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+
+        monkeypatch.setattr(metrics, "_SCALE_MATERIALIZE", False)
+        base = metrics.spearman_components(df, "x", "y").collect()
+        monkeypatch.setattr(metrics, "_SCALE_MATERIALIZE", True)
+        ckpt_df = metrics.spearman_components(df, "x", "y")
+        ckpt = ckpt_df.collect()
+        assert [tuple(r) for r in base] == [tuple(r) for r in ckpt]
+        # the knob actually changed the plan: checkpointed scans appear
+        plan = ckpt_df._jdf.queryExecution().toString()
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
