@@ -374,6 +374,15 @@ def main() -> None:
                 t0 = time.perf_counter()
                 force(fn(spark, SF_DIR))
                 rep_times.append(time.perf_counter() - t0)
+                # Cold-honest reps (round 14, r13 verdict #1): operators
+                # that persist() intermediates (minhash/simhash signature
+                # stores — pipe8, d3, d7 family) used to hit rep 1's
+                # CacheManager-materialized frames on reps 2+, so their
+                # min-of-N reported warm-cache cost (~2x flattering for
+                # pipe8). Clear the SQL cache INSIDE the rep loop so every
+                # rep recomputes from parquet. localCheckpoint blocks are
+                # NOT affected (RDD-level, rebuilt per call by design).
+                spark.catalog.clearCache()
             # Convergence guard (round 13): a co-tenant steal burst can
             # cover ALL N reps of one query and poison its min (measured:
             # a 10-60 s all-core kernel/steal storm read d16's min-of-5
@@ -391,6 +400,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 force(fn(spark, SF_DIR))
                 rep_times.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()  # cold-honest (see rep loop)
                 extras += 1
             timings[name] = round(min(rep_times), 3)
         except Exception as exc:  # noqa: BLE001 — record and continue
@@ -424,6 +434,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 force(fn(spark, SF_DIR))
                 timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()  # cold-honest (see rep loop)
         except Exception as exc:  # noqa: BLE001
             # the query DID complete in pass 1 (its timing stands); a
             # failed warm re-run must not also mark it failed — that
@@ -540,6 +551,12 @@ def main() -> None:
             # under a storm vs 5 s steady state minutes later). Still a
             # min over full end-to-end executions; no old number removed.
             "rep_convergence_guard_since_round": 13,
+            # round 14 (r13 verdict #1): spark.catalog.clearCache() runs
+            # INSIDE the rep loop, so persist()-ing operators (pipe8, d7,
+            # d3 signature stores) report per-call COLD cost — their rows
+            # rise vs r13 by construction, not by regression (r13's
+            # pipe8 1.45 s was measured warm; its cold cost was ~3.3 s).
+            "cold_reps_since_round": 14,
         },
         # Round-12 self-attribution markers (verdict #3): classify slot-1
         # drift from the artifact alone — low mem_available_mb at start +
@@ -556,7 +573,20 @@ def main() -> None:
         out["soak"] = soak
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Loss-proof artifact (r13 verdict #1b): BENCH_r12's stdout tail was
+    # truncated mid-JSON by the capture layer, blinding the round-over-round
+    # comparison (PERF_r13 n_common=0). Write the same line to a file FIRST,
+    # then print it — stdout remains the contract, the file is the backup.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError as exc:  # never let the backup kill the contract line
+        print(f"[bench] BENCH_OUT.json write failed: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":
