@@ -8511,7 +8511,7 @@ REGISTRY["pipe13_dsir_curation"] = (pipe13_dsir_curation, PIPE13_SQL)
 # round-8 verdict asked for a deterministic rotation policy that bounds
 # every oracled query's driver-exposure latency; it lives in
 # tools/pick_window.py and this list is its verbatim output for
-# `--round 11` (re-run the tool to audit). Policy: (1) queries red in the
+# `--round 14` (re-run the tool to audit). Policy: (1) queries red in the
 # latest committed CORRECTNESS artifact are forced in until proven green
 # (none this round); (2) never-driver-exposed queries UNCONDITIONALLY,
 # newest registration round first (DRIVER_LEDGER.json) — round-9
@@ -8521,13 +8521,13 @@ REGISTRY["pipe13_dsir_curation"] = (pipe13_dsir_curation, PIPE13_SQL)
 # a round later; (3) previously-exposed fill by (exposure count, last
 # exposed round) with a best-effort family-coverage guard — ties broken
 # by md5(f"r{N}:{name}") so no name starves behind a fixed order.
-# Round-11 pick: 0 first exposures / 50 — pure RE-CHECK ROTATION
+# Round-14 pick: 0 first exposures / 50 — pure RE-CHECK ROTATION
 # (no new registrations carried in; r10's four first exposures all went
 # driver-green, so policy #2 has an empty queue).
 # As of CORRECTNESS_r09 every oracled registry query has at least one
 # green driver row, so windows are now pure least-exposed-first
 # re-checks: fill order (exposure count, last exposed round), ties
-# broken by md5(f"r11:{name}"), with the best-effort family guard.
+# broken by md5(f"r14:{name}"), with the best-effort family guard.
 # All registry entries remain locally verified via tools/check_oracle.py
 # (full-registry + full-window-at-sf0.1 results committed as
 # CHECK_ORACLE_LOCAL_r11.json / CHECK_ORACLE_SF01_WINDOW_r11.json);
@@ -8536,56 +8536,56 @@ REGISTRY["pipe13_dsir_curation"] = (pipe13_dsir_curation, PIPE13_SQL)
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
-    "d17_tile_dedup_rewrite",
-    "a19_brier_components",
-    "dq4_volume_anomaly",
-    "fn_udtf_word_rows",
-    "x10_vocabulary",
-    "q6_forecast_revenue",
-    "q17_small_qty_revenue",
-    "s14_snapshot_diff",
-    "a9_ece_multiclass",
-    "mix4_waterfill",
-    "pipe12_adaptive_ann_exact",
-    "mix5_dsir_selection",
-    "pipe13_dsir_curation",
-    "a10q_pr_curve_ap_quantized",
-    "a12q_roc_curve_quantized",
-    "a6q_roc_auc_quantized",
-    "d8_canonical_docs",
-    "d5_embedding_near_dup",
-    "ts3_time_weighted_avg",
-    "q20_above_avg_orders",
-    "q10_returned_items",
-    "s5_json_props",
-    "q18_large_volume_customers",
-    "a16_ks_drift",
-    "x8_winnow_fingerprints",
-    "ev3_scd2_history",
-    "s13_incremental_agg",
-    "fn_map_suite",
-    "x13_lexical_stats",
-    "ts6_ewma",
-    "q23_copurchase_pairs",
-    "t11_group_split",
-    "f13_robust_scale",
-    "mm2_frame_sample",
-    "set4_multiset_ops",
-    "p15_profile_columns",
-    "emb4_negative_pairs",
-    "agg_percentiles",
-    "skew2_salted_collect",
-    "pack1_sequence_packing",
-    "w5_topk_per_group",
-    "j2_split_overlap",
+    "d10_span_dedup",
+    "pipe6_incremental_ingest",
+    "t10_fixed_count_sample",
+    "ev6_linear_attribution",
+    "ev2_retention_cohorts",
+    "fn_array_suite",
+    "t13_four_way_carve",
+    "ts8_weekly_profile",
+    "x5_repetition_scores",
+    "ev4_top_session_paths",
+    "d12_source_overlap_matrix",
+    "dq1_expectations",
+    "a18_spearman_components",
+    "q7_volume_shipping",
+    "a11_champion_leaderboard",
+    "ev1_funnel_conversion",
+    "ev8_time_to_conversion",
+    "x17_bm25_components",
+    "a15_drift_bins",
+    "f11_quantile_uniform",
+    "t9_weighted_sample",
+    "dq3_referential_integrity",
+    "ts7_countmin_heavy_hitters",
+    "mix1_temperature_sample",
+    "pipe5_eval_set",
+    "s9_online_export",
+    "ts2_gap_fill",
+    "pipe7_curated_shards",
+    "f8_label_index",
+    "q24_association_rules",
+    "pipe10_budget_curation",
+    "ts4b_hll_registers",
+    "pipe8_incremental_near_dup",
+    "set1_repeat_customers",
+    "emb5_cosine_histogram",
+    "mm3_resize_payloads",
+    "agg_grouping_sets",
+    "p9_recode_status",
+    "skew1_salted_join_agg",
+    "pack3_shard_shuffle",
+    "w7_pivot_matrix",
+    "j5_customers_without_orders",
+    "sim1b_topk_sharded",
     "prof1_column_profile",
     "ml1b_validation_leaderboard",
-    "sim1_topk_bruteforce",
     "ord1_global_ordinal",
     "h7_asha_schedule",
-    "m8q_threshold_sweep_quantized",
+    "m8_threshold_sweep",
+    "st_sessionize",
     "rj1_event_pairs",
-    "st_hourly_window",
 ]
 
 assert len(DRIVER_WINDOW) == 50, f"driver window must be exactly 50, got {len(DRIVER_WINDOW)}"

@@ -23,15 +23,32 @@ def merge_driver_java_options(driver_mem: str, caller_jopts: str | None) -> str:
     """Merge caller ``spark.driver.extraJavaOptions`` with the fixed-heap
     floor (``-Xms`` == driver memory; see the conf comment in get_spark).
 
-    The floor is PREPENDED so caller flags stay authoritative (the JVM
-    honours the last occurrence of a flag); a caller that sets its own
-    ``-Xms`` is respected verbatim."""
-    default = f"-Xms{driver_mem} -XX:ReservedCodeCacheSize=512m"
-    if not caller_jopts:
-        return default
-    if "-Xms" in caller_jopts:
-        return caller_jopts
-    return f"-Xms{driver_mem} {caller_jopts}"
+    Defaults are PREPENDED so caller flags stay authoritative (the JVM
+    honours the last occurrence of a flag). Each default is dropped only
+    when the caller sets that same flag family itself, so a caller adding
+    an unrelated flag (e.g. a GC option) keeps BOTH the heap floor and the
+    code-cache sizing (r13 ADVICE: the old merge dropped
+    ReservedCodeCacheSize whenever any caller flag was present, risking
+    JIT code-cache exhaustion under codegen.cache.maxEntries=10000)."""
+    cj = caller_jopts or ""
+    parts = []
+    if "-Xms" not in cj:
+        parts.append(f"-Xms{driver_mem}")
+    if "ReservedCodeCacheSize" not in cj:
+        parts.append("-XX:ReservedCodeCacheSize=512m")
+    if cj:
+        parts.append(cj)
+    return " ".join(parts)
+
+
+def resolve_driver_memory(extra_conf: dict[str, str] | None) -> str:
+    """Driver heap size with the precedence the -Xms floor must follow:
+    an explicit extra_conf ``spark.driver.memory`` beats the
+    ``SPARK_GRAFT_DRIVER_MEM`` env default, so the fixed-heap floor built
+    from this value can never exceed the caller's -Xmx."""
+    return (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+    )
 
 
 def get_spark(
@@ -50,7 +67,24 @@ def get_spark(
         master = f"local[{DEFAULT_CPUS}]"
     if master:
         builder = builder.master(master)
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+    # Driver heap sizing rule (SPARK_GRAFT_DRIVER_MEM, default 20g): the
+    # driver live set is bounded by (a) collect bounds — every driver-side
+    # collect in the engine is capped (65536-row vocab/quantizer bounds,
+    # 1-row aggregates), (b) broadcast relations (offsets/bounds tables,
+    # all <= a few MB here; a deployment broadcasting 100s of MB should
+    # grow the heap by ~3x the framed broadcast size for build + transport
+    # copies), and (c) localCheckpoint block METADATA (the blocks live in
+    # executor/block-manager memory — in local mode that is this same
+    # heap, so the biggest checkpointed frame at the deployed SF sets the
+    # floor: ~7 GB peak observed at sf0.1). 20g = observed peak x ~3
+    # headroom. -Xms is pinned to the same value (see extraJavaOptions
+    # comment below), so the host must actually HAVE this much memory
+    # free: a caller on a smaller host passes SPARK_GRAFT_DRIVER_MEM=8g
+    # (tests/conftest.py honours the same env var).
+    # An extra_conf override of spark.driver.memory takes precedence so
+    # the -Xms floor can never exceed -Xmx (r13 ADVICE: a caller passing
+    # driver.memory=8g used to still get -Xms20g and fail JVM startup).
+    driver_mem = resolve_driver_memory(extra_conf)
     driver_jopts = merge_driver_java_options(driver_mem, None)
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_CPUS),

@@ -455,5 +455,31 @@ def test_driver_java_options_fixed_heap_merge():
     assert m("20g", "-XX:ReservedCodeCacheSize=512m") == (
         "-Xms20g -XX:ReservedCodeCacheSize=512m"
     )
-    # a caller that sets its own heap floor is respected verbatim
-    assert m("20g", "-Xms4g -XX:+UseG1GC") == "-Xms4g -XX:+UseG1GC"
+    # a caller that sets its own heap floor wins it, but keeps the
+    # code-cache default (r13 ADVICE: the old merge dropped
+    # ReservedCodeCacheSize whenever the caller set -Xms)
+    assert m("20g", "-Xms4g -XX:+UseG1GC") == (
+        "-XX:ReservedCodeCacheSize=512m -Xms4g -XX:+UseG1GC"
+    )
+    # unrelated caller flags keep BOTH defaults, prepended so the caller's
+    # occurrence would win a conflict (JVM last-flag-wins)
+    assert m("20g", "-XX:+UseZGC") == (
+        "-Xms20g -XX:ReservedCodeCacheSize=512m -XX:+UseZGC"
+    )
+
+
+def test_driver_mem_extra_conf_precedence():
+    """get_spark derives the -Xms floor from extra_conf's
+    spark.driver.memory when the caller overrides it, so the floor can
+    never exceed -Xmx (r13 ADVICE medium: driver.memory=8g via extra_conf
+    used to still get -Xms20g and the JVM would refuse to start)."""
+    from end_to_end_ml_spark.session import (
+        merge_driver_java_options,
+        resolve_driver_memory,
+    )
+
+    assert resolve_driver_memory({"spark.driver.memory": "8g"}) == "8g"
+    assert resolve_driver_memory({}) == resolve_driver_memory(None)
+    assert merge_driver_java_options(
+        resolve_driver_memory({"spark.driver.memory": "8g"}), None
+    ).startswith("-Xms8g ")
