@@ -1,6 +1,6 @@
-"""Round-13 optimization probe: time individual registry queries in a
+"""Optimization probe: time individual registry queries in a
 bench-identical session (same conf as bench.py) and/or dump their
-``explain("formatted")`` plans to plans/r13/<query>_<tag>.txt.
+``explain("formatted")`` plans to plans/<round>/<query>_<tag>.txt (SPARK_GRAFT_PLANS_ROUND, default r14).
 
 Usage:
   python tools/opt_probe.py --reps 5 q1_pricing_summary d16_prefix_filter_jaccard
@@ -9,7 +9,7 @@ Usage:
 
 With --reps N each query runs N noop-forced executions and prints every
 rep plus the min (the bench statistic). With --plan TAG the formatted
-plan is written to plans/r13/<name>_<TAG>.txt. Alternating A/B across
+plan is written to plans/<round>/<name>_<TAG>.txt. Alternating A/B across
 two working trees is done by running this twice from different checkouts;
 within-session rep lists make warm-up slope visible either way.
 """
@@ -57,7 +57,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     results: dict[str, dict] = {}
