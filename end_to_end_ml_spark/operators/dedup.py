@@ -1235,6 +1235,25 @@ _PF_CAND_HINT: str | None = None
 # post-shuffle, which costs more than the one ENSURE_REQUIREMENTS exchange
 # it saves. Kept as a knob so the measurement is reproducible.
 _PF_REPART_CAND: bool = False
+# Materialize the gram explode (toks) so dfreq + ranked share one
+# tokenize pass instead of re-running split+shingle+explode twice.
+# r13 A/B'd this pre-heap-fix and saw only scatter; re-run r14 on the
+# stable host (tools/exp_d16_r14_ab.py): toks_ckpt 4.44 vs base 4.74
+# within one alternating session, and the combined arm wins — ON. At
+# scale the saved work is a full corpus tokenize+shingle pass.
+_PF_TOKS_CKPT: bool = True
+# Cast token ids to INT when the counted vocab fits 2^31 rows (r14,
+# guide §2.3): the stoks arrays are the payload of the ranked
+# localCheckpoint and all three verify exchanges, so element width is
+# shuffle bytes. False pins the r13 BIGINT shape for A/B reproduction.
+_PF_TID_NARROW: bool = True
+# Assign vocab ordinals DRIVER-SIDE when the counted vocab is at most
+# this many rows (the r13 bpe_train precedent: a vocab table is not
+# data — guide §5). Python's (df, token) tuple sort equals Spark's
+# (df_t asc, token asc) order (UTF-8 byte order preserves codepoint
+# order), so the mapping is identical to global_ordinal's; above the
+# bound the distributed bucketed-rank path is unchanged. 0 disables.
+_PF_DRIVER_VOCAB_ROWS: int = 65536
 
 
 def prefix_filter_jaccard_pairs(
@@ -1270,7 +1289,8 @@ def prefix_filter_jaccard_pairs(
 
     The vocabulary is DICTIONARY-ENCODED before anything touches pairs:
     global_ordinal (the bucketed-rank primitive — no global window)
-    assigns each token a dense BIGINT id in (df asc, token asc) order,
+    assigns each token a dense id in (df asc, token asc) order (INT when
+    the counted vocab fits 2^31 rows, else BIGINT — r14, guide §2.3),
     so array_sort(collect_list(tid)) alone yields the rarest-first doc
     representation, candidate rows ship ints, and the per-pair
     verification intersects INT arrays instead of n-gram strings
@@ -1317,16 +1337,53 @@ def prefix_filter_jaccard_pairs(
         "doc",
         F.explode(gram_expr).alias("token"),
     )
-    from .ordinal import global_ordinal
+    from .ordinal import count_and_boundaries, global_ordinal
 
+    if _PF_TOKS_CKPT:
+        # one tokenize+explode pass instead of two (dfreq + ranked both
+        # consume toks) at the cost of materializing |corpus-token| rows
+        # of (doc, token-string) — the r13 A/B was scatter-dominated
+        # pre-heap-fix; re-measured r14, see _PF_TOKS_CKPT comment
+        toks = toks.localCheckpoint(eager=False)
     dfreq = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df_t"))
         .localCheckpoint(eager=False)
     )
-    vocab_ids = global_ordinal(dfreq, "df_t", "token", out_col="tid").select(
-        "token", F.col("tid").cast("long").alias("tid")
+    # count + boundary sketch fused into ONE aggregate job (the r13
+    # emb4/ord1 treatment): the vocab row count decides the tid WIDTH —
+    # a dense ordinal over n_vocab rows fits an int iff n_vocab < 2^31,
+    # and the stoks arrays built from tids are the payload of every
+    # verify-side shuffle, so halving the element width halves those
+    # exchange bytes (guide §2.3 "narrower types", provably safe here
+    # because the bound is checked, not assumed). At a corpus whose
+    # n-gram vocabulary exceeds 2^31 the cast silently stays long.
+    # One bounded probe decides the vocab regime: collect at most
+    # bound+1 rows — when the whole vocab came back, the driver path
+    # already HAS it (no count job, no sketch job); otherwise fall back
+    # to the distributed bucketed rank with the fused count+sketch.
+    vrows = (
+        dfreq.limit(_PF_DRIVER_VOCAB_ROWS + 1).collect()
+        if _PF_DRIVER_VOCAB_ROWS > 0
+        else None
     )
+    if vrows is not None and len(vrows) <= _PF_DRIVER_VOCAB_ROWS:
+        # vocab fits the driver bound: sort + enumerate locally and ship
+        # the mapping as a LocalRelation — same (df_t asc, token asc)
+        # ordinal as global_ordinal, without its bucket-count aggregate
+        # and rank window in the broadcast build subtree
+        tid_type = "int" if _PF_TID_NARROW else "long"
+        vrows.sort(key=lambda r: (r["df_t"], r["token"]))
+        vocab_ids = df.sparkSession.createDataFrame(
+            [(r["token"], i) for i, r in enumerate(vrows)],
+            schema=f"token string, tid {tid_type}",
+        )
+    else:
+        n_vocab, vocab_bnds = count_and_boundaries(dfreq, "df_t")
+        tid_type = "int" if (_PF_TID_NARROW and n_vocab <= 2**31 - 1) else "long"
+        vocab_ids = global_ordinal(
+            dfreq, "df_t", "token", out_col="tid", boundaries=vocab_bnds
+        ).select("token", F.col("tid").cast(tid_type).alias("tid"))
     ranked = (
         toks.join(F.broadcast(vocab_ids), "token")
         .groupBy("doc")
