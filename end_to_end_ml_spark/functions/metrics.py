@@ -681,14 +681,23 @@ def roc_auc_ovr(df: DataFrame, label_col: str, score_cols: dict) -> DataFrame:
     row folds the per-class AUCs in explicit sorted-class order, so the
     double arithmetic matches a fixed-order SQL oracle bit-for-bit."""
     keys = _sorted_class_keys(score_cols)
-    stacked = None
-    for cls in keys:
-        part = df.select(
-            F.lit(str(cls)).alias("class"),
-            (F.col(label_col) == cls).cast("long").alias("y"),
-            F.col(score_cols[cls]).alias("s"),
-        )
-        stacked = part if stacked is None else stacked.unionByName(part)
+    # stack the K binary problems by EXPLODING K structs per input row
+    # instead of a K-way self-union (r14 census: the union re-scanned the
+    # input once per class — 3 scans for a8; one scan now, same rows)
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(str(cls)).alias("class"),
+                        (F.col(label_col) == cls).cast("long").alias("y"),
+                        F.col(score_cols[cls]).alias("s"),
+                    )
+                    for cls in keys
+                ]
+            )
+        ).alias("__e")
+    ).select("__e.class", "__e.y", "__e.s")
     by_score = stacked.groupBy("class", "s").agg(
         F.sum("y").alias("pos"),
         F.sum(1 - F.col("y")).alias("neg"),
@@ -709,6 +718,14 @@ def roc_auc_ovr(df: DataFrame, label_col: str, score_cols: dict) -> DataFrame:
             / (F.sum("pos") * F.sum("neg"))
         ).alias("auc")
     )
+    if _scale_materialize(df):
+        # K rows (one per class), consumed by BOTH the output union and
+        # the macro fold — on a cluster-shaped input the bounded
+        # checkpoint stops the full subtree running twice (r14 census:
+        # a8 carried 6 input scans); at sf0.1 the extra job barrier
+        # loses to the cheap re-derivation, so the decision is the
+        # derived a18 one (_scale_materialize).
+        per_class = per_class.localCheckpoint(eager=False)
     pivoted = per_class.agg(
         *[
             F.sum(F.when(F.col("class") == str(k), F.col("auc"))).alias(f"__a{i}")
@@ -782,11 +799,23 @@ def drift_bins(
 
     r = binned(ref, "n_ref")
     c = binned(cur, "n_cur")
+    # Materialize the <= n_bins-row joined histogram ONCE when the input
+    # is cluster-shaped (r14 census: this frame is consumed by `tot` AND
+    # the ppm projection, and ks_stat_exact re-references the whole
+    # result twice more — Catalyst re-derives the subtree per reference,
+    # so a16's main plan carried EIGHT full scans of the input for two
+    # histogram passes). Scale-conditional via the derived a18 decision
+    # (_scale_materialize): at sf0.1 the checkpoint's job barrier costs
+    # more than six re-scans of a tiny parquet (measured 0.70 -> 1.32 s
+    # on a16), on a non-local master or >4 GiB input each re-derivation
+    # is a full distributed scan.
     joined = r.join(c, "bin", "full_outer").select(
         "bin",
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
+    if _scale_materialize(ref) or _scale_materialize(cur):
+        joined = joined.localCheckpoint(eager=False)
     tot = joined.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )

@@ -88,7 +88,21 @@ def _bucketed_rank(df: DataFrame, class_col: str, pk_col: str):
     )
     w_in = Window.partitionBy(class_col, "__b").orderBy("__k", pk_col)
     ranked = keyed.withColumn("__r_in", F.row_number().over(w_in))
+    # counts is BOUNDED (|classes| x ~15k hash buckets) and consumed by
+    # the offsets window AND every caller's per-class total — without a
+    # checkpoint each reference re-derives the full input aggregate
+    # (r14 census: t1 carried 3 input scans, j2 six). Scale-conditional
+    # via the derived a18 decision: at sf0.1 the checkpoint's job
+    # barrier loses to re-scanning a tiny parquet (measured t1
+    # 1.25 -> 1.65 s unconditional), on a cluster each re-derivation is
+    # a full distributed scan+window. ranked itself is data-sized and
+    # deliberately NOT materialized (re-scan beats a full-data
+    # checkpoint; house rule from temperature_sample).
+    from ..functions.metrics import _scale_materialize
+
     counts = ranked.groupBy(class_col, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    if _scale_materialize(df):
+        counts = counts.localCheckpoint(eager=False)
     w_off = (
         Window.partitionBy(class_col)
         .orderBy("__b")

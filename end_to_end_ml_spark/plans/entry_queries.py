@@ -1098,7 +1098,11 @@ def _pair_recall_summary(exact: DataFrame, approx: DataFrame, keys: list[str]) -
     deterministic given deterministic inputs (all our hashes are seeded).
     recall_ppm is an exact integer: floor(n_common * 1e6 / n_exact)."""
     e = exact.select(*keys)
-    a = approx.select(*keys)
+    # the approx pair set is consumed TWICE (hit join + n_approx count);
+    # without the checkpoint the whole approx pipeline re-ran per
+    # reference (r14 census: sim2r/sim3r/d6r each carried 5 input scans,
+    # d4r 18 exchanges). Key columns only — a narrow result-pair frame.
+    a = approx.select(*keys).localCheckpoint(eager=False)
     hits = e.join(a.withColumn("__hit", F.lit(1)), on=keys, how="left")
     stats = hits.agg(
         F.count(F.lit(1)).alias("n_exact"),
