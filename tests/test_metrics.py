@@ -396,3 +396,41 @@ class TestSpearmanScaleMaterialize:
         # NOT flip the plan even with the threshold at zero
         rdd_backed = spark.createDataFrame([(1, 2), (3, 4)], "x long, y long")
         assert metrics._scale_materialize(rdd_backed) is False
+
+    def test_drift_and_ovr_sites_flip_with_env(self, spark, monkeypatch):
+        """The r14 census sites (drift_bins histogram, roc_auc_ovr
+        per_class, _bucketed_rank counts) follow the same derived
+        decision: env=1 forces the materialized cluster shape (plan
+        gains Scan ExistingRDD), env=0 keeps the re-derive shape, and
+        BOTH produce identical values."""
+        from end_to_end_ml_spark.functions import metrics
+        from end_to_end_ml_spark.operators import split as SP
+
+        ref = spark.range(0, 100).selectExpr("cast(id as double) as v")
+        cur = spark.range(40, 140).selectExpr("cast(id as double) as v")
+        lab = spark.range(0, 90).selectExpr(
+            "cast(id % 3 as int) as y",
+            *[f"cast(id % {m} as double) / {m} as s{i}" for i, m in
+              enumerate([7, 11, 13])],
+        )
+        rows = {}
+        for env in ("0", "1"):
+            monkeypatch.setenv("SPARK_GRAFT_SCALE_MATERIALIZE", env)
+            ks = metrics.ks_stat_exact(ref, cur, "v", lo=0.0, hi=140.0, n_bins=10)
+            ovr = metrics.roc_auc_ovr(lab, "y", {0: "s0", 1: "s1", 2: "s2"})
+            tr, te = SP.stratified_split(
+                lab.selectExpr("*", "cast(y * 1000 + s0 * 7 as long) as pk"),
+                "y",
+                "pk",
+            )
+            rows[env] = (
+                [tuple(r) for r in ks.collect()],
+                [tuple(r) for r in ovr.collect()],
+                tr.count(),
+                te.count(),
+            )
+            if env == "1":
+                for q in (ks, ovr):
+                    plan = q._jdf.queryExecution().toString()
+                    assert "ExistingRDD" in plan
+        assert rows["0"] == rows["1"]
