@@ -457,10 +457,14 @@ def profile_columns(df, columns=None):
             F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
     row = df.agg(*aggs)
-    parts = []
-    for c in cols:
-        parts.append(
-            row.select(
+    # long format via IN-ROW unpivot (r14 census, the x20 treatment): the
+    # former per-column union re-derived the whole single-row aggregate —
+    # and with it the full input scan — once per column (p15: 4 scans).
+    # Exploding an array of per-column structs over the one aggregate row
+    # keeps it at ONE scan for any column count.
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("column"),
                 F.col("__n").alias("n_rows"),
                 F.col(f"__nulls_{c}").alias("n_nulls"),
@@ -468,11 +472,14 @@ def profile_columns(df, columns=None):
                 F.col(f"__min_{c}").alias("min_value"),
                 F.col(f"__max_{c}").alias("max_value"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("column")
+            for c in cols
+        ]
+    )
+    return (
+        row.select(F.explode(entries).alias("__e"))
+        .select("__e.*")
+        .orderBy("column")
+    )
 
 
 def feature_hash_audit(df, cols, n_buckets: int = 64, salt: str = "fh"):

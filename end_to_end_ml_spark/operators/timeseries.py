@@ -273,6 +273,15 @@ def rolling_distinct_users(
     pairs = events.select(
         F.col(user_col).alias("u"), day.alias("d")
     ).distinct()
+    # pairs is consumed by days_present AND the explode — each reference
+    # re-runs the full raw-events dedup shuffle (r14 census: ev10 carried
+    # 3 input scans). Materialize once when the input is cluster-shaped
+    # (derived a18 decision); locally the job barrier loses to re-scanning
+    # a tiny parquet.
+    from ..functions.metrics import _scale_materialize
+
+    if _scale_materialize(events):
+        pairs = pairs.localCheckpoint(eager=False)
     days_present = pairs.select("d").distinct()
     exploded = pairs.select(
         "u",

@@ -3312,29 +3312,33 @@ def set4_multiset_ops(spark, sf_dir):
     (row, count) with count arithmetic — no row explosion). Probe: per-
     customer order-priority bags from two halves of the order history."""
     orders = load_table(spark, sf_dir, "orders")
-    early = orders.filter(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    ).select("o_custkey", "o_orderpriority")
-    late = orders.filter(
-        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
-    ).select("o_custkey", "o_orderpriority")
-    surplus = early.exceptAll(late)
-    common = early.intersectAll(late)
+    # r14 census: exceptAll + intersectAll each re-scanned BOTH halves (4
+    # input scans). Both are pure count arithmetic over the same
+    # (custkey, priority) multiplicity table — |EXCEPT ALL| per value is
+    # max(ce-cl, 0) and |INTERSECT ALL| is min(ce, cl) — so compute that
+    # table once from ONE scan and fold per priority. A priority appears
+    # in the output iff it has >= 1 surplus or common row, exactly the
+    # former full-outer-of-two-groupbys membership (oracle-pinned).
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    counts = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        # when/otherwise, not a bare cast: a NULL date must contribute 0
+        # to BOTH halves (the former filters dropped such rows outright)
+        F.sum(F.when(F.col("o_orderdate") < cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("__ce"),
+        F.sum(F.when(F.col("o_orderdate") >= cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("__cl"),
+    )
     return (
-        surplus.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_surplus"))
-        .join(
-            common.groupBy("o_orderpriority").agg(
-                F.count(F.lit(1)).alias("n_common")
+        counts.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.greatest(F.col("__ce") - F.col("__cl"), F.lit(0))).alias(
+                "n_surplus"
             ),
-            "o_orderpriority",
-            "full_outer",
+            F.sum(F.least("__ce", "__cl")).alias("n_common"),
         )
-        .select(
-            "o_orderpriority",
-            F.coalesce("n_surplus", F.lit(0)).alias("n_surplus"),
-            F.coalesce("n_common", F.lit(0)).alias("n_common"),
-        )
+        .filter((F.col("n_surplus") > 0) | (F.col("n_common") > 0))
         .orderBy("o_orderpriority")
     )
 
